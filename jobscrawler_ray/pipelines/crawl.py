@@ -1,0 +1,827 @@
+"""The distributed URL-frontier + fetch scheduler (the north-star pipeline).
+
+Replaces the reference's single-process asyncio loop
+(``src/main.py:25-42`` + ``src/crawler.py:320-377``) with a
+driver-controlled *wave* loop over ``ray.data.Dataset`` stages:
+
+    frontier (union of parquet partitions from the previous wave)
+      → groupby(pol_shard).map_groups(politeness gate)   # token buckets + robots
+        → write gated/,  hive-partitioned by gate ∈ allow|defer|block
+      → read gated/gate=allow
+        → map_batches(fetch+parse)                       # html/api/rss registry
+        → write parsed/, hive-partitioned by out_kind
+      → read parsed/{candidate,frontier_image}
+        → groupby(seen_shard).map_groups(seen gate)      # cuckoo anti-join
+        → write gatec/,  hive-partitioned by label
+      → manifest (checkpoint; next frontier = defer ∪ detail ∪ image dirs)
+
+Three Dataset executions per wave; every intermediate is a
+hive-partitioned parquet directory, so (a) the frontier never lives in
+driver RAM (north_rule: 10^10-URL frontier spills between waves), (b)
+each wave is resumable from its manifest, and (c) record/image/error
+splits are plain subdirectory reads with zero re-filtering work.
+
+Ordering conformance (SURVEY.md §7.4): the reference's realized order is
+sequential per site — listing page p, then each surviving job's
+follow-link fetch, then page p+1 (``async_bs4.py:318-368``). The engine
+reproduces that order *per host* through the packed priority key: a
+listing at page-index ``i`` gets ``seq = i·(2J+2)``, its jobs
+``seq+1+2s``, their images ``seq+2+2s`` — so the engine's fetch log
+sorted by (host, gseq, depth) equals the oracle's sequential per-host
+fetch sequence, while cross-host interleaving is free (first-wins dedup
+makes it order-insensitive; the seen gate resolves intra-wave duplicates
+in global ``gseq`` order — site rank → page → DOM — and earlier waves
+always win, which per host coincides with the reference's page→DOM
+order).
+
+Dedup-before-follow (the reference checks the DB *before* the
+follow-link fetch, ``async_bs4.py:154-167``) maps to the two-phase wave:
+listing parse emits candidates, the seen gate admits them, and wave k+1
+fetches only survivors.
+
+Scale notes (100 TB / 256-node design intent):
+- fetch+parse is a stateless ``map_batches`` over Arrow batches; the
+  deterministic world backend is cached once per worker *process* (an
+  actor pool would re-spawn per wave execution; long-lived state that
+  must survive the run — seen set, politeness — lives in real actors).
+- the two shuffles per wave are keyed by host-hash (politeness shard,
+  seen shard): hot hosts are isolated per shard, and politeness budgets
+  cap per-host wave contribution, turning skew into deferral.
+- wave size is bounded by the politeness budget, not frontier size; the
+  un-admitted frontier is parquet on disk.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import astuple, dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions import codecs
+from ..functions.priority import pack_priority
+from ..functions.urlnorm import canonicalize, hash64, host_of, sha1_hex
+from ..stages.parse import parse_detail, parse_listing
+from ..state.checkpoint import WaveManifest, ckpt_dir, latest_manifest, write_manifest
+from ..state.politeness import PolitenessPool
+from ..state.seen import SeenSet
+from ..synth.world import World, WorldParams
+
+# --------------------------------------------------------------------------
+# Wire schemas (int64 everywhere internally; the published image table
+# narrows to the input_hint's int32 w/h at the sink)
+# --------------------------------------------------------------------------
+
+FRONTIER_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("url", pa.string()),
+    ("canon_url", pa.string()),
+    ("url_sha1", pa.string()),
+    ("host", pa.string()),
+    ("host_hash", pa.int64()),
+    ("shard", pa.int64()),
+    ("pol_shard", pa.int64()),
+    ("depth", pa.int64()),
+    ("seq", pa.int64()),   # site-local order key (page→DOM→depth)
+    ("gseq", pa.int64()),  # global order key: site_rank·span + seq (dedup ties)
+    ("fairness_round", pa.int64()),
+    ("priority", pa.int64()),
+    ("site_id", pa.string()),
+    ("strategy", pa.string()),
+    ("kind", pa.string()),  # listing | detail | image | candidate
+    ("follow_link", pa.bool_()),
+    ("inner_link_tag", pa.string()),
+    ("politeness_rps", pa.float64()),
+    ("elements_path", pa.string()),  # JSON; carried on listing rows only
+    ("title", pa.string()),
+    ("link", pa.string()),
+    ("location", pa.string()),
+    ("description", pa.string()),
+    ("image_id", pa.string()),
+    ("wave", pa.int64()),
+]
+FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
+
+PARSED_EXTRA: list[tuple[str, pa.DataType]] = [
+    ("status", pa.int64()),
+    ("out_kind", pa.string()),  # candidate | frontier_image | record | image | error
+    ("img_bytes", pa.binary()),
+    ("w", pa.int64()),
+    ("h", pa.int64()),
+    ("fmt", pa.string()),
+    ("phash", pa.int64()),
+    ("error", pa.string()),
+]
+PARSED_FIELDS = FRONTIER_FIELDS + PARSED_EXTRA
+
+RECORD_COLS = [
+    "site_id", "strategy", "title", "link", "canon_url", "url_sha1", "host",
+    "host_hash", "description", "location", "depth", "seq", "gseq", "wave",
+]
+IMAGE_COLS = [
+    "image_id", "img_bytes", "w", "h", "fmt", "phash", "description",
+    "site_id", "strategy", "host", "host_hash", "url_sha1", "seq", "wave",
+]
+
+
+def _defaults_for(fields) -> dict:
+    out = {}
+    for name, typ in fields:
+        if typ == pa.string():
+            out[name] = ""
+        elif typ == pa.binary():
+            out[name] = b""
+        elif typ == pa.bool_():
+            out[name] = False
+        elif typ == pa.float64():
+            out[name] = 0.0
+        else:
+            out[name] = 0
+    return out
+
+
+_PARSED_DEFAULTS = _defaults_for(PARSED_FIELDS)
+
+
+class _Emitter:
+    """Column-dict accumulator for parse outputs (the reference's
+    column-dict of parallel lists, ``src/crawler.py:335-345``, kept
+    rectangular by construction)."""
+
+    def __init__(self, fields):
+        self.fields = fields
+        self.cols = {n: [] for n, _ in fields}
+        self.defaults = _defaults_for(fields)
+
+    def emit(self, **kw):
+        for name, _ in self.fields:
+            self.cols[name].append(kw.get(name, self.defaults[name]))
+
+    def table(self) -> pa.Table:
+        return pa.Table.from_pydict(self.cols, schema=pa.schema(self.fields))
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CrawlConfig:
+    num_seen_shards: int = 8
+    num_pol_shards: int = 4
+    seen_capacity_per_shard: int = 1 << 16
+    exact_sidecar: bool = True
+    fetch_batch_size: int = 512
+    max_waves: int = 64
+    out_buckets: int = 16  # output partition count (resumable layout)
+    crawl_ts: str = "2026-01-01T00:00:00"  # per-run stamp (M18 determinism)
+
+
+# --------------------------------------------------------------------------
+# Deterministic world cache (per worker process)
+# --------------------------------------------------------------------------
+
+_WORLD_CACHE: dict[tuple, World] = {}
+
+
+def get_world(params: WorldParams) -> World:
+    key = astuple(params)
+    w = _WORLD_CACHE.get(key)
+    if w is None:
+        w = World(params)
+        _WORLD_CACHE[key] = w
+    return w
+
+
+# --------------------------------------------------------------------------
+# Seeding
+# --------------------------------------------------------------------------
+
+
+def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
+    """Wave-0 frontier: every site's listing-page URLs (S3 pagination,
+    ``async_bs4.py:349-350``) with order-conformant seq keys."""
+    em = _Emitter(FRONTIER_FIELDS)
+    span = world.site_span()
+    for rank, site in enumerate(world.sites):
+        stride = 2 * site.jobs_per_page + 2
+        for idx, page in enumerate(
+            range(site.start_point, site.start_point + site.pages_to_crawl)
+        ):
+            url = site.url if site.strategy == "rss" else f"{site.url}{page}"
+            canon = canonicalize(url)
+            host = host_of(canon)
+            seq = idx * stride
+            em.emit(
+                url=url,
+                canon_url=canon,
+                url_sha1=sha1_hex(canon),
+                host=host,
+                host_hash=hash64(host),
+                shard=hash64(host) % cfg.num_seen_shards,
+                pol_shard=hash64(host) % cfg.num_pol_shards,
+                depth=0,
+                seq=seq,
+                gseq=rank * span + seq,
+                priority=int(pack_priority(0, 0, 0, seq)),
+                site_id=site.site_id,
+                strategy=site.strategy,
+                kind="listing",
+                follow_link=site.follow_link,
+                inner_link_tag=site.inner_link_tag,
+                politeness_rps=float(site.politeness_rps),
+                elements_path=json.dumps(site.elements_path),
+                wave=0,
+            )
+    return em.table()
+
+
+# --------------------------------------------------------------------------
+# Stages
+# --------------------------------------------------------------------------
+
+
+def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
+    """Fused fetch+parse batch stage. Stateless tasks + per-process world
+    cache (see module docstring); the parse dispatch is the M3 registry."""
+
+    def _derived_url_fields(link: str):
+        canon = canonicalize(link)
+        host = host_of(canon)
+        return {
+            "url": link,
+            "canon_url": canon,
+            "url_sha1": sha1_hex(canon),
+            "host": host,
+            "host_hash": hash64(host),
+            "shard": hash64(host) % cfg.num_seen_shards,
+            "pol_shard": hash64(host) % cfg.num_pol_shards,
+        }
+
+    def fetch_parse(batch: pa.Table) -> pa.Table:
+        world = get_world(world_params)
+        em = _Emitter(PARSED_FIELDS)
+        for r in batch.to_pylist():
+            status, payload = world.fetch(r["canon_url"])
+            base = {k: v for k, v in r.items() if k in _PARSED_DEFAULTS}
+            base["wave"] = wave
+            kind = r["kind"]
+            if kind == "listing":
+                if status != 200:
+                    em.emit(**{**base, "out_kind": "error", "status": status,
+                               "error": f"listing fetch status {status}"})
+                    continue
+                try:
+                    cands = parse_listing(
+                        payload.decode("utf-8", "replace"),
+                        r["strategy"],
+                        json.loads(r["elements_path"]),
+                        "https://" + r["host"],  # absolutization prefix (cfg.name)
+                    )
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    em.emit(**{**base, "out_kind": "error", "status": status,
+                               "error": f"{type(e).__name__}: {e}"})
+                    continue
+                for slot, c in enumerate(cands):
+                    em.emit(**{
+                        **base,
+                        **_derived_url_fields(c["link"]),
+                        "out_kind": "candidate",
+                        "kind": "candidate",
+                        "status": status,
+                        "depth": 1,
+                        "seq": r["seq"] + 1 + 2 * slot,
+                        "gseq": r["gseq"] + 1 + 2 * slot,
+                        "priority": int(pack_priority(0, 1, 0, r["seq"] + 1 + 2 * slot)),
+                        "fairness_round": 0,
+                        "title": c["title"],
+                        "link": c["link"],
+                        "location": c["location"],
+                        "description": c["description"],
+                        "elements_path": "",
+                    })
+            elif kind == "detail":
+                desc = parse_detail(
+                    payload.decode("utf-8", "replace"), status,
+                    r["inner_link_tag"], default=r["description"],
+                )
+                em.emit(**{**base, "out_kind": "record", "status": status,
+                           "description": desc})
+                img = _derived_url_fields(r["canon_url"] + "/image")
+                em.emit(**{
+                    **base, **img,
+                    "out_kind": "frontier_image",
+                    "kind": "image",
+                    "status": status,
+                    "depth": 2,
+                    "seq": r["seq"] + 1,
+                    "gseq": r["gseq"] + 1,
+                    "priority": int(pack_priority(0, 2, 0, r["seq"] + 1)),
+                    "description": desc,
+                    "image_id": r["url_sha1"],
+                })
+            elif kind == "image":
+                if status != 200 or not payload:
+                    em.emit(**{**base, "out_kind": "error", "status": status,
+                               "error": f"image fetch status {status}"})
+                    continue
+                pixels, fmt = codecs.decode(payload)
+                em.emit(**{
+                    **base,
+                    "out_kind": "image",
+                    "status": status,
+                    "img_bytes": payload,
+                    "w": pixels.shape[1],
+                    "h": pixels.shape[0],
+                    "fmt": fmt,
+                    "phash": codecs.phash64(pixels),
+                })
+            else:
+                em.emit(**{**base, "out_kind": "error", "status": status,
+                           "error": f"unknown kind {kind}"})
+        return em.table()
+
+    return fetch_parse
+
+
+def make_politeness_gate(pol_handles: list, wave: int):
+    """Per-host admission: rows sorted by priority, first k per host
+    allowed (k from the host's token bucket), rest deferred; robots-
+    blocked hosts dropped. One actor RPC per politeness shard per wave."""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(gate=pd.Series([], dtype=str))
+        df = df.sort_values(["host", "priority"], kind="stable").reset_index(drop=True)
+        shard = int(df["pol_shard"].iloc[0])
+        counts = df.groupby("host", sort=False).size().to_dict()
+        rates = df.groupby("host", sort=False)["politeness_rps"].first().to_dict()
+        grants = ray.get(pol_handles[shard].acquire.remote(wave, counts, rates))
+        rank = df.groupby("host", sort=False).cumcount()
+        k = df["host"].map(grants)
+        df["gate"] = np.where(k < 0, "block", np.where(rank < k, "allow", "defer"))
+        return df
+
+    return gate
+
+
+def make_seen_gate(seen_handles: list):
+    """The anti-join (J1/D3): route candidate + image URLs to their
+    cuckoo shard, first-wins in global gseq order. Emits derived image
+    frontier rows for admitted non-follow candidates (their record
+    completes immediately — the reference would skip the follow fetch
+    too)."""
+
+    def _h64(sha_hex: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for s in sha_hex),
+            dtype=np.uint64, count=len(sha_hex),
+        )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(label=pd.Series([], dtype=str))
+        # global first-wins order: site rank → page → DOM → depth
+        df = df.sort_values(["gseq", "depth"], kind="stable").reset_index(drop=True)
+        shard = int(df["shard"].iloc[0])
+        seen_before = ray.get(
+            seen_handles[shard].check_and_add.remote(_h64(df["url_sha1"]),
+                                                     df["url_sha1"].tolist())
+        )
+        is_cand = df["kind"].to_numpy() == "candidate"
+        df["label"] = np.where(
+            seen_before, "dup",
+            np.where(~is_cand, "image_frontier",
+                     np.where(df["follow_link"].to_numpy(), "detail", "record")),
+        )
+        rec = df[df["label"] == "record"]
+        if len(rec):
+            img = rec.copy()
+            img["image_id"] = rec["url_sha1"]
+            img["canon_url"] = rec["canon_url"] + "/image"
+            img["url"] = img["canon_url"]
+            img["url_sha1"] = img["canon_url"].map(sha1_hex)
+            img["depth"] = 2
+            img["seq"] = rec["seq"] + 1
+            img["gseq"] = rec["gseq"] + 1
+            img["priority"] = [int(pack_priority(0, 2, 0, s)) for s in img["seq"]]
+            img["kind"] = "image"
+            # the image URL shares the host → same shard; gate it inline
+            img_seen = ray.get(
+                seen_handles[shard].check_and_add.remote(_h64(img["url_sha1"]),
+                                                         img["url_sha1"].tolist())
+            )
+            img["label"] = np.where(img_seen, "dup", "image_frontier")
+            df = pd.concat([df, img], ignore_index=True)
+        return df
+
+    return gate
+
+
+# --------------------------------------------------------------------------
+# IO helpers
+# --------------------------------------------------------------------------
+
+
+def dir_num_rows(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return 0
+    return pads.dataset(path, format="parquet", partitioning="hive").count_rows()
+
+
+def _subdir(base: str, col: str, value: str) -> str:
+    return os.path.join(base, f"{col}={value}")
+
+
+def _existing(paths: list[str]) -> list[str]:
+    return [p for p in paths if dir_num_rows(p) > 0]
+
+
+def _parquet_files(dirs: list[str]) -> list[str]:
+    """Expand directories to their parquet files (ray.data's path lists
+    want files, not directories)."""
+    out: list[str] = []
+    for d in dirs:
+        out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return out
+
+
+def _site_counts(paths: list[str], extra_col: str | None = None) -> dict:
+    """Per-site metric rollup from small columns of hive subdirs (the
+    subdir name is the label). At cluster scale this becomes a groupby
+    aggregate over the label column."""
+    out: dict = {}
+    for p in paths:
+        if dir_num_rows(p) == 0:
+            continue
+        label = os.path.basename(p).split("=", 1)[-1]
+        t = pads.dataset(p, format="parquet").to_table(columns=["site_id"])
+        for s in t["site_id"].to_pylist():
+            out.setdefault(s, {}).setdefault(label, 0)
+            out[s][label] += 1
+    return out
+
+
+def _normalize(schema_fields):
+    """map_batches fn casting a batch to the canonical frontier schema
+    (pandas round trips widen/narrow ints; parquet subdirs drop hive cols)."""
+    schema = pa.schema(schema_fields)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in batch.column_names:
+                cols.append(batch[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(len(batch), f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# The wave loop
+# --------------------------------------------------------------------------
+
+
+def run_crawl(
+    world_params: WorldParams,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Run (or resume) a full crawl; returns a summary with paths +
+    metrics. Ray must already be initialised by the caller (driver
+    contract)."""
+    cfg = cfg or CrawlConfig()
+    world = World(world_params)
+    os.makedirs(out_dir, exist_ok=True)
+
+    seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard,
+                   seed=world_params.seed, exact_sidecar=cfg.exact_sidecar)
+    pol = PolitenessPool(cfg.num_pol_shards, world_params)
+
+    start_wave = 0
+    seed_dir = os.path.join(out_dir, "waves", "w0000", "frontier")
+    frontier_spec: dict | None = {"seed": [seed_dir], "defer": [], "detail": [], "image": []}
+
+    prior = latest_manifest(out_dir) if resume else None
+    if prior is not None:
+        seen.restore(prior.seen_paths)
+        if prior.frontier_path is None:
+            summary = _assemble(out_dir, cfg)  # crawl already complete
+            summary["resumed_complete"] = True
+            if cfg.exact_sidecar:
+                summary["seen_membership"] = seen.membership()
+            seen.shutdown()
+            pol.shutdown()
+            return summary
+        pol.load_states(prior.politeness_states)
+        start_wave = prior.wave + 1
+        frontier_spec = prior.frontier_path
+    else:
+        os.makedirs(seed_dir, exist_ok=True)
+        pq.write_table(seed_frontier_table(world, cfg),
+                       os.path.join(seed_dir, "seed.parquet"))
+
+    wave = start_wave
+    while wave < cfg.max_waves and frontier_spec is not None:
+        m = _run_wave(out_dir, wave, frontier_spec, seen, pol, world_params, cfg)
+        write_manifest(out_dir, m)
+        frontier_spec = m.frontier_path
+        wave += 1
+
+    summary = _assemble(out_dir, cfg)
+    summary["waves"] = wave
+    summary["seen_total"] = seen.total_count()
+    if cfg.exact_sidecar:
+        summary["seen_membership"] = seen.membership()
+    seen.shutdown()
+    pol.shutdown()
+    return summary
+
+
+def _load_frontier(spec: dict):
+    """Build the wave's input Dataset from the previous wave's hive
+    partitions: seed dirs + deferred rows (fairness bump) + admitted
+    detail/image rows. All lazy — one execution consumes them."""
+    parts = []
+    norm = _normalize(FRONTIER_FIELDS)
+
+    def _requeue(batch: pa.Table) -> pa.Table:
+        t = norm(batch)
+        fr = pc.add(t["fairness_round"], 1)
+        pr = pa.array(
+            pack_priority(
+                fr.to_numpy(zero_copy_only=False),
+                t["depth"].to_numpy(zero_copy_only=False),
+                0,
+                t["seq"].to_numpy(zero_copy_only=False),
+            )
+        )
+        t = t.set_column(t.column_names.index("fairness_round"), "fairness_round", fr.cast(pa.int64()))
+        return t.set_column(t.column_names.index("priority"), "priority", pr)
+
+    def _as_kind(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = norm(batch)
+            k = pa.array([kind] * len(t), type=pa.string())
+            return t.set_column(t.column_names.index("kind"), "kind", k)
+        return fn
+
+    if spec.get("seed"):
+        paths = _existing(spec["seed"])
+        if paths:
+            parts.append(rd.read_parquet(_parquet_files(paths)).map_batches(norm, batch_format="pyarrow"))
+    for key, fn in (("defer", _requeue), ("detail", _as_kind("detail")),
+                    ("image", _as_kind("image"))):
+        paths = _existing(spec.get(key, []))
+        if paths:
+            parts.append(
+                rd.read_parquet(_parquet_files(paths), columns=FRONTIER_COLS)
+                .map_batches(fn, batch_format="pyarrow")
+            )
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def _run_wave(
+    out_dir: str,
+    wave: int,
+    frontier_spec: dict,
+    seen: SeenSet,
+    pol: PolitenessPool,
+    world_params: WorldParams,
+    cfg: CrawlConfig,
+) -> WaveManifest:
+    wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
+    gated_dir = os.path.join(wdir, "gated")
+    parsed_dir = os.path.join(wdir, "parsed")
+    gatec_dir = os.path.join(wdir, "gatec")
+    for d in (gated_dir, parsed_dir, gatec_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # 1. politeness gate → gated/gate={allow,defer,block}
+    frontier = _load_frontier(frontier_spec)
+    if frontier is None:
+        return WaveManifest(wave=wave, frontier_path=None,
+                            seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
+                            politeness_states=pol.states())
+    frontier.groupby("pol_shard").map_groups(
+        make_politeness_gate(pol.handles(), wave), batch_format="pandas"
+    ).write_parquet(gated_dir, partition_cols=["gate"])
+
+    # 2. fetch + parse admitted rows → parsed/out_kind=...
+    allow_dir = _subdir(gated_dir, "gate", "allow")
+    if dir_num_rows(allow_dir):
+        (
+            rd.read_parquet(allow_dir, columns=FRONTIER_COLS)
+            .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
+            .map_batches(
+                make_fetch_parse_fn(world_params, wave, cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            )
+            .write_parquet(parsed_dir, partition_cols=["out_kind"])
+        )
+
+    # 3. seen gate over candidates + discovered image URLs → gatec/label=...
+    cand_dirs = _existing([
+        _subdir(parsed_dir, "out_kind", "candidate"),
+        _subdir(parsed_dir, "out_kind", "frontier_image"),
+    ])
+    if cand_dirs:
+        (
+            rd.read_parquet(_parquet_files(cand_dirs), columns=FRONTIER_COLS)
+            .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(make_seen_gate(seen.handles()), batch_format="pandas")
+            .write_parquet(gatec_dir, partition_cols=["label"])
+        )
+
+    # 4. next frontier = deferred ∪ admitted detail ∪ admitted image dirs
+    defer_dirs = _existing([_subdir(gated_dir, "gate", "defer")])
+    detail_dirs = _existing([_subdir(gatec_dir, "label", "detail")])
+    image_dirs = _existing([_subdir(gatec_dir, "label", "image_frontier")])
+    next_spec = None
+    if defer_dirs or detail_dirs or image_dirs:
+        next_spec = {"seed": [], "defer": defer_dirs, "detail": detail_dirs,
+                     "image": image_dirs}
+
+    # 5. metrics + manifest (records/images/errors are hive subdirs)
+    records_paths = _existing([
+        _subdir(parsed_dir, "out_kind", "record"),
+        _subdir(gatec_dir, "label", "record"),
+    ])
+    images_paths = _existing([_subdir(parsed_dir, "out_kind", "image")])
+    errors_paths = _existing([_subdir(parsed_dir, "out_kind", "error")])
+    metrics = {
+        "gate": _site_counts([_subdir(gated_dir, "gate", v) for v in ("allow", "defer", "block")]),
+        "parse": _site_counts([
+            _subdir(parsed_dir, "out_kind", v)
+            for v in ("candidate", "frontier_image", "record", "image", "error")
+        ]),
+        "seen": _site_counts([
+            _subdir(gatec_dir, "label", v)
+            for v in ("dup", "detail", "record", "image_frontier")
+        ]),
+        "fetched": dir_num_rows(allow_dir),
+        "deferred": dir_num_rows(_subdir(gated_dir, "gate", "defer")),
+        "records": sum(dir_num_rows(p) for p in records_paths),
+        "images": sum(dir_num_rows(p) for p in images_paths),
+        "errors": sum(dir_num_rows(p) for p in errors_paths),
+    }
+    return WaveManifest(
+        wave=wave,
+        frontier_path=next_spec,
+        records_paths=records_paths,
+        images_paths=images_paths,
+        errors_paths=errors_paths,
+        seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
+        politeness_states=pol.states(),
+        metrics=metrics,
+        lineage={
+            "parent_wave": wave - 1,
+            "frontier_spec": frontier_spec,
+            "world_seed": world_params.seed,
+            "n_sites": world_params.n_sites,
+        },
+    )
+
+
+def fetch_log(out_dir: str) -> pd.DataFrame:
+    """Every URL the engine actually fetched (gate == allow), with its
+    ordering keys — the conformance projection: sorted by
+    (host, gseq, depth) this equals the sequential oracle's per-host
+    fetch sequence (see module docstring)."""
+    frames = []
+    for allow in sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "gated", "gate=allow"))):
+        if dir_num_rows(allow) == 0:
+            continue
+        t = pads.dataset(allow, format="parquet").to_table(
+            columns=["host", "seq", "gseq", "depth", "canon_url", "kind", "wave"]
+        )
+        frames.append(t.to_pandas())
+    if not frames:
+        return pd.DataFrame(
+            columns=["host", "seq", "gseq", "depth", "canon_url", "kind", "wave"]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# Final assembly: records → clean → location tags; images → captions
+# --------------------------------------------------------------------------
+
+
+def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
+    from ..stages.clean import CleanRecords
+
+    import shutil
+
+    job_dir = os.path.join(out_dir, "job_records")
+    cap_dir = os.path.join(out_dir, "image_caption")
+    # derived artifacts: rebuilt in full from the wave partitions, so a
+    # resumed run replaces any partial assembly from the interrupted one
+    for d in (job_dir, cap_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    summary: dict = {"job_records_path": job_dir, "image_caption_path": cap_dir}
+
+    rec_dirs = _existing(
+        sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=record")))
+        + sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "gatec", "label=record")))
+    )
+    img_dirs = _existing(
+        sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=image")))
+    )
+
+    def _first_by_seq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["wave", "gseq"], kind="stable").head(1)
+
+    if rec_dirs:
+        recs = rd.read_parquet(_parquet_files(rec_dirs), columns=RECORD_COLS)
+        # resume idempotency (D4): a replayed wave may duplicate records
+        recs = recs.groupby("url_sha1").map_groups(_first_by_seq, batch_format="pandas")
+
+        clean = CleanRecords()
+
+        def _clean_tag_stamp(df: pd.DataFrame) -> pd.DataFrame:
+            # fused clean (M11) + location tags (M12-M14) + stamps (M18);
+            # one stage so the pool doesn't starve the shuffle at small
+            # CPU counts — tagger state is process-cached
+            df = clean(df)
+            df = _get_tagger()(df)
+            ts = pd.Timestamp(cfg.crawl_ts)
+            df["pubdate"] = ts.date()
+            df["timestamp"] = ts
+            df["bucket"] = (df["host_hash"] % cfg.out_buckets).astype(np.int64)
+            return df
+
+        recs.map_batches(_clean_tag_stamp, batch_format="pandas").write_parquet(
+            job_dir, partition_cols=["bucket"]
+        )
+    summary["job_records"] = dir_num_rows(job_dir) if rec_dirs else 0
+
+    if img_dirs:
+        imgs = rd.read_parquet(_parquet_files(img_dirs), columns=IMAGE_COLS)
+        imgs = imgs.groupby("url_sha1").map_groups(_first_by_seq_img, batch_format="pandas")
+
+        def _to_caption(batch: pa.Table) -> pa.Table:
+            from ..functions.textclean import clean_caption
+
+            caption = clean_caption(batch["description"].to_pylist())
+            bucket = pa.array(
+                np.asarray(batch["host_hash"].to_numpy(zero_copy_only=False))
+                % cfg.out_buckets
+            )
+            return pa.table(
+                {
+                    "image_id": batch["image_id"].cast(pa.string()),
+                    "bytes": batch["img_bytes"].cast(pa.binary()),
+                    "w": batch["w"].cast(pa.int32()),
+                    "h": batch["h"].cast(pa.int32()),
+                    "fmt": batch["fmt"].cast(pa.string()),
+                    "caption": pa.array(caption, type=pa.string()),
+                    "phash": batch["phash"].cast(pa.int64()),
+                    "bucket": bucket,
+                }
+            )
+
+        imgs.map_batches(_to_caption, batch_format="pyarrow").write_parquet(
+            cap_dir, partition_cols=["bucket"]
+        )
+    summary["image_caption"] = dir_num_rows(cap_dir) if img_dirs else 0
+    return summary
+
+
+def _first_by_seq_img(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(["wave", "seq"], kind="stable").head(1)
+
+
+_TAGGER = None
+
+
+def _get_tagger():
+    """Per-process LocationTagger (alias map built once — J2 broadcast)."""
+    global _TAGGER
+    if _TAGGER is None:
+        from ..stages.location import LocationTagger
+
+        _TAGGER = LocationTagger()
+    return _TAGGER

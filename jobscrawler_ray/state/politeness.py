@@ -1,0 +1,114 @@
+"""Per-host politeness: token buckets + robots.txt caches (north_rule).
+
+The reference's only anti-blocking measures are a rotating User-Agent
+pool (``src/constants.py:2-18``, picked at ``src/crawler.py:309``) and
+commented-out random sleeps (``src/utils/FollowLink.py:105-109``). The
+engine replaces them with explicit per-host token buckets and a robots
+cache, held in a pool of shard actors addressed by
+``hash64(host) % num_shards`` — the same host-hash partitioning as the
+seen set, so a hot host's politeness state lives on exactly one actor.
+
+Determinism: buckets refill per *wave tick*, not per wall-clock second,
+so a conformance run at any parallelism grants the same per-host fetch
+budget in the same order (the caller sorts each host's rows by priority
+before asking). Robots verdicts come from fetching ``/robots.txt``
+through the same deterministic fetch seam, once per host, cached for
+the actor's lifetime.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..synth.world import World, WorldParams
+
+
+def _robots_disallows_all(payload: bytes) -> bool:
+    """Minimal robots.txt evaluation: a bare ``Disallow: /`` under
+    ``User-agent: *`` blocks the host. (Path-level rules beyond "/" are
+    honored as allow-all here; the synthetic world only emits the two
+    forms.)"""
+    ua_all = False
+    for line in payload.decode("utf-8", "replace").splitlines():
+        line = line.strip()
+        if line.lower().startswith("user-agent:"):
+            ua_all = line.split(":", 1)[1].strip() == "*"
+        elif ua_all and line.lower().startswith("disallow:"):
+            if line.split(":", 1)[1].strip() == "/":
+                return True
+    return False
+
+
+class _PolitenessShard:
+    """One shard of politeness state. Run as a Ray actor."""
+
+    def __init__(self, world_params: WorldParams):
+        self.world = World(world_params)
+        self.tokens: dict[str, float] = {}
+        self.rates: dict[str, float] = {}
+        self.robots_blocked: dict[str, bool] = {}
+        self.last_wave: dict[str, int] = {}
+
+    def _robots(self, host: str) -> bool:
+        if host not in self.robots_blocked:
+            status, payload = self.world.fetch(f"https://{host}/robots.txt")
+            self.robots_blocked[host] = status == 200 and _robots_disallows_all(payload)
+        return self.robots_blocked[host]
+
+    def acquire(
+        self, wave: int, requests: dict[str, int], rates: dict[str, float]
+    ) -> dict[str, int]:
+        """For each host: how many of its ``requests[host]`` queued fetches
+        may run this wave. Blocked hosts get -1 (drop, don't defer).
+        Buckets refill ``rate`` tokens per wave, capacity 2×rate."""
+        out: dict[str, int] = {}
+        for host, n in requests.items():
+            if self._robots(host):
+                out[host] = -1
+                continue
+            rate = float(rates.get(host, 8.0))
+            cap = 2.0 * rate
+            last = self.last_wave.get(host)
+            tok = self.tokens.get(host, cap)
+            if last is not None and wave > last:
+                tok = min(cap, tok + rate * (wave - last))
+            k = min(n, int(tok))
+            self.tokens[host] = tok - k
+            self.last_wave[host] = wave
+            out[host] = k
+        return out
+
+    def state(self) -> dict:
+        return {
+            "tokens": dict(self.tokens),
+            "last_wave": dict(self.last_wave),
+            "robots_blocked": dict(self.robots_blocked),
+        }
+
+    def load_state(self, st: dict) -> None:
+        self.tokens = dict(st["tokens"])
+        self.last_wave = dict(st["last_wave"])
+        self.robots_blocked = dict(st["robots_blocked"])
+
+
+PolitenessShard = ray.remote(num_cpus=0.25)(_PolitenessShard)
+
+
+class PolitenessPool:
+    def __init__(self, num_shards: int, world_params: WorldParams):
+        self.num_shards = num_shards
+        self.shards = [PolitenessShard.remote(world_params) for _ in range(num_shards)]
+
+    def handles(self) -> list:
+        return list(self.shards)
+
+    def states(self) -> list[dict]:
+        return ray.get([s.state.remote() for s in self.shards])
+
+    def load_states(self, states: list[dict]) -> None:
+        ray.get([s.load_state.remote(st) for s, st in zip(self.shards, states)])
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,147 @@
+"""Sharded URL-seen set (north_rule; replaces SURVEY.md §2.3 T3, §2.4 J1).
+
+The reference dedups with one synchronous ``SELECT EXISTS`` per link
+(``src/utils/handy.py:11-22``). Here the durable seen set is K cuckoo
+filter shards, each a plain Ray actor addressed by
+``hash64(host) % K`` — host-hash partitioning isolates hot hosts
+(skew) and keeps one shard's filter local to one process/node. Calls are
+batched: the crawl wave routes candidates with a ``groupby(shard)`` and
+issues ONE ``check_and_add`` RPC per shard per wave (vs per-record
+round-trips in the reference).
+
+First-wins determinism: within a call the shard resolves duplicates in
+the given order; the caller sorts candidates by the frontier ``seq`` key
+first, so the surviving row is exactly the one the sequential reference
+would have kept (page order → DOM order).
+
+Each shard optionally keeps an exact hash-set sidecar — used at test
+scale to verify the filter's false-positive behavior and for
+exact-membership conformance; at bench/100TB scale the sidecar is off
+and the cuckoo filter alone bounds memory (16 bits/URL ≈ 20 GB per
+10^10 URLs across all shards).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+class _SeenShard:
+    """One shard of the URL-seen set. Run as a Ray actor."""
+
+    def __init__(self, capacity: int, seed: int, exact_sidecar: bool):
+        self.filter = CuckooFilter(capacity, seed=seed)
+        # sidecar keys are the full SHA1 hex strings (true exactness); the
+        # filter indexes the first-8-bytes hash64 of the same SHA1
+        self.exact: set[str] | None = set() if exact_sidecar else None
+
+    def check_and_add(self, hashes: np.ndarray, keys: list[str] | None = None) -> np.ndarray:
+        """Anti-join primitive: bool mask ``seen_before`` (first-wins in
+        input order); unseen keys are inserted."""
+        hashes = np.asarray(hashes)
+        if self.exact is not None and keys is not None:
+            out = np.empty(len(keys), dtype=bool)
+            for i, k in enumerate(keys):
+                if k in self.exact:
+                    out[i] = True
+                else:
+                    out[i] = False
+                    self.exact.add(k)
+            # keep the filter in sync so both paths stay exercised
+            self.filter.contains_and_add_many(hashes)
+            return out
+        return self.filter.contains_and_add_many(hashes)
+
+    def contains(self, hashes: np.ndarray, keys: list[str] | None = None) -> np.ndarray:
+        if self.exact is not None and keys is not None:
+            return np.fromiter((k in self.exact for k in keys), dtype=bool, count=len(keys))
+        return self.filter.contains_many(np.asarray(hashes))
+
+    def dump_exact(self) -> list[str]:
+        return sorted(self.exact) if self.exact is not None else []
+
+    def count(self) -> int:
+        return len(self.exact) if self.exact is not None else self.filter.count
+
+    def snapshot(self, path: str) -> str:
+        """Persist shard state for checkpoint/resume (atomic rename)."""
+        tmp = path + ".tmp"
+        exact = (
+            np.array(sorted(self.exact), dtype="U40")
+            if self.exact is not None
+            else np.array([], dtype="U40")
+        )
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                buckets=self.filter.buckets,
+                count=np.int64(self.filter.count),
+                seed=np.int64(self.filter.seed),
+                has_exact=np.bool_(self.exact is not None),
+                exact=exact,
+            )
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, path: str) -> int:
+        with np.load(path) as z:
+            f = CuckooFilter.__new__(CuckooFilter)
+            f.buckets = z["buckets"].copy()
+            f.nbuckets = f.buckets.shape[0]
+            f.mask = np.uint64(f.nbuckets - 1)
+            f.count = int(z["count"])
+            f.seed = int(z["seed"])
+            self.filter = f
+            self.exact = set(z["exact"].tolist()) if bool(z["has_exact"]) else None
+        return self.count()
+
+
+SeenShard = ray.remote(num_cpus=0.25)(_SeenShard)
+
+
+class SeenSet:
+    """Driver-side facade over the shard actors."""
+
+    def __init__(self, num_shards: int, capacity_per_shard: int, seed: int = 0,
+                 exact_sidecar: bool = True):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.remote(capacity_per_shard, seed + i, exact_sidecar)
+            for i in range(num_shards)
+        ]
+
+    def handles(self) -> list:
+        return list(self.shards)
+
+    def total_count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def membership(self) -> set[str]:
+        """Exact membership (sidecar mode only) — conformance tests."""
+        out: set[str] = set()
+        for part in ray.get([s.dump_exact.remote() for s in self.shards]):
+            out.update(part)
+        return out
+
+    def snapshot(self, ckpt_dir: str, wave: int) -> list[str]:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        paths = [
+            os.path.join(ckpt_dir, f"seen_w{wave:04d}_s{i:03d}.bin")
+            for i in range(self.num_shards)
+        ]
+        return ray.get(
+            [s.snapshot.remote(p) for s, p in zip(self.shards, paths)]
+        )
+
+    def restore(self, paths: list[str]) -> int:
+        return sum(ray.get([s.restore.remote(p) for s, p in zip(self.shards, paths)]))
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

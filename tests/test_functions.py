@@ -1,0 +1,277 @@
+"""Unit tests: URL hygiene, codecs, priority keys, cuckoo filter,
+clean pipeline, location tagging, parse operators (SURVEY.md §5 item 1).
+No Ray needed."""
+
+import numpy as np
+import pytest
+
+from jobscrawler_ray.functions import codecs
+from jobscrawler_ray.functions.priority import pack_priority, unpack_priority
+from jobscrawler_ray.functions.textclean import clean_location, strip_html_chars
+from jobscrawler_ray.functions.urlnorm import (
+    canonicalize,
+    hash64,
+    host_of,
+    sha1_hex,
+)
+from jobscrawler_ray.stages.location import LocationTagger, build_alias_map, tag_location
+from jobscrawler_ray.stages.parse import (
+    mini_select,
+    mini_select_one,
+    parse_api_json,
+    parse_html_container,
+    parse_html_main,
+    parse_rss,
+)
+from jobscrawler_ray.state.cuckoo import CuckooFilter
+from jobscrawler_ray.synth.locations import WORLD_LOCATIONS
+
+
+class TestUrlNorm:
+    def test_canonical_basic(self):
+        assert canonicalize("HTTPS://Site-0001.TEST/jobs/x#frag") == "https://site-0001.test/jobs/x"
+
+    def test_default_port(self):
+        assert canonicalize("https://a.test:443/x") == "https://a.test/x"
+        assert canonicalize("http://a.test:80/x") == "http://a.test/x"
+        assert canonicalize("https://a.test:8443/x") == "https://a.test:8443/x"
+
+    def test_relative_resolution(self):
+        assert (
+            canonicalize("/jobs/1", base="https://a.test/list?page=2")
+            == "https://a.test/jobs/1"
+        )
+
+    def test_empty_path(self):
+        assert canonicalize("https://a.test") == "https://a.test/"
+
+    def test_query_preserved(self):
+        assert canonicalize("https://a.test/l?page=2&x=1") == "https://a.test/l?page=2&x=1"
+
+    def test_host_of(self):
+        assert host_of("https://a.test/x/y") == "a.test"
+
+    def test_hash64_stable(self):
+        assert hash64("abc") == hash64("abc")
+        assert 0 <= hash64("abc") < 2**63
+
+    def test_sha1(self):
+        assert sha1_hex("https://a.test/") == sha1_hex("https://a.test/")
+        assert len(sha1_hex("x")) == 40
+
+
+class TestCodecs:
+    @pytest.mark.parametrize("fmt", ["raw", "pngz", "qjpg"])
+    def test_roundtrip(self, fmt):
+        px = codecs.gen_pixels(12345, 33, 21)
+        buf = codecs.encode(px, fmt)
+        out, got_fmt = codecs.decode(buf)
+        assert got_fmt == fmt
+        assert out.shape == px.shape
+        if fmt == "qjpg":
+            p = codecs.psnr(px, out)
+            assert 40.0 <= p < 50.0  # lossy but above the conformance bar
+        else:
+            assert np.array_equal(out, px)
+
+    def test_psnr_identical_inf(self):
+        px = codecs.gen_pixels(7, 16, 16)
+        assert codecs.psnr(px, px) == float("inf")
+
+    def test_phash_deterministic_and_discriminative(self):
+        a = codecs.gen_pixels(1, 32, 32)
+        b = codecs.gen_pixels(2, 32, 32)
+        assert codecs.phash64(a) == codecs.phash64(a)
+        assert codecs.phash64(a) != codecs.phash64(b)
+
+    def test_phash_robust_to_qjpg(self):
+        px = codecs.gen_pixels(99, 40, 40)
+        out, _ = codecs.decode(codecs.encode(px, "qjpg"))
+        ha, hb = codecs.phash64(px), codecs.phash64(out)
+        dist = bin((ha ^ hb) & (2**64 - 1)).count("1")
+        assert dist <= 6  # near-dup under mild quantization
+
+
+class TestPriority:
+    def test_pack_unpack(self):
+        key = pack_priority(3, 2, 7, 12345)
+        assert unpack_priority(key) == (3, 2, 7, 12345)
+
+    def test_ordering(self):
+        assert pack_priority(0, 0, 0, 5) < pack_priority(0, 0, 0, 6)
+        assert pack_priority(0, 1, 0, 0) > pack_priority(0, 0, 0, 10**6)
+        assert pack_priority(1, 0, 0, 0) > pack_priority(0, 2, 9, 99)
+
+    def test_vectorized(self):
+        keys = pack_priority(np.zeros(3), np.ones(3), np.zeros(3), np.arange(3))
+        assert list(keys) == [pack_priority(0, 1, 0, i) for i in range(3)]
+
+
+class TestCuckoo:
+    def test_insert_contains(self):
+        f = CuckooFilter(1000)
+        keys = np.array([hash64(f"k{i}") for i in range(500)], dtype=np.uint64)
+        assert f.add_many(keys) == 500
+        assert f.contains_many(keys).all()
+
+    def test_first_wins_semantics(self):
+        f = CuckooFilter(100)
+        keys = np.array([1, 2, 1, 3, 2], dtype=np.uint64)
+        mask = f.contains_and_add_many(keys)
+        assert list(mask) == [False, False, True, False, True]
+
+    def test_false_positive_bound(self):
+        f = CuckooFilter(5000)
+        ins = np.array([hash64(f"in{i}") for i in range(4000)], dtype=np.uint64)
+        f.add_many(ins)
+        probe = np.array([hash64(f"out{i}") for i in range(20000)], dtype=np.uint64)
+        fp = f.contains_many(probe).mean()
+        assert fp < 0.01
+
+    def test_delete(self):
+        f = CuckooFilter(100)
+        keys = np.array([hash64(f"d{i}") for i in range(10)], dtype=np.uint64)
+        f.add_many(keys)
+        assert f.delete_many(keys[:5]) == 5
+        assert not f.contains_many(keys[:5]).any()
+        assert f.contains_many(keys[5:]).all()
+
+    def test_serialize_roundtrip(self):
+        f = CuckooFilter(1000)
+        keys = np.array([hash64(f"s{i}") for i in range(800)], dtype=np.uint64)
+        f.add_many(keys)
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert g.count == f.count
+        assert g.contains_many(keys).all()
+
+    def test_high_load(self):
+        f = CuckooFilter(2000)
+        keys = np.array([hash64(f"l{i}") for i in range(1900)], dtype=np.uint64)
+        f.add_many(keys)
+        assert f.contains_many(keys).all()
+
+
+class TestClean:
+    def test_strip_html_chars(self):
+        assert strip_html_chars(["<b>Hi</b> {x} [y] 'z' \"w\","]) == ["Hi x y z w"]
+
+    def test_location_chain(self):
+        # repeated word, date, salary, dash, camelCase, Remote canon
+        assert clean_location(["the the 2024-01-01 USD100-200/yr NewYork"]) == [
+            "the   New York"
+        ]
+        assert clean_location(["remote"]) == ["Worldwide"]
+        assert clean_location(["Remote Job"]) == ["Worldwide"]
+        assert clean_location(["Austin/Texas"]) == ["Austin Texas"]
+
+
+class TestLocationTagger:
+    def test_alias_map(self):
+        alias = build_alias_map(WORLD_LOCATIONS)
+        assert alias["TOKYO"] == "JAPAN"
+        assert alias["EUROPE"] == "EUROPE"
+        assert alias["EMEA"] == "EMEA"
+        assert alias["NEW YORK"] == "UNITED STATES"
+
+    def test_compound_retry(self):
+        alias = build_alias_map(WORLD_LOCATIONS)
+        joined, tags = tag_location("New York", alias)
+        assert joined == "New York"
+        assert tags == ["UNITED STATES"]
+
+    def test_miss_is_nan(self):
+        alias = build_alias_map(WORLD_LOCATIONS)
+        _, tags = tag_location("Atlantis Station", alias)
+        assert tags == ["NaN"]
+
+    def test_mixed(self):
+        alias = build_alias_map(WORLD_LOCATIONS)
+        joined, tags = tag_location("Berlin, Germany (EMEA)", alias)
+        assert joined == "Berlin Germany EMEA"
+        assert tags == ["GERMANY", "EMEA"]
+
+    def test_batch(self):
+        import pandas as pd
+
+        t = LocationTagger()
+        df = pd.DataFrame({"location": ["Tokyo", "New York", "Xyzzy"]})
+        out = t(df)
+        assert out["location_tags"].tolist() == [["JAPAN"], ["UNITED STATES"], ["NaN"]]
+
+
+class TestParsers:
+    HTML = (
+        '<html><body><div class="job"><h2 class="title">T1</h2>'
+        '<a class="joblink" href="/jobs/a">v</a><span class="location">L1</span>'
+        '<p class="desc">D1</p></div>'
+        '<div class="job"><h2 class="title">T2</h2>'
+        '<a class="joblink" href="/jobs/b">v</a><span class="location">L2</span>'
+        '<p class="desc">D2</p></div></body></html>'
+    )
+    EP = {
+        "jobs_path": ".job",
+        "title_path": ".title",
+        "link_path": ".joblink",
+        "location_path": ".location",
+        "description_path": ".desc",
+    }
+
+    def test_mini_select(self):
+        els = mini_select(self.HTML, ".job")
+        assert len(els) == 2
+        assert mini_select_one(els[0].inner, ".title").text == "T1"
+        assert mini_select_one(els[0].inner, ".joblink").href == "/jobs/a"
+
+    def test_html_main(self):
+        out = parse_html_main(self.HTML, self.EP, "https://s.test")
+        assert [o["link"] for o in out] == ["https://s.test/jobs/a", "https://s.test/jobs/b"]
+        assert out[0]["title"] == "T1"
+        assert out[1]["location"] == "L2"
+
+    def test_html_main_missing_selector_raises(self):
+        with pytest.raises(ValueError):
+            parse_html_main("<html></html>", self.EP, "x")
+
+    def test_container_zip(self):
+        html = (
+            '<div class="board"><h2 class="title">A</h2><h2 class="title">B</h2>'
+            '<a class="joblink" href="/1">x</a><a class="joblink" href="/2">x</a>'
+            '<p class="desc">da</p><p class="desc">db</p>'
+            '<span class="location">la</span><span class="location">lb</span></div>'
+        )
+        out = parse_html_container(html, {**self.EP, "jobs_path": ".board"}, "https://s.test")
+        assert [(o["title"], o["link"]) for o in out] == [
+            ("A", "https://s.test/1"),
+            ("B", "https://s.test/2"),
+        ]
+
+    def test_api_dict_and_default_location(self):
+        ep = {
+            "dict_tag": "result",
+            "title_tag": "title",
+            "link_tag": "url",
+            "description_tag": "description",
+            "pubdate_tag": "created_at",
+            "location_tag": "location",
+            "location_default": "NaN",
+        }
+        payload = '{"result": [{"title": "t", "url": "u", "description": "d"}]}'
+        out = parse_api_json(payload, ep, "n", "dict")
+        assert out == [{"title": "t", "link": "u", "description": "d", "location": "NaN"}]
+
+    def test_rss_hasattr_quirk(self):
+        ep = {
+            "title_tag": "title",
+            "link_tag": "link",
+            "description_tag": "description",
+            "location_tag": "location",
+        }
+        payload = (
+            "<rss><channel><item><title>T</title><link>L</link>"
+            "<description>D</description></item>"
+            "<item><title>T2</title><link>L2</link><description>D2</description>"
+            "<location>Loc</location></item></channel></rss>"
+        )
+        out = parse_rss(payload, ep, "n")
+        assert out[0] == {"title": "NaN", "link": "NaN", "description": "NaN", "location": "NaN"}
+        assert out[1]["link"] == "L2"
