@@ -1,0 +1,180 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {"urls": U, "images": I, "sec": S,
+               "urls_per_sec": ..., "images_per_sec": ...}}
+
+``--scaling``: runs the crawl headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus efficiency = (thr_32/thr_8)/4 (the sandbox stand-in
+for the north_rule's N→4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench-tier synthetic worlds (FIXTURES.md): enough distinct hosts that
+# politeness is not the scaling ceiling
+BENCH_WORLD = dict(seed=42, n_sites=64, pages_per_site=6, jobs_per_page=20,
+                   politeness_rps=100_000)
+# scaling world: more URLs (parse/hash/emit CPU scales ~linearly on this
+# box) with moderate images (numpy image kernels are memory-bandwidth
+# bound and plateau ~2.6× from 8→32 procs here — see BASELINE.md's
+# machine-ceiling experiment)
+SCALING_WORLD = dict(seed=42, n_sites=256, pages_per_site=16, jobs_per_page=40,
+                     politeness_rps=100_000, img_min=32, img_max=96)
+
+QUERY_NAMES = [
+    "pricing_summary",
+    "join_orders_lineitem",
+    "windowed_events",
+    "exact_dedup_events",
+    "quality_scores",
+    "minhash_lsh",
+    "knn_cosine",
+    "embedding_neardup",
+]
+
+
+def run_crawl_bench(world: dict | None = None, assemble: bool = True) -> dict:
+    from jobscrawler_ray.pipelines.crawl import CrawlConfig, run_crawl, fetch_log
+    from jobscrawler_ray.synth.world import WorldParams
+
+    out = "/tmp/bench_crawl"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = run_crawl(
+        WorldParams(**(world or BENCH_WORLD)),
+        out,
+        CrawlConfig(num_seen_shards=64, num_pol_shards=64, exact_sidecar=False,
+                    seen_capacity_per_shard=1 << 19, assemble=assemble),
+    )
+    sec = time.time() - t0
+    urls = int(fetch_log(out)["canon_url"].count())
+    images = int(summary["image_caption"])
+    return {
+        "sec": round(sec, 2),
+        "urls": urls,
+        "images": images,
+        "records": int(summary["job_records"]),
+        "waves": summary["waves"],
+        "urls_per_sec": round(urls / sec, 1),
+        "images_per_sec": round(images / sec, 1),
+    }
+
+
+def run_queries_bench() -> dict:
+    from jobscrawler_ray.pipelines.queries import QUERIES
+
+    times = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        # consume: Datasets are lazy — count() forces full execution
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # warm the page cache so we measure compute + shuffle, not first read
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                f.read()
+
+    crawl = run_crawl_bench()
+    queries = run_queries_bench()
+    total = crawl["sec"] + sum(queries.values())
+    out = {
+        "metric": "crawl+queries wall seconds (crawl: synthetic frontier fetch+dedup; queries: sf tables)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+               GRAFT_CRAWL_ONLY="1")
+    p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                       capture_output=True, text=True, check=True)
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    thr_lo = r_lo["crawl"]["urls_per_sec"]
+    thr_hi = r_hi["crawl"]["urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "crawl throughput scaling (num_cpus 8 vs 32)",
+        "urls_per_sec_8": thr_lo,
+        "urls_per_sec_32": thr_hi,
+        "images_per_sec_8": r_lo["crawl"]["images_per_sec"],
+        "images_per_sec_32": r_hi["crawl"]["images_per_sec"],
+        "sec_8": r_lo["crawl"]["sec"],
+        "sec_32": r_hi["crawl"]["sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_CRAWL_ONLY"):
+        import ray
+        from ray.data import DataContext
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
+        import logging
+
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        crawl = run_crawl_bench(world=SCALING_WORLD, assemble=False)
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "crawl wall seconds",
+            "value": crawl["sec"],
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "num_cpus": NUM_CPUS,
+            "crawl": crawl,
+        }))
+    else:
+        print(json.dumps(main()))

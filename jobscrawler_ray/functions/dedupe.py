@@ -1,0 +1,107 @@
+"""Near-duplicate detection kernels: MinHash+LSH, SimHash, n-gram
+Jaccard, embedding cosine. Pure numpy; the distributed wiring (shingle →
+minhash per batch → band explode → ``groupby(band)`` → candidate pairs →
+verify) lives in pipelines/queries.py.
+
+All public-knowledge constructions: MinHash (Broder 1997), LSH banding
+(Mining of Massive Datasets ch.3), SimHash (Charikar 2002),
+winnowing-style shingling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    d = hashlib.sha1(s.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles, hashed to int64 (sorted unique)."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = {_stable_hash64(g) for g in grams}
+    return np.array(sorted(out), dtype=np.int64)
+
+
+class MinHasher:
+    """num_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p
+    over 32-bit shingle hashes. With x < 2^32 and a < 2^29 the product
+    fits in uint64 exactly, so the whole signature is one vectorized
+    numpy expression (no object math). Deterministic given seed; built
+    once per actor/process."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 29, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        x = (shingles.astype(np.uint64) & np.uint64(0xFFFF_FFFF))[:, None]
+        vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0).astype(np.int64)
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> list[int]:
+        """LSH banding: hash each band of rows_per_band signature values."""
+        r = self.num_perm // bands
+        keys = []
+        for b in range(bands):
+            chunk = sig[b * r : (b + 1) * r].tobytes()
+            d = hashlib.sha1(bytes([b]) + chunk).digest()
+            keys.append(int.from_bytes(d[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF)
+        return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted int64 shingle arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Charikar SimHash over token hashes (unit weights)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = _stable_hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return int(np.int64(np.uint64(v)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int,
+                round_decimals: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """Brute-force cosine top-k: (Q,d)×(N,d) → (Q,k) ids + scores.
+    One numpy matmul per batch against the broadcast query matrix; scores
+    rounded before ranking so cross-engine ties break identically by id."""
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    cn = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+    sims = np.round(qn @ cn.T, round_decimals)  # (Q, N)
+    # stable sort on -score → ties resolve to the lower corpus id
+    order = np.argsort(-sims, axis=1, kind="stable")
+    top = order[:, :k]
+    return top, np.take_along_axis(sims, top, axis=1)

@@ -4,18 +4,26 @@ Replaces the reference's single-process asyncio loop
 (``src/main.py:25-42`` + ``src/crawler.py:320-377``) with a
 driver-controlled *wave* loop over ``ray.data.Dataset`` stages:
 
-    frontier (union of parquet partitions from the previous wave)
-      → groupby(pol_shard).map_groups(politeness gate)   # token buckets + robots
-        → write gated/,  hive-partitioned by gate ∈ allow|defer|block
-      → read gated/gate=allow
-        → map_batches(fetch+parse)                       # html/api/rss registry
-        → write parsed/, hive-partitioned by out_kind
-      → read parsed/{candidate,frontier_image}
-        → groupby(seen_shard).map_groups(seen gate)      # cuckoo anti-join
-        → write gatec/,  hive-partitioned by label
-      → manifest (checkpoint; next frontier = defer ∪ detail ∪ image dirs)
+    exec A  frontier column scan → offer per-host demand to the
+            politeness shard actors; driver finalizes token grants
+    exec B  frontier → threshold gate → fetch+parse (map-only, fused)
+            → write parsed/, hive-partitioned by out_kind
+            (deferred/blocked rows pass through unfetched; every real
+             fetch also emits a compact fetchlog row)
+    exec C  parsed/{candidate,frontier_image} column scan → offer
+            candidate keys to the seen shard actors; driver finalizes
+            first-wins (cuckoo anti-join) per shard in global gseq order
+    exec D  candidates → verdict labels (+ derived image frontier rows)
+            → write gatec/, hive-partitioned by label
+    manifest (checkpoint; next frontier = defer ∪ detail ∪ image dirs)
 
-Three Dataset executions per wave; every intermediate is a
+Every wave stage is map-only: the politeness and seen gates use an
+offer → finalize → cached-lookup protocol against the shard actors
+instead of a groupby shuffle — on this Ray build each AllToAll
+(sort/repartition) barrier costs ~10s wall regardless of data size and
+caps wave parallelism at the key count, which flattened 8→32-CPU
+scaling. Reads split into balanced blocks via override_num_blocks (a
+repartition would itself be an AllToAll). Every intermediate is a
 hive-partitioned parquet directory, so (a) the frontier never lives in
 driver RAM (north_rule: 10^10-URL frontier spills between waves), (b)
 each wave is resumable from its manifest, and (c) record/image/error
@@ -57,6 +65,7 @@ import glob
 import json
 import os
 from dataclasses import astuple, dataclass
+from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -184,6 +193,10 @@ class CrawlConfig:
     max_waves: int = 64
     out_buckets: int = 16  # output partition count (resumable layout)
     crawl_ts: str = "2026-01-01T00:00:00"  # per-run stamp (M18 determinism)
+    assemble: bool = True  # False: wave loop only (scaling bench measures
+    #                        fetch+dedup throughput, the north_rule metric)
+    wave_blocks: int = 64  # uniform block count for the fetch stage
+    #   (breaks straggler skew from uneven upstream partition files)
 
 
 # --------------------------------------------------------------------------
@@ -271,9 +284,20 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
         world = get_world(world_params)
         em = _Emitter(PARSED_FIELDS)
         for r in batch.to_pylist():
-            status, payload = world.fetch(r["canon_url"])
             base = {k: v for k, v in r.items() if k in _PARSED_DEFAULTS}
             base["wave"] = wave
+            gate = r.get("gate", "allow")
+            if gate == "defer":
+                em.emit(**{**base, "out_kind": "deferred"})
+                continue
+            if gate == "block":
+                em.emit(**{**base, "out_kind": "blocked"})
+                continue
+            status, payload = world.fetch(r["canon_url"])
+            # compact fetch-log row: the conformance ordering projection
+            em.emit(**{**base, "out_kind": "fetchlog", "status": status,
+                       "title": "", "link": "", "location": "", "description": "",
+                       "elements_path": ""})
             kind = r["kind"]
             if kind == "listing":
                 if status != 200:
@@ -353,57 +377,106 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
     return fetch_parse
 
 
-def make_politeness_gate(pol_handles: list, wave: int):
-    """Per-host admission: rows sorted by priority, first k per host
-    allowed (k from the host's token bucket), rest deferred; robots-
-    blocked hosts dropped. One actor RPC per politeness shard per wave."""
+# --------------------------------------------------------------------------
+# Shuffle-free gate protocol (offer → finalize → cached lookup)
+#
+# A sort-based groupby gate worked but its all-to-all barrier dominated
+# wave wall-time (5-10s per shuffle at sandbox scale, regardless of
+# CPUs) and capped wave parallelism at the shard count. The protocol
+# replaces each shuffle with two cheap map passes around a driver-side
+# finalize RPC: map tasks push per-host top-k summaries / candidate keys
+# to the shard actors, the actors resolve deterministically, and a
+# second map pass reads the cached verdicts. Actors see O(hosts·cap)
+# integers (politeness) / one politeness-bounded wave of keys (seen),
+# never the frontier rows.
+# --------------------------------------------------------------------------
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df.assign(gate=pd.Series([], dtype=str))
-        df = df.sort_values(["host", "priority"], kind="stable").reset_index(drop=True)
-        shard = int(df["pol_shard"].iloc[0])
-        counts = df.groupby("host", sort=False).size().to_dict()
-        rates = df.groupby("host", sort=False)["politeness_rps"].first().to_dict()
-        grants = ray.get(pol_handles[shard].acquire.remote(wave, counts, rates))
-        rank = df.groupby("host", sort=False).cumcount()
-        k = df["host"].map(grants)
-        df["gate"] = np.where(k < 0, "block", np.where(rank < k, "allow", "defer"))
-        return df
-
-    return gate
+_ACTOR_CACHE: dict[tuple, Any] = {}
 
 
-def make_seen_gate(seen_handles: list):
-    """The anti-join (J1/D3): route candidate + image URLs to their
-    cuckoo shard, first-wins in global gseq order. Emits derived image
-    frontier rows for admitted non-follow candidates (their record
-    completes immediately — the reference would skip the follow fetch
-    too)."""
+def _cached_rpc(handle, method: str, wave: int):
+    """One read-only RPC per (actor, wave) per worker process."""
+    key = (handle._actor_id.hex(), method, wave)
+    if key not in _ACTOR_CACHE:
+        _ACTOR_CACHE[key] = ray.get(getattr(handle, method).remote(wave))
+    return _ACTOR_CACHE[key]
 
-    def _h64(sha_hex: pd.Series) -> np.ndarray:
-        return np.fromiter(
-            (int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for s in sha_hex),
-            dtype=np.uint64, count=len(sha_hex),
-        )
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
+def make_demand_fn(pol_handles: list, wave: int):
+    """Exec A: per batch, per politeness shard, offer each host's row
+    count + smallest cap+1 priorities (distributed top-k merge)."""
+
+    def demand(df: pd.DataFrame) -> pd.DataFrame:
+        if not df.empty:
+            for shard, g in df.groupby("pol_shard", sort=False):
+                d = {}
+                for host, hg in g.groupby("host", sort=False):
+                    rate = float(hg["politeness_rps"].iloc[0])
+                    cap = int(2 * rate) + 1
+                    prios = np.sort(hg["priority"].to_numpy())[: cap + 1]
+                    d[host] = (int(len(hg)), prios.tolist(), rate)
+                ray.get(pol_handles[int(shard)].offer.remote(wave, d))
+        return pd.DataFrame({"n": [len(df)]})
+
+    return demand
+
+
+def _gate_labels(df: pd.DataFrame, pol_handles: list, wave: int) -> np.ndarray:
+    """Vectorized allow/defer/block labels from the finalized per-host
+    thresholds (priority ≤ threshold ⇒ allowed; priorities are unique
+    per host so exactly k rows pass)."""
+    from ..state.politeness import _PolitenessShard
+
+    thr: dict[str, int] = {}
+    for shard in df["pol_shard"].unique():
+        thr.update(_cached_rpc(pol_handles[int(shard)], "thresholds", wave))
+    t = df["host"].map(thr).fillna(-1).to_numpy(dtype=np.int64)
+    pr = df["priority"].to_numpy()
+    return np.where(
+        t == _PolitenessShard.BLOCK, "block", np.where(pr <= t, "allow", "defer")
+    )
+
+
+def make_offer_candidates_fn(seen_handles: list, wave: int):
+    """Exec C: push candidate keys (+ derivation inputs) to their seen
+    shard, in any order — finalize sorts by gseq."""
+
+    def offer(df: pd.DataFrame) -> pd.DataFrame:
+        if not df.empty:
+            for shard, g in df.groupby("shard", sort=False):
+                rows = list(
+                    zip(g["url_sha1"], g["gseq"].astype(int), g["kind"],
+                        g["follow_link"].astype(bool), g["canon_url"])
+                )
+                ray.get(seen_handles[int(shard)].offer_candidates.remote(wave, rows))
+        return pd.DataFrame({"n": [len(df)]})
+
+    return offer
+
+
+def make_verdict_label_fn(seen_handles: list, wave: int):
+    """Exec D: label candidates from the finalized verdicts; emit the
+    pre-authorized derived image frontier rows for 'record' labels."""
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.assign(label=pd.Series([], dtype=str))
-        # global first-wins order: site rank → page → DOM → depth
-        df = df.sort_values(["gseq", "depth"], kind="stable").reset_index(drop=True)
-        shard = int(df["shard"].iloc[0])
-        seen_before = ray.get(
-            seen_handles[shard].check_and_add.remote(_h64(df["url_sha1"]),
-                                                     df["url_sha1"].tolist())
-        )
-        is_cand = df["kind"].to_numpy() == "candidate"
-        df["label"] = np.where(
-            seen_before, "dup",
-            np.where(~is_cand, "image_frontier",
-                     np.where(df["follow_link"].to_numpy(), "detail", "record")),
-        )
+        verd: dict[str, tuple[str, int]] = {}
+        emit_img: dict[str, bool] = {}
+        for shard in df["shard"].unique():
+            v, e = _cached_rpc(seen_handles[int(shard)], "verdicts", wave)
+            verd.update(v)
+            emit_img.update(e)
+        df = df.copy()
+        lab = df["url_sha1"].map(lambda s: verd.get(s, ("dup", -1)))
+        # only the winning gseq carries the verdict; later intra-wave
+        # duplicates of the same key are "dup" (first-wins)
+        df["label"] = [
+            l if g == win_g else "dup"
+            for (l, win_g), g in zip(lab, df["gseq"].astype(int))
+        ]
         rec = df[df["label"] == "record"]
+        rec = rec[rec["url_sha1"].map(emit_img).fillna(False)]
         if len(rec):
             img = rec.copy()
             img["image_id"] = rec["url_sha1"]
@@ -415,16 +488,11 @@ def make_seen_gate(seen_handles: list):
             img["gseq"] = rec["gseq"] + 1
             img["priority"] = [int(pack_priority(0, 2, 0, s)) for s in img["seq"]]
             img["kind"] = "image"
-            # the image URL shares the host → same shard; gate it inline
-            img_seen = ray.get(
-                seen_handles[shard].check_and_add.remote(_h64(img["url_sha1"]),
-                                                         img["url_sha1"].tolist())
-            )
-            img["label"] = np.where(img_seen, "dup", "image_frontier")
+            img["label"] = "image_frontier"
             df = pd.concat([df, img], ignore_index=True)
         return df
 
-    return gate
+    return label
 
 
 # --------------------------------------------------------------------------
@@ -542,7 +610,22 @@ def run_crawl(
         frontier_spec = m.frontier_path
         wave += 1
 
-    summary = _assemble(out_dir, cfg)
+    if cfg.assemble:
+        summary = _assemble(out_dir, cfg)
+    else:
+        summary = {
+            "job_records": sum(
+                dir_num_rows(p)
+                for p in glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=record"))
+            ) + sum(
+                dir_num_rows(p)
+                for p in glob.glob(os.path.join(out_dir, "waves", "w*", "gatec", "label=record"))
+            ),
+            "image_caption": sum(
+                dir_num_rows(p)
+                for p in glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=image"))
+            ),
+        }
     summary["waves"] = wave
     summary["seen_total"] = seen.total_count()
     if cfg.exact_sidecar:
@@ -552,10 +635,13 @@ def run_crawl(
     return summary
 
 
-def _load_frontier(spec: dict):
+def _load_frontier(spec: dict, num_blocks: int | None = None):
     """Build the wave's input Dataset from the previous wave's hive
     partitions: seed dirs + deferred rows (fairness bump) + admitted
-    detail/image rows. All lazy — one execution consumes them."""
+    detail/image rows. All lazy — one execution consumes them.
+    ``num_blocks`` splits the read into balanced tasks up front
+    (override_num_blocks) — an explicit repartition would be an
+    AllToAll barrier costing ~10s wall regardless of data size."""
     parts = []
     norm = _normalize(FRONTIER_FIELDS)
 
@@ -583,13 +669,17 @@ def _load_frontier(spec: dict):
     if spec.get("seed"):
         paths = _existing(spec["seed"])
         if paths:
-            parts.append(rd.read_parquet(_parquet_files(paths)).map_batches(norm, batch_format="pyarrow"))
+            parts.append(
+                rd.read_parquet(_parquet_files(paths), override_num_blocks=num_blocks)
+                .map_batches(norm, batch_format="pyarrow")
+            )
     for key, fn in (("defer", _requeue), ("detail", _as_kind("detail")),
                     ("image", _as_kind("image"))):
         paths = _existing(spec.get(key, []))
         if paths:
             parts.append(
-                rd.read_parquet(_parquet_files(paths), columns=FRONTIER_COLS)
+                rd.read_parquet(_parquet_files(paths), columns=FRONTIER_COLS,
+                                override_num_blocks=num_blocks)
                 .map_batches(fn, batch_format="pyarrow")
             )
     if not parts:
@@ -610,52 +700,73 @@ def _run_wave(
     cfg: CrawlConfig,
 ) -> WaveManifest:
     wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
-    gated_dir = os.path.join(wdir, "gated")
     parsed_dir = os.path.join(wdir, "parsed")
     gatec_dir = os.path.join(wdir, "gatec")
-    for d in (gated_dir, parsed_dir, gatec_dir):
+    for d in (parsed_dir, gatec_dir):
         os.makedirs(d, exist_ok=True)
 
-    # 1. politeness gate → gated/gate={allow,defer,block}
+    # Exec A (cheap column scan): offer per-host demand to the
+    # politeness shards, then finalize the wave's token grants.
     frontier = _load_frontier(frontier_spec)
     if frontier is None:
         return WaveManifest(wave=wave, frontier_path=None,
                             seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
                             politeness_states=pol.states())
-    frontier.groupby("pol_shard").map_groups(
-        make_politeness_gate(pol.handles(), wave), batch_format="pandas"
-    ).write_parquet(gated_dir, partition_cols=["gate"])
+    (
+        frontier.select_columns(["host", "pol_shard", "priority", "politeness_rps"])
+        .map_batches(make_demand_fn(pol.handles(), wave), batch_format="pandas")
+        .count()
+    )
+    pol.finalize(wave)
 
-    # 2. fetch + parse admitted rows → parsed/out_kind=...
-    allow_dir = _subdir(gated_dir, "gate", "allow")
-    if dir_num_rows(allow_dir):
-        (
-            rd.read_parquet(allow_dir, columns=FRONTIER_COLS)
-            .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
-            .map_batches(
-                make_fetch_parse_fn(world_params, wave, cfg),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-            )
-            .write_parquet(parsed_dir, partition_cols=["out_kind"])
+    # Exec B (the heavy one, map-only): threshold gate → fetch+parse →
+    # hive write. Deferred/blocked rows pass through unfetched; each
+    # real fetch also emits a compact fetchlog row. Repartition first so
+    # skewed upstream files don't become straggler tasks.
+    pol_handles = pol.handles()
+
+    def gate_label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["gate"] = _gate_labels(df, pol_handles, wave) if len(df) else []
+        return df
+
+    (
+        _load_frontier(frontier_spec, num_blocks=cfg.wave_blocks)
+        .map_batches(gate_label, batch_format="pandas")
+        .map_batches(
+            make_fetch_parse_fn(world_params, wave, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
         )
+        .write_parquet(parsed_dir, partition_cols=["out_kind"])
+    )
 
-    # 3. seen gate over candidates + discovered image URLs → gatec/label=...
+    # Exec C + finalize + Exec D: the seen-set anti-join without a
+    # shuffle — offer candidate keys, resolve first-wins per shard in
+    # global gseq order, then label + emit derived image rows.
     cand_dirs = _existing([
         _subdir(parsed_dir, "out_kind", "candidate"),
         _subdir(parsed_dir, "out_kind", "frontier_image"),
     ])
     if cand_dirs:
         (
+            rd.read_parquet(
+                _parquet_files(cand_dirs),
+                columns=["shard", "url_sha1", "gseq", "kind", "follow_link", "canon_url"],
+            )
+            .map_batches(make_offer_candidates_fn(seen.handles(), wave), batch_format="pandas")
+            .count()
+        )
+        seen.finalize(wave)
+        (
             rd.read_parquet(_parquet_files(cand_dirs), columns=FRONTIER_COLS)
             .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(make_seen_gate(seen.handles()), batch_format="pandas")
+            .map_batches(make_verdict_label_fn(seen.handles(), wave), batch_format="pandas")
             .write_parquet(gatec_dir, partition_cols=["label"])
         )
 
-    # 4. next frontier = deferred ∪ admitted detail ∪ admitted image dirs
-    defer_dirs = _existing([_subdir(gated_dir, "gate", "defer")])
+    # 3. next frontier = deferred ∪ admitted detail ∪ admitted image dirs
+    defer_dirs = _existing([_subdir(parsed_dir, "out_kind", "deferred")])
     detail_dirs = _existing([_subdir(gatec_dir, "label", "detail")])
     image_dirs = _existing([_subdir(gatec_dir, "label", "image_frontier")])
     next_spec = None
@@ -663,7 +774,7 @@ def _run_wave(
         next_spec = {"seed": [], "defer": defer_dirs, "detail": detail_dirs,
                      "image": image_dirs}
 
-    # 5. metrics + manifest (records/images/errors are hive subdirs)
+    # 4. metrics + manifest (records/images/errors are hive subdirs)
     records_paths = _existing([
         _subdir(parsed_dir, "out_kind", "record"),
         _subdir(gatec_dir, "label", "record"),
@@ -671,7 +782,11 @@ def _run_wave(
     images_paths = _existing([_subdir(parsed_dir, "out_kind", "image")])
     errors_paths = _existing([_subdir(parsed_dir, "out_kind", "error")])
     metrics = {
-        "gate": _site_counts([_subdir(gated_dir, "gate", v) for v in ("allow", "defer", "block")]),
+        "gate": {
+            "allow": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
+            "defer": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
+            "block": dir_num_rows(_subdir(parsed_dir, "out_kind", "blocked")),
+        },
         "parse": _site_counts([
             _subdir(parsed_dir, "out_kind", v)
             for v in ("candidate", "frontier_image", "record", "image", "error")
@@ -680,8 +795,8 @@ def _run_wave(
             _subdir(gatec_dir, "label", v)
             for v in ("dup", "detail", "record", "image_frontier")
         ]),
-        "fetched": dir_num_rows(allow_dir),
-        "deferred": dir_num_rows(_subdir(gated_dir, "gate", "defer")),
+        "fetched": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
+        "deferred": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
         "records": sum(dir_num_rows(p) for p in records_paths),
         "images": sum(dir_num_rows(p) for p in images_paths),
         "errors": sum(dir_num_rows(p) for p in errors_paths),
@@ -710,7 +825,7 @@ def fetch_log(out_dir: str) -> pd.DataFrame:
     (host, gseq, depth) this equals the sequential oracle's per-host
     fetch sequence (see module docstring)."""
     frames = []
-    for allow in sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "gated", "gate=allow"))):
+    for allow in sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=fetchlog"))):
         if dir_num_rows(allow) == 0:
             continue
         t = pads.dataset(allow, format="parquet").to_table(
@@ -751,13 +866,13 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
         sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=image")))
     )
 
-    def _first_by_seq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["wave", "gseq"], kind="stable").head(1)
-
     if rec_dirs:
         recs = rd.read_parquet(_parquet_files(rec_dirs), columns=RECORD_COLS)
-        # resume idempotency (D4): a replayed wave may duplicate records
-        recs = recs.groupby("url_sha1").map_groups(_first_by_seq, batch_format="pandas")
+        # resume idempotency (D4): a replayed wave may duplicate records.
+        # Dedup on a coarse hash bucket (256 groups), vectorized within
+        # each group — a per-key groupby would spawn one tiny task per
+        # distinct URL.
+        recs = _dedup_by_sha(recs, ["wave", "gseq"])
 
         clean = CleanRecords()
 
@@ -780,7 +895,7 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
 
     if img_dirs:
         imgs = rd.read_parquet(_parquet_files(img_dirs), columns=IMAGE_COLS)
-        imgs = imgs.groupby("url_sha1").map_groups(_first_by_seq_img, batch_format="pandas")
+        imgs = _dedup_by_sha(imgs, ["wave", "seq"])
 
         def _to_caption(batch: pa.Table) -> pa.Table:
             from ..functions.textclean import clean_caption
@@ -810,8 +925,27 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
     return summary
 
 
-def _first_by_seq_img(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values(["wave", "seq"], kind="stable").head(1)
+def _dedup_by_sha(ds, order_cols: list[str]):
+    """First-wins dedup on url_sha1: hash-bucket the keys (256 coarse
+    groups → a real shuffle but no per-key task explosion), then a
+    vectorized sort + drop_duplicates inside each bucket."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dedup_bucket"] = [int(s[:2], 16) for s in df["url_sha1"]]
+        return df
+
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url_sha1", *order_cols], kind="stable")
+        return g.drop_duplicates(subset="url_sha1", keep="first").drop(
+            columns=["dedup_bucket"]
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("dedup_bucket", num_partitions=32)
+        .map_groups(first_per_key, batch_format="pandas")
+    )
 
 
 _TAGGER = None

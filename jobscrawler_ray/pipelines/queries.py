@@ -1,0 +1,885 @@
+"""Query catalog: every SURVEY.md §2 operator family re-expressed
+Ray-Data-first over the driver's TPC-H-ish tables, plus the
+training-data-pipeline extensions (dedup, similarity search, text
+analysis, multimodal stubs).
+
+Each entry is ``name -> callable(sf_dir) -> Dataset | DataFrame``;
+``ORACLE_SQL[name]`` is the DuckDB-equivalent ANSI SQL the driver runs
+side-by-side (row-count + schema + order-insensitive value-hash).
+Column names and float rounding match the SQL exactly. Entries without
+SQL (stateful/model/iterative ops) get the driver's rows-only check.
+
+Scale discipline (100 TB intent): reads prune columns; per-batch
+kernels are pyarrow.compute / numpy; aggregations pre-combine inside
+``map_batches`` before the small ``groupby``; small sides broadcast via
+``ray.put``; the only all-to-all exchanges are the hash joins and
+groupbys that genuinely need them.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as papq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import dedupe, textstats
+from ..stages.location import build_alias_map, tag_location
+from ..synth.locations import WORLD_LOCATIONS
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+_BCAST_CACHE: dict[bytes, Any] = {}
+
+
+def _bget(ref):
+    """ray.get a broadcast ObjectRef once per process (J2 pattern)."""
+    key = ref.binary()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _round_half_up(x, decimals: int):
+    """SQL ROUND semantics (half away from zero) — numpy's round is
+    half-to-even and disagrees with DuckDB on exact .5 ulp boundaries
+    (frequent for int/int ratios)."""
+    x = np.asarray(x, dtype=np.float64)
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+# --------------------------------------------------------------------------
+# Aggregations / sorts / incremental (SURVEY §2.5, §2.6, §2.9)
+# --------------------------------------------------------------------------
+
+
+def q_source_counts(sf_dir: str):
+    """A1/A3: per-source row counts (the reference's per-site union +
+    before/after count report, ``src/crawler.py:190-243``)."""
+    return (
+        _tbl(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_lang_frequency(sf_dir: str):
+    """A6: tag-frequency analysis (notebook Counter → groupby/count)."""
+    return (
+        _tbl(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+def q_watermark_max_ts(sf_dir: str):
+    """A5/T4: the MAX(timestamp) watermark
+    (``embed_latest_crawled_data.py:135-148``)."""
+    v = _tbl(sf_dir, "events", ["ts"]).max("ts")
+    return pd.DataFrame({"max_ts": [pd.Timestamp(v)]})
+
+
+def q_latest_events(sf_dir: str):
+    """O2: ORDER BY ts DESC LIMIT k (latest-row lookup)."""
+    return (
+        _tbl(sf_dir, "events", ["event_id", "ts"])
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(5)
+    )
+
+
+def q_incremental_since_watermark(sf_dir: str):
+    """S10: incremental read — rows newer than (watermark - 7d)
+    (``embed_latest_crawled_data.py:36-55``)."""
+    ds = _tbl(sf_dir, "events", ["ts", "event_type"])
+    wm = pd.Timestamp(ds.max("ts")) - pd.Timedelta(days=7)
+    cutoff = pa.scalar(wm.to_pydatetime(), type=pa.timestamp("us"))
+    return (
+        ds.map_batches(
+            lambda t: t.filter(pc.greater(t["ts"], cutoff)), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_windowed_events(sf_dir: str):
+    """§2.9: tumbling 1-day window per user over the events log —
+    pre-aggregated per batch, then a small groupby over partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"))
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return g
+
+    out = (
+        _tbl(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype(np.int64)
+        df["sum_value"] = _round_half_up(df["sum_value"], 4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: the canonical pre-aggregate →
+    groupby-sum pattern (partial combine inside map_batches)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_pandas(),
+                "base": t["l_extendedprice"].to_pandas(),
+                "disc_price": disc_price.to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price=("base", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _tbl(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = _round_half_up(df["sum_qty"] / df["n"], 4)
+        df["avg_price"] = _round_half_up(df["sum_base_price"] / df["n"], 4)
+        df["sum_qty"] = _round_half_up(df["sum_qty"], 2)
+        df["sum_base_price"] = _round_half_up(df["sum_base_price"], 2)
+        df["sum_disc_price"] = _round_half_up(df["sum_disc_price"], 2)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_top_parts(sf_dir: str):
+    """O-family: global top-k by sort (ties broken by key)."""
+    return (
+        _tbl(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_exact_dedup_events(sf_dir: str):
+    """D1/D3: exact dedup by key — hash-partition groupby, first-wins
+    (min event_id per (user, type))."""
+    return (
+        _tbl(sf_dir, "events", ["user_id", "event_type", "event_id"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("event_id", alias_name="first_event"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins / lookups (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def q_anti_join_customers(sf_dir: str):
+    """J1/D3: anti-join via broadcast key set (customers with no order
+    in the last 30 days) — the seen-set pattern: broadcast the key set,
+    filter inside map_batches; no shuffle."""
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp(orders.max("o_orderdate")) - pd.Timedelta(days=30)
+    sc = pa.scalar(cutoff.to_pydatetime(), type=pa.timestamp("us"))
+    recent = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_orderdate"], sc)), batch_format="pyarrow"
+    )
+    okeys = np.array(sorted(recent.unique("o_custkey")), dtype=np.int64)
+    ref = ray.put(okeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = _bget(ref)
+        mask = ~np.isin(t["c_custkey"].to_numpy(), keys)
+        return t.filter(pa.array(mask))
+
+    return _tbl(sf_dir, "customer", ["c_custkey"]).map_batches(anti, batch_format="pyarrow")
+
+
+def q_broadcast_join_region(sf_dir: str):
+    """J2: broadcast dictionary lookup (the WorldLocations pattern):
+    small side ray.put once, dict lookup per batch."""
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in _tbl(sf_dir, "region").take_all()
+    }
+    ref = ray.put(region)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(ref)
+        return pd.DataFrame(
+            {"nation": df["n_name"], "region": df["n_regionkey"].map(lut)}
+        )
+
+    return _tbl(sf_dir, "nation", ["n_name", "n_regionkey"]).map_batches(
+        join, batch_format="pandas"
+    )
+
+
+def q_join_orders_lineitem(sf_dir: str):
+    """Large-large hash-partitioned join (Dataset.join, keyed on
+    orderkey) → small groupby. Both sides too big to broadcast at
+    scale; num_partitions bounds per-partition memory."""
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# Scalar/string pipeline parity (SURVEY §2.2 M11, M13, M15-M17)
+# --------------------------------------------------------------------------
+
+
+def q_clean_pipeline(sf_dir: str):
+    """M11 (RE2-expressible subset): date-strip → salary-strip →
+    dash/slash→space → trim, vectorized with pyarrow.compute kernels.
+    (The repeated-word backreference step is Python-re-only and is
+    conformance-tested in the crawl pipeline instead.)"""
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            t["p_name"],
+            pa.array([" posted 2024-03-15 pays USD100-200/yr"] * len(t)),
+            "",
+        )
+        s = pc.replace_substring_regex(s, r"\d{4}-\d{2}-\d{2}", "")
+        s = pc.replace_substring_regex(s, r"(USD|GBP)\d+-\d+/yr", "")
+        s = pc.replace_substring_regex(s, r"[-/]", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"p_partkey": t["p_partkey"], "cleaned": s})
+
+    return _tbl(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        clean, batch_format="pyarrow"
+    )
+
+
+def q_location_tags_nation(sf_dir: str):
+    """M13: the location tagger (flattened alias map + compound-word
+    retry) over nation names; two-token names (UNITED STATES / UNITED
+    KINGDOM) exercise the compound path."""
+    alias = build_alias_map(WORLD_LOCATIONS)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        tags = [tag_location(v, alias)[1][0] for v in df["n_name"]]
+        return pd.DataFrame(
+            {"n_nationkey": df["n_nationkey"], "n_name": df["n_name"], "tag": tags}
+        )
+
+    return _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+
+def q_embed_format(sf_dir: str):
+    """M15/M17: the e5 text formatter — '<title>…</title> …' wrap +
+    'passage: ' prefix (``embed_latest_crawled_data.py:58-81``,
+    ``e5_base_v2_utils.py:85-96``)."""
+
+    def fmt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sid = pc.cast(t["doc_id"], pa.string())
+        s = pc.binary_join_element_wise(
+            pa.array(["passage: <title>doc-"] * n), sid,
+            pa.array(["</title> <description>"] * n), t["text"],
+            pa.array(["</description>"] * n), "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "passage": s})
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fmt, batch_format="pyarrow"
+    )
+
+
+def q_token_truncate(sf_dir: str):
+    """M16: token counting + truncation at N tokens
+    (``e5_base_v2_utils.py:37-51``), whitespace tokenizer."""
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "truncated": [textstats.truncate_tokens(t, 100) for t in df["text"]],
+            }
+        )
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        trunc, batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        s = textstats.quality_scores(df["text"].tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": s["n_chars"],
+                "n_tokens": s["n_tokens"],
+                "chars_per_token": _round_half_up(s["chars_per_token"], 4),
+                "stopword_ratio": _round_half_up(s["stopword_ratio"], 4),
+            }
+        )
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic (stopword/charset) — no SQL equivalent;
+    rows-only check."""
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "lang_pred": [textstats.lang_id(t) for t in df["text"]],
+            }
+        )
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        lid, batch_format="pandas"
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """Document fingerprinting: whole-doc rolling hash + winnowing
+    count — rows-only (not SQL-expressible)."""
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [textstats.fingerprint64(t) for t in df["text"]],
+                "n_winnow": [len(textstats.winnow_fingerprints(t)) for t in df["text"]],
+            }
+        )
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup & similarity (training-data ops)
+# --------------------------------------------------------------------------
+
+_JACC_SUBSET = 200
+_JACC_TAU = 0.9
+_COS_TAU = 0.4
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-set Jaccard near-dup pairs over a doc subset:
+    token sets broadcast once, each batch compares its rows against all
+    higher-id docs (distributed over rows; pairwise work bounded by the
+    subset)."""
+    sub = _tbl(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {_JACC_SUBSET}"
+    )
+    rows = sub.take_all()
+    toks = {r["doc_id"]: np.unique(np.array(r["text"].split(" "))) for r in rows}
+    ref = ray.put(toks)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(ref)
+        ids = sorted(lut)
+        out_a, out_b, out_j = [], [], []
+        for a in df["doc_id"]:
+            ta = lut[a]
+            for b in ids:
+                if b <= a:
+                    continue
+                tb = lut[b]
+                inter = len(np.intersect1d(ta, tb, assume_unique=True))
+                union = len(ta) + len(tb) - inter
+                j = inter / union if union else 0.0
+                if j >= _JACC_TAU:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(float(_round_half_up(j, 4)))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                             "id_b": pd.Series(out_b, dtype=np.int64),
+                             "jacc": pd.Series(out_j, dtype=np.float64)})
+
+    return sub.map_batches(pairs, batch_format="pandas")
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup detection, the full distributed shape:
+    shingle+minhash per batch → explode (band_key, doc_id) → groupby
+    band → candidate pairs → verify true Jaccard ≥ 0.5. Rows-only
+    (not SQL-expressible); recall vs the exact pairs is asserted in
+    tests."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    hasher = dedupe.MinHasher(num_perm=64, seed=1234)
+    bands = 16
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_doc = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sig = hasher.signature(dedupe.shingle_set(text, k=3))
+            for key in hasher.band_keys(sig, bands):
+                out_band.append(key)
+                out_doc.append(did)
+        return pd.DataFrame({"band_key": pd.Series(out_band, dtype=np.int64),
+                             "doc_id": pd.Series(out_doc, dtype=np.int64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        arr = np.array(out, dtype=np.int64)
+        return pd.DataFrame({"id_a": arr[:, 0], "id_b": arr[:, 1]})
+
+    cand = (
+        docs.map_batches(band_rows, batch_format="pandas")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+    if cand_df.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "jacc": pd.Series([], dtype=np.float64)})
+
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    tref = ray.put(texts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(tref)
+        keep_a, keep_b, keep_j = [], [], []
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = dedupe.shingle_set(lut[i], k=3)
+            return cache[i]
+
+        for a, b in zip(df["id_a"], df["id_b"]):
+            j = dedupe.jaccard(sh(int(a)), sh(int(b)))
+            if j >= 0.5:
+                keep_a.append(a)
+                keep_b.append(b)
+                keep_j.append(round(j, 4))
+        return pd.DataFrame({"id_a": pd.Series(keep_a, dtype=np.int64),
+                             "id_b": pd.Series(keep_b, dtype=np.int64),
+                             "jacc": pd.Series(keep_j, dtype=np.float64)})
+
+    return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints (rows-only; near-dup = small Hamming
+    distance, asserted in tests)."""
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": pd.Series(
+                    [dedupe.simhash64(t.split(" ")) for t in df["text"]], dtype=np.int64
+                ),
+            }
+        )
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sh, batch_format="pandas"
+    )
+
+
+def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, mat
+
+
+def q_knn_cosine(sf_dir: str):
+    """Similarity search baseline: brute-force cosine top-10 for query
+    vectors (vec_id < 5) — per-batch numpy matmul against the broadcast
+    query matrix, partial top-k per batch, merged at the end."""
+    k = 10
+    ids, mat = _load_embeddings(sf_dir)
+    qmask = ids < 5
+    qids, qmat = ids[qmask], mat[qmask]
+    qref = ray.put((qids, qmat))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = _bget(qref)
+        cids = df["vec_id"].to_numpy()
+        cmat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        top, scores = dedupe.cosine_topk(qm, cmat, min(k + 1, len(cids)))
+        out = []
+        for row, qid in enumerate(qi):
+            for j in range(top.shape[1]):
+                nid = int(cids[top[row, j]])
+                if nid == int(qid):
+                    continue
+                out.append((int(qid), nid, float(scores[row, j])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    parts = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pandas", batch_size=512)
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    out = parts[parts["rank"] <= k][["query_id", "neighbor_id", "rank"]]
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): corpus broadcast,
+    each batch emits its (a < b) pairs — ids only, no float columns."""
+    ids, mat = _load_embeddings(sf_dir)
+    ref = ray.put((ids, mat))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        aid, amat = _bget(ref)
+        cids = df["vec_id"].to_numpy()
+        cmat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+        an = amat / np.maximum(np.linalg.norm(amat, axis=1, keepdims=True), 1e-12)
+        sims = cn @ an.T
+        out_a, out_b = [], []
+        for i in range(len(cids)):
+            hit = np.flatnonzero((sims[i] >= _COS_TAU) & (aid > cids[i]))
+            out_a.extend([int(cids[i])] * len(hit))
+            out_b.extend(int(aid[h]) for h in hit)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                             "id_b": pd.Series(out_b, dtype=np.int64)})
+
+    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pandas", batch_size=512
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-style ANN (the scale path): deterministic centroids (seeded
+    sample + one Lloyd step), probe the 4 nearest lists, top-10 within.
+    Rows-only; recall vs brute force asserted in tests."""
+    k, nlist, nprobe = 10, 16, 4
+    ids, mat = _load_embeddings(sf_dir)
+    rng = np.random.default_rng(7)
+    cent = mat[rng.choice(len(mat), nlist, replace=False)].copy()
+    # one Lloyd iteration (deterministic)
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(n @ cn.T, axis=1)
+    for c in range(nlist):
+        pts = mat[assign == c]
+        if len(pts):
+            cent[c] = pts.mean(axis=0)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(n @ cn.T, axis=1)
+    qids, qmat = ids[ids < 5], mat[ids < 5]
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    out = []
+    for qi, qv in zip(qids, qn):
+        lists = np.argsort(-(qv @ cn.T), kind="stable")[:nprobe]
+        cand = np.flatnonzero(np.isin(assign, lists))
+        sims = np.round(n[cand] @ qv, 6)
+        order = np.argsort(-sims, kind="stable")
+        rank = 0
+        for o in order:
+            nid = int(ids[cand[o]])
+            if nid == int(qi):
+                continue
+            rank += 1
+            out.append((int(qi), nid, rank))
+            if rank >= k:
+                break
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"]).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Crawl flagship + multimodal (rows-only; conformance in tests)
+# --------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_out(sf_dir: str) -> str:
+    """One cached t1-scale crawl per process (deterministic world —
+    sf_dir only scales the world size)."""
+    key = sf_dir
+    if key not in _CRAWL_CACHE:
+        from .crawl import CrawlConfig, run_crawl
+        from ..synth.world import WorldParams
+
+        n_sites = 6 if "0.001" in sf_dir else 10
+        out = f"/tmp/jcr_crawl_{abs(hash(key)) % (1 << 32):08x}"
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        run_crawl(
+            WorldParams(seed=42, n_sites=n_sites, pages_per_site=2, jobs_per_page=5),
+            out,
+            CrawlConfig(num_seen_shards=4, num_pol_shards=2, exact_sidecar=False),
+        )
+        _CRAWL_CACHE[key] = out
+    return _CRAWL_CACHE[key]
+
+
+def q_crawl_image_caption(sf_dir: str):
+    """The flagship north-star pipeline: full crawl → image+caption
+    table (bytes column dropped for the driver's hash; full fidelity is
+    covered by the conformance suite)."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(out, "image_caption"),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+    return ds
+
+
+def q_crawl_job_records(sf_dir: str):
+    out = _crawl_out(sf_dir)
+    return rd.read_parquet(
+        os.path.join(out, "job_records"),
+        columns=["url_sha1", "site_id", "strategy", "title", "link", "location"],
+    )
+
+
+class _ImageFeatures:
+    """Actor-pool multimodal stage: decode binary image column, emit
+    per-image features. Real Ray-side plumbing (binary batches, actor
+    state); heavyweight decode libs are absent, so the codec is this
+    repo's own (functions/codecs.py). A resize/model stage would slot
+    in here the same way."""
+
+    def __init__(self):
+        from ..functions import codecs as _c
+
+        self.codecs = _c
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, means, lumas = [], [], []
+        for iid, buf in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+            px, _ = self.codecs.decode(buf)
+            ids.append(iid)
+            means.append(round(float(px.mean()), 4))
+            lumas.append(
+                round(float((px.astype(np.float64) @ [0.299, 0.587, 0.114]).mean()), 4)
+            )
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "mean_pixel": pa.array(means, type=pa.float64()),
+            "mean_luma": pa.array(lumas, type=pa.float64()),
+        })
+
+
+def q_multimodal_features(sf_dir: str):
+    """Decode + feature-extract over the binary image column — an
+    actor-pool map_batches stage with small batches (wide binary rows)."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"), columns=["image_id", "bytes"])
+    return ds.map_batches(
+        _ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+
+
+# --------------------------------------------------------------------------
+# Catalog + oracles
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "source_counts": q_source_counts,
+    "lang_frequency": q_lang_frequency,
+    "watermark_max_ts": q_watermark_max_ts,
+    "latest_events": q_latest_events,
+    "incremental_since_watermark": q_incremental_since_watermark,
+    "windowed_events": q_windowed_events,
+    "pricing_summary": q_pricing_summary,
+    "top_parts": q_top_parts,
+    "exact_dedup_events": q_exact_dedup_events,
+    "anti_join_customers": q_anti_join_customers,
+    "broadcast_join_region": q_broadcast_join_region,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "clean_pipeline": q_clean_pipeline,
+    "location_tags_nation": q_location_tags_nation,
+    "embed_format": q_embed_format,
+    "token_truncate": q_token_truncate,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_ivf": q_ann_ivf,
+    "crawl_image_caption": q_crawl_image_caption,
+    "crawl_job_records": q_crawl_job_records,
+    "multimodal_features": q_multimodal_features,
+}
+
+_STOP_SQL = "('a','the','of','and','to','in')"
+
+ORACLE_SQL: dict[str, str] = {
+    "source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
+    "lang_frequency": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "watermark_max_ts": "SELECT max(ts) AS max_ts FROM events",
+    "latest_events": (
+        "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 5"
+    ),
+    "incremental_since_watermark": (
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY "
+        "GROUP BY event_type"
+    ),
+    "windowed_events": (
+        "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n, "
+        "round(sum(value), 4) AS sum_value FROM events "
+        "GROUP BY user_id, date_trunc('day', ts)"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_quantity) / count(*), 4) AS avg_qty, "
+        "round(sum(l_extendedprice) / count(*), 4) AS avg_price, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_parts": (
+        "SELECT p_partkey, p_name, p_retailprice FROM part "
+        "ORDER BY p_retailprice DESC, p_partkey LIMIT 10"
+    ),
+    "exact_dedup_events": (
+        "SELECT user_id, event_type, min(event_id) AS first_event "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+    "anti_join_customers": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN ("
+        "SELECT o_custkey FROM orders WHERE o_orderdate > "
+        "(SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY)"
+    ),
+    "broadcast_join_region": (
+        "SELECT n.n_name AS nation, r.r_name AS region "
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ),
+    "join_orders_lineitem": (
+        "SELECT o_orderpriority, count(*) AS n FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "clean_pipeline": (
+        "SELECT p_partkey, trim(regexp_replace(regexp_replace(regexp_replace("
+        "p_name || ' posted 2024-03-15 pays USD100-200/yr', "
+        "'\\d{4}-\\d{2}-\\d{2}', '', 'g'), '(USD|GBP)\\d+-\\d+/yr', '', 'g'), "
+        "'[-/]', ' ', 'g')) AS cleaned FROM part"
+    ),
+    "location_tags_nation": (
+        "SELECT n_nationkey, n_name, CASE WHEN n_name IN "
+        "('BRAZIL','FRANCE','GERMANY','JAPAN','UNITED KINGDOM','UNITED STATES') "
+        "THEN n_name ELSE 'NaN' END AS tag FROM nation"
+    ),
+    "embed_format": (
+        "SELECT doc_id, 'passage: <title>doc-' || doc_id || '</title> "
+        "<description>' || text || '</description>' AS passage FROM documents"
+    ),
+    "token_truncate": (
+        "SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 100), ' ') "
+        "AS truncated FROM documents"
+    ),
+    "token_counts": (
+        "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents"
+    ),
+    "quality_scores": (
+        "WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents) SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "n_tokens::BIGINT AS n_tokens, "
+        "round(length(text)::DOUBLE / n_tokens, 4) AS chars_per_token, "
+        f"round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))::DOUBLE "
+        "/ n_tokens, 4) AS stopword_ratio FROM t"
+    ),
+    "jaccard_pairs": (
+        "WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
+        f"FROM documents WHERE doc_id < {_JACC_SUBSET}) "
+        "SELECT id_a, id_b, jacc FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "round(len(list_intersect(a.toks, b.toks))::DOUBLE / "
+        "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jacc "
+        "FROM t a, t b WHERE a.doc_id < b.doc_id) "
+        f"WHERE jacc >= {_JACC_TAU}"
+    ),
+    "knn_cosine": (
+        "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
+        "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) "
+        "AS score FROM q, embeddings e WHERE e.vec_id <> q.vec_id) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s) "
+        "WHERE rank <= 10"
+    ),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id AND "
+        f"list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_TAU}"
+    ),
+}

@@ -40,14 +40,40 @@ def _robots_disallows_all(payload: bytes) -> bool:
 
 
 class _PolitenessShard:
-    """One shard of politeness state. Run as a Ray actor."""
+    """One shard of politeness state. Run as a Ray actor.
+
+    Shuffle-free admission protocol (per wave):
+
+    1. ``offer(wave, demand)`` — each map task sends, for each of its
+       hosts, the total row count + the smallest ``cap+1`` priorities it
+       holds. Offers are commutative (distributed top-k merge), so task
+       order doesn't matter.
+    2. ``finalize(wave)`` — the driver triggers the token-bucket grant:
+       per host, ``k = min(count, ⌊tokens⌋)`` and the admission
+       *threshold* = k-th smallest offered priority (priorities are
+       unique per host, so exactly k rows pass). Robots-blocked hosts
+       get the BLOCK sentinel. Tokens are debited here, once per wave.
+    3. ``thresholds(wave)`` — read-only lookup, cached per worker
+       process, used by the fetch stage to label rows
+       allow/defer/block with a vectorized comparison.
+
+    This replaces a groupby(host)-shuffle gate: the actor only ever sees
+    O(hosts × cap) integers per wave, not the frontier rows.
+    """
+
+    BLOCK = -2
 
     def __init__(self, world_params: WorldParams):
         self.world = World(world_params)
         self.tokens: dict[str, float] = {}
-        self.rates: dict[str, float] = {}
         self.robots_blocked: dict[str, bool] = {}
         self.last_wave: dict[str, int] = {}
+        # per-wave accumulation
+        self._counts: dict[str, int] = {}
+        self._prios: dict[str, list[int]] = {}
+        self._rates: dict[str, float] = {}
+        self._thresholds: dict[str, int] = {}
+        self._final_wave: int = -1
 
     def _robots(self, host: str) -> bool:
         if host not in self.robots_blocked:
@@ -55,18 +81,26 @@ class _PolitenessShard:
             self.robots_blocked[host] = status == 200 and _robots_disallows_all(payload)
         return self.robots_blocked[host]
 
-    def acquire(
-        self, wave: int, requests: dict[str, int], rates: dict[str, float]
-    ) -> dict[str, int]:
-        """For each host: how many of its ``requests[host]`` queued fetches
-        may run this wave. Blocked hosts get -1 (drop, don't defer).
-        Buckets refill ``rate`` tokens per wave, capacity 2×rate."""
+    def offer(self, wave: int, demand: dict[str, tuple[int, list[int], float]]) -> bool:
+        """demand: host -> (count, smallest cap+1 priorities, rate)."""
+        for host, (n, prios, rate) in demand.items():
+            self._counts[host] = self._counts.get(host, 0) + int(n)
+            cap = int(2 * rate) + 1
+            merged = self._prios.get(host, [])
+            merged.extend(prios)
+            merged.sort()
+            self._prios[host] = merged[: cap + 1]
+            self._rates[host] = float(rate)
+        return True
+
+    def finalize(self, wave: int) -> int:
+        """Grant tokens and compute thresholds; returns #hosts granted."""
         out: dict[str, int] = {}
-        for host, n in requests.items():
+        for host, n in self._counts.items():
             if self._robots(host):
-                out[host] = -1
+                out[host] = self.BLOCK
                 continue
-            rate = float(rates.get(host, 8.0))
+            rate = self._rates.get(host, 8.0)
             cap = 2.0 * rate
             last = self.last_wave.get(host)
             tok = self.tokens.get(host, cap)
@@ -75,8 +109,20 @@ class _PolitenessShard:
             k = min(n, int(tok))
             self.tokens[host] = tok - k
             self.last_wave[host] = wave
-            out[host] = k
-        return out
+            prios = self._prios.get(host, [])
+            out[host] = prios[k - 1] if k > 0 and k <= len(prios) else (
+                prios[-1] if k > len(prios) and prios else -1
+            )
+            if k >= n:  # everything admitted — use an open threshold
+                out[host] = (1 << 62)
+        self._thresholds = out
+        self._final_wave = wave
+        self._counts, self._prios, self._rates = {}, {}, {}
+        return len(out)
+
+    def thresholds(self, wave: int) -> dict[str, int]:
+        assert wave == self._final_wave, f"thresholds for wave {wave} not finalized"
+        return self._thresholds
 
     def state(self) -> dict:
         return {
@@ -91,7 +137,7 @@ class _PolitenessShard:
         self.robots_blocked = dict(st["robots_blocked"])
 
 
-PolitenessShard = ray.remote(num_cpus=0.25)(_PolitenessShard)
+PolitenessShard = ray.remote(num_cpus=0)(_PolitenessShard)
 
 
 class PolitenessPool:
@@ -101,6 +147,9 @@ class PolitenessPool:
 
     def handles(self) -> list:
         return list(self.shards)
+
+    def finalize(self, wave: int) -> None:
+        ray.get([s.finalize.remote(wave) for s in self.shards])
 
     def states(self) -> list[dict]:
         return ray.get([s.state.remote() for s in self.shards])

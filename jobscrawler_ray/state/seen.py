@@ -65,6 +65,106 @@ class _SeenShard:
     def dump_exact(self) -> list[str]:
         return sorted(self.exact) if self.exact is not None else []
 
+    # -- shuffle-free wave protocol (offer → finalize → verdicts) --------
+    #
+    # Replaces the groupby(shard)-shuffle gate: map tasks push their
+    # candidate keys (exec C), the driver triggers one deterministic
+    # first-wins resolution per shard (finalize, sorted by global gseq),
+    # and a second map pass labels rows via the cached verdict table
+    # (exec D). Actor transiently holds one wave's candidates — bounded
+    # by the politeness budget, not the frontier.
+
+    def offer_candidates(self, wave: int, rows: list[tuple]) -> bool:
+        """rows: (url_sha1, gseq, kind, follow_link, canon_url)."""
+        buf = getattr(self, "_offer_buf", None)
+        if buf is None or getattr(self, "_offer_wave", None) != wave:
+            self._offer_buf = buf = []
+            self._offer_wave = wave
+        buf.extend(rows)
+        return True
+
+    def finalize(self, wave: int) -> int:
+        """First-wins in global gseq order (site rank → page → DOM);
+        admitted records also claim their derived image URL here, so the
+        derived-image emission in the labeling pass is pre-authorized."""
+        import hashlib
+
+        rows = sorted(getattr(self, "_offer_buf", []) or [], key=lambda r: (r[1], r[2]))
+        # verdict = (label, winning_gseq): rows of the same key with a
+        # later gseq are intra-wave duplicates → "dup" (first-wins).
+        # Vectorized: one bulk filter probe up front, one bulk insert at
+        # the end; the loop only touches python sets.
+        verdicts: dict[str, tuple[str, int]] = {}
+        emit_image: dict[str, bool] = {}
+        n = len(rows)
+        if n:
+            h64 = np.fromiter(
+                (int(r[0][:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for r in rows),
+                dtype=np.uint64, count=n,
+            )
+            pre = self.filter.contains_many(h64)
+            new_h: list[int] = []
+            new_h_set: set[int] = set()  # distinct keys sharing an h64
+            #   (hash collision) need only one fingerprint — inserting
+            #   every copy would overflow its two buckets
+            new_keys: list[str] = []
+            img_pending: list[tuple[str, str]] = []  # (candidate sha, img sha)
+            for i, (sha, gseq, kind, follow, canon) in enumerate(rows):
+                if sha in verdicts:
+                    continue  # intra-wave duplicate; first occurrence won
+                if self.exact is not None:
+                    seen_before = sha in self.exact
+                else:
+                    seen_before = bool(pre[i])
+                if seen_before:
+                    verdicts[sha] = ("dup", int(gseq))
+                    continue
+                if self.exact is not None:
+                    self.exact.add(sha)
+                hv = int(h64[i])
+                if hv not in new_h_set:
+                    new_h_set.add(hv)
+                    new_h.append(hv)
+                new_keys.append(sha)
+                if kind != "candidate":
+                    verdicts[sha] = ("image_frontier", int(gseq))
+                elif follow:
+                    verdicts[sha] = ("detail", int(gseq))
+                else:
+                    verdicts[sha] = ("record", int(gseq))
+                    img_sha = hashlib.sha1((canon + "/image").encode()).hexdigest()
+                    img_pending.append((sha, img_sha))
+            if new_h:
+                self.filter.add_many(np.array(new_h, dtype=np.uint64))
+            if img_pending:
+                ih = np.fromiter(
+                    (int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for _, s in img_pending),
+                    dtype=np.uint64, count=len(img_pending),
+                )
+                ipre = self.filter.contains_many(ih)
+                add_h: list[int] = []
+                for j, (cand_sha, img_sha) in enumerate(img_pending):
+                    if self.exact is not None:
+                        dup = img_sha in self.exact
+                    else:
+                        dup = bool(ipre[j])
+                    emit_image[cand_sha] = not dup
+                    if not dup:
+                        if self.exact is not None:
+                            self.exact.add(img_sha)
+                        add_h.append(int(ih[j]))
+                if add_h:
+                    self.filter.add_many(np.array(add_h, dtype=np.uint64))
+        self._verdicts = verdicts
+        self._emit_image = emit_image
+        self._final_wave = wave
+        self._offer_buf = []
+        return len(verdicts)
+
+    def verdicts(self, wave: int) -> tuple[dict, dict]:
+        assert wave == getattr(self, "_final_wave", None)
+        return self._verdicts, self._emit_image
+
     def count(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
 
@@ -101,7 +201,7 @@ class _SeenShard:
         return self.count()
 
 
-SeenShard = ray.remote(num_cpus=0.25)(_SeenShard)
+SeenShard = ray.remote(num_cpus=0)(_SeenShard)
 
 
 class SeenSet:
@@ -120,6 +220,9 @@ class SeenSet:
 
     def total_count(self) -> int:
         return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def finalize(self, wave: int) -> None:
+        ray.get([s.finalize.remote(wave) for s in self.shards])
 
     def membership(self) -> set[str]:
         """Exact membership (sidecar mode only) — conformance tests."""

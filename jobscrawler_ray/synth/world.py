@@ -84,6 +84,8 @@ class WorldParams:
     blocked_pct: int = 0  # % of hosts whose robots.txt disallows everything
     politeness_rps: int = 0  # 0 = generous (site finishes in one wave/kind)
     rss_missing_loc: bool = True  # exercise the reference's hasattr quirk
+    img_min: int = 16  # image dimension range (bench raises for compute density)
+    img_max: int = 64
 
 
 class World:
@@ -315,8 +317,9 @@ class World:
 
     def _image_meta(self, i: int, jid: str) -> tuple[int, int, int, str]:
         h = hash64(f"{self.p.seed}|img|{i}|{jid}")
-        w = 16 + (h % 49)
-        ih = 16 + ((h >> 8) % 49)
+        span = self.p.img_max - self.p.img_min + 1
+        w = self.p.img_min + (h % span)
+        ih = self.p.img_min + ((h >> 8) % span)
         fmt = _FMT_CYCLE[h % 3]
         return h, w, ih, fmt
 
