@@ -78,15 +78,17 @@ def run_crawl_bench(world: dict | None = None, assemble: bool = True) -> dict:
 
 
 def run_queries_bench() -> dict:
+    import ray.data
+
     from jobscrawler_ray.pipelines.queries import QUERIES
 
     times = {}
     for name in QUERY_NAMES:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
-        # consume: Datasets are lazy — count() forces full execution
-        if hasattr(res, "count") and not hasattr(res, "columns"):
-            res.count()
+        # consume: Datasets are lazy — materialize the (small) result
+        if isinstance(res, ray.data.Dataset):
+            res.to_pandas()
         times[name] = round(time.time() - t0, 3)
     return times
 

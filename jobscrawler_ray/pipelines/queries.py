@@ -127,19 +127,22 @@ def q_windowed_events(sf_dir: str):
         )
         return g
 
-    out = (
+    # combiner pattern: heavy rows reduce to per-batch partials inside
+    # map_batches; the final merge over the (much smaller) partial set
+    # happens once. At sandbox scale that merge is a driver-side pandas
+    # groupby (the partial set is tiny); at cluster scale with a huge
+    # (user, day) key space it becomes a second groupby over partials.
+    parts = (
         _tbl(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n"] = df["n"].astype(np.int64)
-        df["sum_value"] = _round_half_up(df["sum_value"], 4)
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    out = parts.groupby(["user_id", "day"], as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = _round_half_up(out["sum_value"], 4)
+    return out
 
 
 def q_pricing_summary(sf_dir: str):
