@@ -79,7 +79,7 @@ import ray.data as rd
 from ..functions import codecs
 from ..functions.priority import pack_priority
 from ..functions.urlnorm import canonicalize, hash64, host_of, sha1_hex
-from ..stages.parse import parse_detail, parse_listing
+from ..stages.parse import parse_apply_link, parse_detail, parse_listing, whole_page_text
 from ..state.checkpoint import WaveManifest, ckpt_dir, latest_manifest, write_manifest
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
@@ -107,6 +107,7 @@ FRONTIER_FIELDS: list[tuple[str, pa.DataType]] = [
     ("strategy", pa.string()),
     ("kind", pa.string()),  # listing | detail | image | candidate
     ("follow_link", pa.bool_()),
+    ("two_hop", pa.bool_()),
     ("inner_link_tag", pa.string()),
     ("politeness_rps", pa.float64()),
     ("elements_path", pa.string()),  # JSON; carried on listing rows only
@@ -250,6 +251,7 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
                 strategy=site.strategy,
                 kind="listing",
                 follow_link=site.follow_link,
+                two_hop=site.two_hop,
                 inner_link_tag=site.inner_link_tag,
                 politeness_rps=float(site.politeness_rps),
                 elements_path=json.dumps(site.elements_path),
@@ -334,10 +336,28 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
                         "elements_path": "",
                     })
             elif kind == "detail":
-                desc = parse_detail(
-                    payload.decode("utf-8", "replace"), status,
-                    r["inner_link_tag"], default=r["description"],
-                )
+                text = payload.decode("utf-8", "replace")
+                if r["two_hop"]:
+                    # M10: detail page → apply link → strip /apply; the
+                    # stripped URL's whole-page text is the description
+                    apply = parse_apply_link(text, status)
+                    if apply is not None:
+                        hop = _derived_url_fields("https://" + r["host"] + apply)
+                        em.emit(**{
+                            **base, **hop,
+                            "out_kind": "frontier_detail2",
+                            "kind": "detail2",
+                            "status": status,
+                            "depth": 2,
+                            "priority": int(pack_priority(0, 2, 0, r["seq"])),
+                            "image_id": r["url_sha1"],  # parent record identity
+                        })
+                        continue
+                    desc = r["description"]  # no apply link → default
+                else:
+                    desc = parse_detail(
+                        text, status, r["inner_link_tag"], default=r["description"],
+                    )
                 em.emit(**{**base, "out_kind": "record", "status": status,
                            "description": desc})
                 img = _derived_url_fields(r["canon_url"] + "/image")
@@ -352,6 +372,28 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
                     "priority": int(pack_priority(0, 2, 0, r["seq"] + 1)),
                     "description": desc,
                     "image_id": r["url_sha1"],
+                })
+            elif kind == "detail2":
+                # M10 second hop: whole-page text; the record keeps the
+                # JOB link identity (carried in link/image_id)
+                desc = whole_page_text(
+                    payload.decode("utf-8", "replace"), status, r["description"],
+                )
+                job = _derived_url_fields(r["link"])
+                em.emit(**{**base, **job, "out_kind": "record", "status": status,
+                           "depth": 2, "description": desc})
+                img = _derived_url_fields(job["canon_url"] + "/image")
+                em.emit(**{
+                    **base, **img,
+                    "out_kind": "frontier_image",
+                    "kind": "image",
+                    "status": status,
+                    "depth": 3,
+                    "seq": r["seq"] + 1,
+                    "gseq": r["gseq"] + 1,
+                    "priority": int(pack_priority(0, 3, 0, r["seq"] + 1)),
+                    "description": desc,
+                    "image_id": job["url_sha1"],
                 })
             elif kind == "image":
                 if status != 200 or not payload:
@@ -674,7 +716,7 @@ def _load_frontier(spec: dict, num_blocks: int | None = None):
                 .map_batches(norm, batch_format="pyarrow")
             )
     for key, fn in (("defer", _requeue), ("detail", _as_kind("detail")),
-                    ("image", _as_kind("image"))):
+                    ("detail2", _as_kind("detail2")), ("image", _as_kind("image"))):
         paths = _existing(spec.get(key, []))
         if paths:
             parts.append(
@@ -747,6 +789,7 @@ def _run_wave(
     cand_dirs = _existing([
         _subdir(parsed_dir, "out_kind", "candidate"),
         _subdir(parsed_dir, "out_kind", "frontier_image"),
+        _subdir(parsed_dir, "out_kind", "frontier_detail2"),
     ])
     if cand_dirs:
         (
@@ -768,11 +811,12 @@ def _run_wave(
     # 3. next frontier = deferred ∪ admitted detail ∪ admitted image dirs
     defer_dirs = _existing([_subdir(parsed_dir, "out_kind", "deferred")])
     detail_dirs = _existing([_subdir(gatec_dir, "label", "detail")])
+    detail2_dirs = _existing([_subdir(gatec_dir, "label", "detail2_frontier")])
     image_dirs = _existing([_subdir(gatec_dir, "label", "image_frontier")])
     next_spec = None
-    if defer_dirs or detail_dirs or image_dirs:
+    if defer_dirs or detail_dirs or detail2_dirs or image_dirs:
         next_spec = {"seed": [], "defer": defer_dirs, "detail": detail_dirs,
-                     "image": image_dirs}
+                     "detail2": detail2_dirs, "image": image_dirs}
 
     # 4. metrics + manifest (records/images/errors are hive subdirs)
     records_paths = _existing([
@@ -793,7 +837,7 @@ def _run_wave(
         ]),
         "seen": _site_counts([
             _subdir(gatec_dir, "label", v)
-            for v in ("dup", "detail", "record", "image_frontier")
+            for v in ("dup", "detail", "record", "image_frontier", "detail2_frontier")
         ]),
         "fetched": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
         "deferred": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),

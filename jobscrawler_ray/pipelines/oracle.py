@@ -32,7 +32,7 @@ from ..functions import codecs
 from ..functions.textclean import CLEAN_COLUMNS, clean_caption, clean_location, strip_html_chars
 from ..functions.urlnorm import canonicalize, host_of, sha1_hex
 from ..stages.location import build_alias_map, tag_location
-from ..stages.parse import parse_detail, parse_listing
+from ..stages.parse import parse_apply_link, parse_detail, parse_listing, whole_page_text
 from ..synth.locations import WORLD_LOCATIONS
 from ..synth.world import World, WorldParams
 
@@ -86,13 +86,30 @@ def run_oracle(world_params: WorldParams, crawl_ts: str = "2026-01-01T00:00:00")
                     continue  # first-wins (J1/D3)
                 seen.add(link_sha)
                 desc = c["description"]
+                img_depth = 2
                 if site.follow_link:
                     dstatus, dpayload = world.fetch(link_canon)
                     log_fetch(link_host, cseq, cgseq, 1, link_canon, "detail")
-                    desc = parse_detail(
-                        dpayload.decode("utf-8", "replace"), dstatus,
-                        site.inner_link_tag, default=desc,
-                    )
+                    dtext = dpayload.decode("utf-8", "replace")
+                    if site.two_hop:
+                        # M10: apply link → strip /apply → whole-page text
+                        apply = parse_apply_link(dtext, dstatus)
+                        if apply is not None:
+                            hop_url = canonicalize("https://" + link_host + apply)
+                            hop_sha = sha1_hex(hop_url)
+                            if hop_sha not in seen:
+                                seen.add(hop_sha)
+                                hstatus, hpayload = world.fetch(hop_url)
+                                log_fetch(host_of(hop_url), cseq, cgseq, 2,
+                                          hop_url, "detail2")
+                                desc = whole_page_text(
+                                    hpayload.decode("utf-8", "replace"), hstatus, desc,
+                                )
+                                img_depth = 3
+                    else:
+                        desc = parse_detail(
+                            dtext, dstatus, site.inner_link_tag, default=desc,
+                        )
                 records.append(
                     {
                         "site_id": site.site_id,
@@ -114,7 +131,7 @@ def run_oracle(world_params: WorldParams, crawl_ts: str = "2026-01-01T00:00:00")
                     continue
                 seen.add(img_sha)
                 istatus, ipayload = world.fetch(img_url)
-                log_fetch(host_of(img_url), cseq + 1, cgseq + 1, 2, img_url, "image")
+                log_fetch(host_of(img_url), cseq + 1, cgseq + 1, img_depth, img_url, "image")
                 if istatus != 200 or not ipayload:
                     continue
                 pixels, fmt = codecs.decode(ipayload)

@@ -746,6 +746,132 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user — the stream-shaped
+    op Ray Data lacks natively: bucket users (64 coarse groups, not one
+    task per user), sessionize each user's sorted history with pandas
+    inside map_groups. Ordering ties broken by event_id in both engines."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["user_id"] % 64).astype(np.int64)
+        return df
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            u = u.sort_values(["ts", "event_id"], kind="stable")
+            gap = u["ts"].diff()
+            new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
+            sid = new_s.cumsum()
+            s = u.assign(sid=sid).groupby("sid", as_index=False).agg(
+                n=("event_id", "size"), session_start=("ts", "min")
+            )
+            s["user_id"] = uid
+            out.append(s)
+        res = pd.concat(out, ignore_index=True)
+        return res[["user_id", "sid", "n", "session_start"]].astype(
+            {"sid": np.int64, "n": np.int64}
+        )
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=16)
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def q_embed_documents(sf_dir: str):
+    """T1/T2: the embedding actor-pool stage (model load once per
+    actor, batched inference; deterministic stand-in model — see
+    stages/embed.py). Rows-only."""
+    from ..stages.embed import EmbedDocuments
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        EmbedDocuments, batch_format="pandas", batch_size=128,
+        concurrency=2, num_cpus=1,
+    )
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "dim": [len(v) for v in df["embedding"]],
+            "norm": np.round([float(np.linalg.norm(v)) for v in df["embedding"]], 4),
+        })
+
+    return ds.map_batches(norms, batch_format="pandas")
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Decode → nearest-neighbor 32×32 thumbnail → re-encode, as an
+    actor-pool stage over the binary image column (rows-only)."""
+    from ..stages.multimodal import ResizeImages
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"), columns=["image_id", "bytes"])
+    thumbs = ds.map_batches(
+        ResizeImages, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+    return thumbs.select_columns(["image_id", "w", "h", "thumb_phash"])
+
+
+def q_phash_neardup(sf_dir: str):
+    """SURVEY §2.7 D5: perceptual-hash near-dup over images — LSH-style
+    banding on 16-bit phash bands → groupby band → candidate pairs →
+    verify Hamming ≤ 8. Originals vs their 32×32 thumbnails give true
+    positives (avg-hash is resize-robust). Rows-only."""
+    from ..functions.dedupe import hamming64
+    from ..stages.multimodal import ResizeImages
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes", "phash"])
+    thumbs = ds.map_batches(
+        ResizeImages, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+
+    def orig_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"pid": t["image_id"], "phash": t["phash"]})
+
+    def thumb_rows(t: pa.Table) -> pa.Table:
+        ids = pc.binary_join_element_wise(t["image_id"], "#thumb", "")
+        return pa.table({"pid": ids, "phash": t["thumb_phash"]})
+
+    allhash = ds.map_batches(orig_rows, batch_format="pyarrow").union(
+        thumbs.map_batches(thumb_rows, batch_format="pyarrow")
+    )
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy().astype(np.uint64)
+        out_b, out_p, out_h = [], [], []
+        for b in range(4):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_b.extend((band + (b << 16)).tolist())
+            out_p.extend(df["pid"].tolist())
+            out_h.extend(df["phash"].tolist())
+        return pd.DataFrame({"band": out_b, "pid": out_p, "phash": out_h})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["pid"], g["phash"])))
+        out_rows = []
+        for i, (pa_id, ha) in enumerate(rows):
+            for pb_id, hb in rows[i + 1:]:
+                if hamming64(int(ha), int(hb)) <= 8:
+                    out_rows.append((pa_id, pb_id, hamming64(int(ha), int(hb))))
+        return pd.DataFrame(out_rows, columns=["id_a", "id_b", "hamming"]).astype(
+            {"hamming": np.int64}
+        )
+
+    pairs = (
+        allhash.map_batches(band_rows, batch_format="pandas")
+        .groupby("band", num_partitions=16)
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return pairs.drop_duplicates().reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -780,6 +906,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
     "multimodal_features": q_multimodal_features,
+    "session_windows": q_session_windows,
+    "embed_documents": q_embed_documents,
+    "multimodal_resize": q_multimodal_resize,
+    "phash_neardup": q_phash_neardup,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -884,5 +1014,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id AND "
         f"list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_TAU}"
+    ),
+    "session_windows": (
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events), m AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL "
+        "OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, sid::BIGINT AS sid, count(*) AS n, "
+        "min(ts) AS session_start FROM s GROUP BY user_id, sid"
     ),
 }

@@ -197,6 +197,42 @@ def parse_detail(payload: str, status: int, inner_link_tag: str, default: str) -
     return el.text if el is not None else default
 
 
+def parse_detail_title_description(
+    payload: str, status: int, inner_link_tag: str, title_inner_link_tag: str,
+    default: str,
+) -> tuple[str, str]:
+    """M9 (``FollowLink.py:42-72``): follow-link variant returning both
+    title and description from the followed page; unused by the main
+    path in the reference, exposed here for registry parity."""
+    if status != 200:
+        return default, default
+    t = mini_select_one(payload, title_inner_link_tag)
+    d = mini_select_one(payload, inner_link_tag)
+    return (t.text if t else default), (d.text if d else default)
+
+
+_APPLY_SUFFIX = re.compile(r"/apply$")
+
+
+def parse_apply_link(payload: str, status: int, apply_selector: str = ".apply") -> str | None:
+    """M10 first hop (``AsyncFollowTwoLinks.py:12-60``): find the apply
+    link on the detail page and strip the trailing ``/apply`` — the
+    result is the URL whose whole-page text becomes the description."""
+    if status != 200:
+        return None
+    el = mini_select_one(payload, apply_selector)
+    if el is None or not el.href:
+        return None
+    return _APPLY_SUFFIX.sub("", el.href)
+
+
+def whole_page_text(payload: str, status: int, default: str) -> str:
+    """M10 second hop: the stripped-URL page's full text (tag-stripped)."""
+    if status != 200:
+        return default
+    return _TAG_STRIP.sub("", payload)
+
+
 ListingParser = "Callable[(payload, elements_path, name, class_json?) -> list[dict]]"
 
 PARSER_REGISTRY = {

@@ -127,7 +127,8 @@ class _SeenShard:
                     new_h.append(hv)
                 new_keys.append(sha)
                 if kind != "candidate":
-                    verdicts[sha] = ("image_frontier", int(gseq))
+                    # image → image_frontier, detail2 → detail2_frontier
+                    verdicts[sha] = (f"{kind}_frontier", int(gseq))
                 elif follow:
                     verdicts[sha] = ("detail", int(gseq))
                 else:

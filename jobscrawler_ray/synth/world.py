@@ -63,6 +63,7 @@ class SiteConfig:
     pages_to_crawl: int
     start_point: int
     follow_link: bool
+    two_hop: bool  # echojobs-style: detail page → apply link → stripped URL's whole-page text
     inner_link_tag: str
     elements_path: dict
     politeness_rps: int
@@ -86,6 +87,7 @@ class WorldParams:
     rss_missing_loc: bool = True  # exercise the reference's hasattr quirk
     img_min: int = 16  # image dimension range (bench raises for compute density)
     img_max: int = 64
+    two_hop: bool = True  # enable the echojobs-style two-hop follow sites
 
 
 class World:
@@ -107,6 +109,10 @@ class World:
         base = f"https://{host}"
         h = hash64(f"{self.p.seed}|site|{i}")
         follow = strategy == "rss" or (h % 2 == 0)
+        # M10 parity: some follow-mode API sites use the two-hop pattern
+        # mirrors the reference: echojobs is the api_dict site with the
+        # two-link pattern (async_api.py:122-128)
+        two_hop = bool(self.p.two_hop and follow and strategy == "api_dict")
         rps = self.p.politeness_rps or (2 * self.p.jobs_per_page + 4)
         pages = 1 if strategy == "rss" else self.p.pages_per_site
         if strategy in ("html_main", "html_container"):
@@ -145,6 +151,7 @@ class World:
             pages_to_crawl=pages,
             start_point=1,
             follow_link=follow,
+            two_hop=two_hop,
             inner_link_tag=".inner-desc",
             elements_path=elements,
             politeness_rps=rps,
@@ -226,16 +233,30 @@ class World:
         if path.startswith("/jobs/") and path.endswith("/image"):
             jid = path[len("/jobs/") : -len("/image")]
             return 200, self._image_bytes(i, jid)
+        if path.startswith("/jobs/") and path.endswith("/full"):
+            jid = path[len("/jobs/") : -len("/full")]
+            f = self._job_fields(i, jid)
+            body = (
+                f"<html><body>Full posting for {jid}. {f['detail']} "
+                f"Contact: jobs@{host}</body></html>"
+            )
+            return 200, body.encode()
         if path.startswith("/jobs/"):
             jid = path[len("/jobs/") :]
             status = self._detail_status(i, jid)
             if status != 200:
                 return status, b""
             f = self._job_fields(i, jid)
-            body = (
-                f'<html><body><div class="inner-desc">{f["detail"]}</div>'
-                f'<a class="imglink" href="/jobs/{jid}/image">img</a></body></html>'
-            )
+            if site.two_hop:
+                body = (
+                    f'<html><body><p>See full posting</p>'
+                    f'<a class="apply" href="/jobs/{jid}/full/apply">apply</a></body></html>'
+                )
+            else:
+                body = (
+                    f'<html><body><div class="inner-desc">{f["detail"]}</div>'
+                    f'<a class="imglink" href="/jobs/{jid}/image">img</a></body></html>'
+                )
             return 200, body.encode()
         return 404, b""
 

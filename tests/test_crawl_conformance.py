@@ -72,6 +72,18 @@ class TestConformance:
             else:
                 assert np.array_equal(truth, pixels)
 
+    def test_two_hop_descriptions(self, crawl_and_oracle):
+        """M10: the two-hop (echojobs-style) site's records carry the
+        whole-page text of the stripped apply URL — in both engines."""
+        out, summary, oracle = crawl_and_oracle
+        eng = _read_dir(os.path.join(out, "job_records"))
+        two = eng[eng["site_id"] == "api_dict-0007"]
+        assert len(two) > 0
+        hit = two["description"].str.contains("Full posting")
+        # all except the deterministic 403/500 detail pages (default desc)
+        assert hit.mean() > 0.8
+        assert (~hit).sum() <= max(1, int(0.1 * len(two)))
+
     def test_seen_membership(self, crawl_and_oracle):
         out, summary, oracle = crawl_and_oracle
         assert set(summary["seen_membership"]) == oracle["seen"]

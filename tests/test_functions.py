@@ -275,3 +275,26 @@ class TestParsers:
         out = parse_rss(payload, ep, "n")
         assert out[0] == {"title": "NaN", "link": "NaN", "description": "NaN", "location": "NaN"}
         assert out[1]["link"] == "L2"
+
+
+class TestFollowLinkVariants:
+    def test_m9_title_description(self):
+        from jobscrawler_ray.stages.parse import parse_detail_title_description
+
+        html = '<div class="t">Ti</div><div class="d">De</div>'
+        t, d = parse_detail_title_description(html, 200, ".d", ".t", "NaN")
+        assert (t, d) == ("Ti", "De")
+        t, d = parse_detail_title_description(html, 403, ".d", ".t", "NaN")
+        assert (t, d) == ("NaN", "NaN")
+        t, d = parse_detail_title_description("<p>x</p>", 200, ".d", ".t", "dflt")
+        assert (t, d) == ("dflt", "dflt")
+
+    def test_m10_apply_link_strip(self):
+        from jobscrawler_ray.stages.parse import parse_apply_link, whole_page_text
+
+        html = '<a class="apply" href="/jobs/j1/full/apply">go</a>'
+        assert parse_apply_link(html, 200) == "/jobs/j1/full"
+        assert parse_apply_link(html, 500) is None
+        assert parse_apply_link("<p>none</p>", 200) is None
+        assert whole_page_text("<html><b>A</b> B</html>", 200, "d") == "A B"
+        assert whole_page_text("x", 404, "d") == "d"
