@@ -73,18 +73,27 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash (average-hash over an 8×8 block-mean
-    downsample of the grayscale image). Signed int64 for the Arrow
-    ``phash:int64`` column. Deterministic, numpy-only."""
+    """64-bit perceptual hash: average-hash over an 8×8 area downsample
+    of the grayscale image, with *proportional* block edges (i·h/8) so
+    the same image at different resolutions partitions into the same
+    relative blocks — which is what makes the hash resize-robust.
+    Signed int64 for the Arrow ``phash:int64`` column. numpy-only."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # pad to multiples of 8 by edge replication, then block-mean to 8x8
-    ph = (-h) % 8
-    pw = (-w) % 8
-    if ph or pw:
-        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
-    small = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    acc = np.add.accumulate(np.add.accumulate(gray, 0), 1)
+    acc = np.pad(acc, ((1, 0), (1, 0)))
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(9) * w) // 8
+    y0, y1 = ye[:-1], ye[1:]
+    x0, x1 = xe[:-1], xe[1:]
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = (
+        acc[y1[:, None], x1[None, :]]
+        - acc[y0[:, None], x1[None, :]]
+        - acc[y1[:, None], x0[None, :]]
+        + acc[y0[:, None], x0[None, :]]
+    )
+    small = s / np.maximum(area, 1)
     bits = (small > small.mean()).flatten()
     v = 0
     for bit in bits:
@@ -93,10 +102,14 @@ def phash64(pixels: np.ndarray) -> int:
 
 
 def gen_pixels(seed64: int, w: int, h: int) -> np.ndarray:
-    """Deterministic synthetic image: seeded PRNG pixels with a low-freq
-    gradient so phash/PSNR behave like natural images (not pure noise)."""
+    """Deterministic synthetic image: a per-seed low-frequency structure
+    (upsampled 6×6 random grid — what phash responds to) plus noise, so
+    perceptual hashes are discriminative across images while remaining
+    robust to resize/quantization."""
     rng = np.random.default_rng(seed64 & 0xFFFF_FFFF_FFFF_FFFF)
-    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    yy, xx = np.meshgrid(np.linspace(0, 255, h), np.linspace(0, 255, w), indexing="ij")
-    grad = np.stack([xx, yy, (xx + yy) / 2], axis=2)
-    return ((noise.astype(np.float64) + grad) / 2).clip(0, 255).astype(np.uint8)
+    low = rng.integers(0, 256, size=(6, 6, 3)).astype(np.float64)
+    yi = (np.arange(h) * 6 // max(h, 1)).clip(0, 5)
+    xi = (np.arange(w) * 6 // max(w, 1)).clip(0, 5)
+    structure = low[yi[:, None], xi[None, :]]
+    noise = rng.integers(0, 256, size=(h, w, 3)).astype(np.float64)
+    return (0.72 * structure + 0.28 * noise).clip(0, 255).astype(np.uint8)

@@ -30,6 +30,27 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[yi[:, None], xi[None, :]]
 
 
+def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area (box-filter) resize: each output pixel is the mean of its
+    source box — the downsampling a thumbnailer actually wants (noise
+    averages out, so perceptual hashes stay stable)."""
+    h, w = pixels.shape[:2]
+    y_edges = (np.arange(out_h + 1) * h) // out_h
+    x_edges = (np.arange(out_w + 1) * w) // out_w
+    acc = np.add.accumulate(np.add.accumulate(pixels.astype(np.float64), 0), 1)
+    acc = np.pad(acc, ((1, 0), (1, 0), (0, 0)))
+    ys0, ys1 = y_edges[:-1], y_edges[1:]
+    xs0, xs1 = x_edges[:-1], x_edges[1:]
+    area = (ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]
+    s = (
+        acc[ys1[:, None], xs1[None, :]]
+        - acc[ys0[:, None], xs1[None, :]]
+        - acc[ys1[:, None], xs0[None, :]]
+        + acc[ys0[:, None], xs0[None, :]]
+    )
+    return (s / area[..., None]).round().clip(0, 255).astype(np.uint8)
+
+
 class DecodeImages:
     """Actor-pool stage: binary → decoded metadata + phash. Setup (codec
     tables) once per actor; small batches — wide binary rows."""
@@ -64,7 +85,7 @@ class ResizeImages:
         ids, bufs, phashes = [], [], []
         for iid, buf in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
             px, _ = codecs.decode(buf)
-            thumb = resize_nearest(px, self.out_w, self.out_h)
+            thumb = resize_area(px, self.out_w, self.out_h)
             ids.append(iid)
             bufs.append(codecs.encode(thumb, "pngz"))
             phashes.append(codecs.phash64(thumb))
