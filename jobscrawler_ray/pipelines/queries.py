@@ -843,11 +843,13 @@ def q_phash_neardup(sf_dir: str):
     )
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # 8 bands × 8 bits: ≤ 8 flipped bits leave at least one band
+        # intact by pigeonhole at ≤7, and near-certainly at 8
         h = df["phash"].to_numpy().astype(np.uint64)
         out_b, out_p, out_h = [], [], []
-        for b in range(4):
-            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_b.extend((band + (b << 16)).tolist())
+        for b in range(8):
+            band = ((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+            out_b.extend((band + (b << 8)).tolist())
             out_p.extend(df["pid"].tolist())
             out_h.extend(df["phash"].tolist())
         return pd.DataFrame({"band": out_b, "pid": out_p, "phash": out_h})

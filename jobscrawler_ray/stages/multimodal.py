@@ -41,6 +41,11 @@ def resize_area(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     acc = np.pad(acc, ((1, 0), (1, 0), (0, 0)))
     ys0, ys1 = y_edges[:-1], y_edges[1:]
     xs0, xs1 = x_edges[:-1], x_edges[1:]
+    # upscaling produces empty boxes — widen them to one source pixel
+    ys1 = np.minimum(np.maximum(ys1, ys0 + 1), h)
+    ys0 = np.minimum(ys0, ys1 - 1)
+    xs1 = np.minimum(np.maximum(xs1, xs0 + 1), w)
+    xs0 = np.minimum(xs0, xs1 - 1)
     area = (ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]
     s = (
         acc[ys1[:, None], xs1[None, :]]
