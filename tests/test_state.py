@@ -129,3 +129,31 @@ class TestCheckpoint:
 
     def test_latest_none_when_empty(self, tmp_path):
         assert latest_manifest(str(tmp_path)) is None
+
+
+class TestStorageSeam:
+    def test_parquet_fallback_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from jobscrawler_ray.sources.storage import (
+            HAVE_LANCE,
+            IMAGE_CAPTION_SCHEMA,
+            read_table,
+            site_config_table,
+            write_table,
+        )
+        from jobscrawler_ray.synth.world import World, WorldParams
+
+        assert not HAVE_LANCE  # sandbox: documented parquet fallback
+        ds = rd.from_items([
+            {"image_id": "a", "bytes": b"x", "w": 1, "h": 1, "fmt": "raw",
+             "caption": "c", "phash": 7, "bucket": 0},
+        ])
+        p = write_table(ds, str(tmp_path / "t"), partition_cols=["bucket"])
+        back = read_table(p).to_pandas()
+        assert back["image_id"].tolist() == ["a"]
+        assert set(IMAGE_CAPTION_SCHEMA.names) <= set(back.columns) | {"bucket"}
+
+        cfg = site_config_table(World(WorldParams(seed=1, n_sites=4))).to_pandas()
+        assert len(cfg) == 4
+        assert {"site_id", "strategy", "elements_path", "politeness_rps"} <= set(cfg.columns)
