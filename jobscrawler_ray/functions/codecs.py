@@ -95,9 +95,7 @@ def phash64(pixels: np.ndarray) -> int:
     )
     small = s / np.maximum(area, 1)
     bits = (small > small.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return int(np.int64(np.uint64(v)))
 
 

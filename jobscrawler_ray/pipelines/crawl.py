@@ -4,18 +4,21 @@ Replaces the reference's single-process asyncio loop
 (``src/main.py:25-42`` + ``src/crawler.py:320-377``) with a
 driver-controlled *wave* loop over ``ray.data.Dataset`` stages:
 
-    exec A  frontier column scan → offer per-host demand to the
-            politeness shard actors; driver finalizes token grants
+    pol.finalize(k)   # grants from demand piggybacked by wave k-1
     exec B  frontier → threshold gate → fetch+parse (map-only, fused)
-            → write parsed/, hive-partitioned by out_kind
-            (deferred/blocked rows pass through unfetched; every real
-             fetch also emits a compact fetchlog row)
-    exec C  parsed/{candidate,frontier_image} column scan → offer
-            candidate keys to the seen shard actors; driver finalizes
-            first-wins (cuckoo anti-join) per shard in global gseq order
+            → write parsed/, hive-partitioned by out_kind.
+            Piggybacks: seen-set offers for this wave's candidates;
+            politeness demand (wave k+1) for deferred rows. Every real
+            fetch also emits a compact fetchlog row.
+    seen.finalize(k)  # cuckoo anti-join, first-wins in global gseq order
     exec D  candidates → verdict labels (+ derived image frontier rows)
-            → write gatec/, hive-partitioned by label
+            → write gatec/, hive-partitioned by label.
+            Piggybacks: admitted rows' politeness demand (wave k+1).
     manifest (checkpoint; next frontier = defer ∪ detail ∪ image dirs)
+
+    (Cold start — wave 0 or resume — runs one extra frontier column
+    scan to rebuild the politeness demand the previous wave would have
+    piggybacked.)
 
 Every wave stage is map-only: the politeness and seen gates use an
 offer → finalize → cached-lookup protocol against the shard actors
@@ -265,9 +268,48 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
+def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, rates):
+    """Piggybacked politeness demand: offer (count, top-k priorities,
+    rate) per host for a FUTURE wave, grouped by politeness shard."""
+    df = pd.DataFrame({"host": hosts, "pol_shard": pol_shards,
+                       "priority": prios, "politeness_rps": rates})
+    if df.empty:
+        return
+    for shard, g in df.groupby("pol_shard", sort=False):
+        d = {}
+        for host, hg in g.groupby("host", sort=False):
+            rate = float(hg["politeness_rps"].iloc[0])
+            cap = int(2 * rate) + 1
+            p = np.sort(hg["priority"].to_numpy())[: cap + 1]
+            d[host] = (int(len(hg)), p.tolist(), rate)
+        ray.get(pol_handles[int(shard)].offer.remote(wave, d))
+
+
+def _offer_seen_candidates(seen_handles: list, wave: int, cols: dict, idxs: list[int]):
+    """Piggybacked seen-set offers for the candidate rows just parsed."""
+    if not idxs:
+        return
+    by_shard: dict[int, list[tuple]] = {}
+    for i in idxs:
+        kind = cols["kind"][i]
+        by_shard.setdefault(int(cols["shard"][i]), []).append(
+            (cols["url_sha1"][i], int(cols["gseq"][i]), kind,
+             bool(cols["follow_link"][i]), cols["canon_url"][i])
+        )
+    ray.get([
+        seen_handles[s].offer_candidates.remote(wave, rows)
+        for s, rows in by_shard.items()
+    ])
+
+
+def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
+                        pol_handles: list | None = None,
+                        seen_handles: list | None = None):
     """Fused fetch+parse batch stage. Stateless tasks + per-process world
-    cache (see module docstring); the parse dispatch is the M3 registry."""
+    cache (see module docstring); the parse dispatch is the M3 registry.
+    When handles are given, the stage also piggybacks the wave protocol's
+    offers — seen-set candidates for THIS wave, politeness demand for the
+    deferred rows' NEXT wave — so no separate scan executions are needed."""
 
     def _derived_url_fields(link: str):
         canon = canonicalize(link)
@@ -414,6 +456,31 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig):
             else:
                 em.emit(**{**base, "out_kind": "error", "status": status,
                            "error": f"unknown kind {kind}"})
+        cols = em.cols
+        if seen_handles is not None:
+            cand_idx = [
+                i for i, ok in enumerate(cols["out_kind"])
+                if ok in ("candidate", "frontier_image", "frontier_detail2")
+            ]
+            _offer_seen_candidates(seen_handles, wave, cols, cand_idx)
+        if pol_handles is not None:
+            # deferred rows re-enter wave+1 with a fairness bump; offer
+            # their bumped priority so the next finalize sees what the
+            # next gate will compare
+            didx = [i for i, ok in enumerate(cols["out_kind"]) if ok == "deferred"]
+            if didx:
+                bumped = [
+                    int(pack_priority(cols["fairness_round"][i] + 1,
+                                      cols["depth"][i], 0, cols["seq"][i]))
+                    for i in didx
+                ]
+                _offer_pol_demand(
+                    pol_handles, wave + 1,
+                    [cols["host"][i] for i in didx],
+                    [cols["pol_shard"][i] for i in didx],
+                    bumped,
+                    [cols["politeness_rps"][i] for i in didx],
+                )
         return em.table()
 
     return fetch_parse
@@ -479,26 +546,12 @@ def _gate_labels(df: pd.DataFrame, pol_handles: list, wave: int) -> np.ndarray:
     )
 
 
-def make_offer_candidates_fn(seen_handles: list, wave: int):
-    """Exec C: push candidate keys (+ derivation inputs) to their seen
-    shard, in any order — finalize sorts by gseq."""
-
-    def offer(df: pd.DataFrame) -> pd.DataFrame:
-        if not df.empty:
-            for shard, g in df.groupby("shard", sort=False):
-                rows = list(
-                    zip(g["url_sha1"], g["gseq"].astype(int), g["kind"],
-                        g["follow_link"].astype(bool), g["canon_url"])
-                )
-                ray.get(seen_handles[int(shard)].offer_candidates.remote(wave, rows))
-        return pd.DataFrame({"n": [len(df)]})
-
-    return offer
-
-
-def make_verdict_label_fn(seen_handles: list, wave: int):
+def make_verdict_label_fn(seen_handles: list, wave: int,
+                          pol_handles: list | None = None):
     """Exec D: label candidates from the finalized verdicts; emit the
-    pre-authorized derived image frontier rows for 'record' labels."""
+    pre-authorized derived image frontier rows for 'record' labels.
+    With ``pol_handles``, also piggybacks the admitted rows' politeness
+    demand for wave+1 (they are the next wave's frontier)."""
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -532,6 +585,14 @@ def make_verdict_label_fn(seen_handles: list, wave: int):
             img["kind"] = "image"
             img["label"] = "image_frontier"
             df = pd.concat([df, img], ignore_index=True)
+        if pol_handles is not None:
+            adm = df[df["label"].isin(["detail", "detail2_frontier", "image_frontier"])]
+            if len(adm):
+                _offer_pol_demand(
+                    pol_handles, wave + 1,
+                    adm["host"].tolist(), adm["pol_shard"].tolist(),
+                    adm["priority"].tolist(), adm["politeness_rps"].tolist(),
+                )
         return df
 
     return label
@@ -647,7 +708,8 @@ def run_crawl(
 
     wave = start_wave
     while wave < cfg.max_waves and frontier_spec is not None:
-        m = _run_wave(out_dir, wave, frontier_spec, seen, pol, world_params, cfg)
+        m = _run_wave(out_dir, wave, frontier_spec, seen, pol, world_params, cfg,
+                      cold_start=(wave == start_wave))
         write_manifest(out_dir, m)
         frontier_spec = m.frontier_path
         wave += 1
@@ -740,6 +802,7 @@ def _run_wave(
     pol: PolitenessPool,
     world_params: WorldParams,
     cfg: CrawlConfig,
+    cold_start: bool = True,
 ) -> WaveManifest:
     wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
     parsed_dir = os.path.join(wdir, "parsed")
@@ -747,24 +810,27 @@ def _run_wave(
     for d in (parsed_dir, gatec_dir):
         os.makedirs(d, exist_ok=True)
 
-    # Exec A (cheap column scan): offer per-host demand to the
-    # politeness shards, then finalize the wave's token grants.
     frontier = _load_frontier(frontier_spec)
     if frontier is None:
         return WaveManifest(wave=wave, frontier_path=None,
                             seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
                             politeness_states=pol.states())
-    (
-        frontier.select_columns(["host", "pol_shard", "priority", "politeness_rps"])
-        .map_batches(make_demand_fn(pol.handles(), wave), batch_format="pandas")
-        .count()
-    )
+
+    # Cold start (seed wave / resume): the politeness demand for this
+    # wave wasn't piggybacked by a previous wave — scan the frontier
+    # once. Warm waves skip this: exec B/D of wave k-1 already offered.
+    if cold_start:
+        (
+            _load_frontier(frontier_spec)
+            .select_columns(["host", "pol_shard", "priority", "politeness_rps"])
+            .map_batches(make_demand_fn(pol.handles(), wave), batch_format="pandas")
+            .count()
+        )
     pol.finalize(wave)
 
     # Exec B (the heavy one, map-only): threshold gate → fetch+parse →
-    # hive write. Deferred/blocked rows pass through unfetched; each
-    # real fetch also emits a compact fetchlog row. Repartition first so
-    # skewed upstream files don't become straggler tasks.
+    # hive write. Piggybacks the seen-set offers for this wave's
+    # candidates and the politeness demand for deferred rows (wave+1).
     pol_handles = pol.handles()
 
     def gate_label(df: pd.DataFrame) -> pd.DataFrame:
@@ -776,35 +842,32 @@ def _run_wave(
         _load_frontier(frontier_spec, num_blocks=cfg.wave_blocks)
         .map_batches(gate_label, batch_format="pandas")
         .map_batches(
-            make_fetch_parse_fn(world_params, wave, cfg),
+            make_fetch_parse_fn(world_params, wave, cfg,
+                                pol_handles=pol_handles,
+                                seen_handles=seen.handles()),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         )
         .write_parquet(parsed_dir, partition_cols=["out_kind"])
     )
 
-    # Exec C + finalize + Exec D: the seen-set anti-join without a
-    # shuffle — offer candidate keys, resolve first-wins per shard in
-    # global gseq order, then label + emit derived image rows.
+    # finalize + Exec D: the seen-set anti-join without a shuffle —
+    # first-wins per shard in global gseq order, then label + derived
+    # image rows; piggybacks admitted rows' politeness demand (wave+1).
     cand_dirs = _existing([
         _subdir(parsed_dir, "out_kind", "candidate"),
         _subdir(parsed_dir, "out_kind", "frontier_image"),
         _subdir(parsed_dir, "out_kind", "frontier_detail2"),
     ])
     if cand_dirs:
-        (
-            rd.read_parquet(
-                _parquet_files(cand_dirs),
-                columns=["shard", "url_sha1", "gseq", "kind", "follow_link", "canon_url"],
-            )
-            .map_batches(make_offer_candidates_fn(seen.handles(), wave), batch_format="pandas")
-            .count()
-        )
         seen.finalize(wave)
         (
             rd.read_parquet(_parquet_files(cand_dirs), columns=FRONTIER_COLS)
             .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
-            .map_batches(make_verdict_label_fn(seen.handles(), wave), batch_format="pandas")
+            .map_batches(
+                make_verdict_label_fn(seen.handles(), wave, pol_handles=pol_handles),
+                batch_format="pandas",
+            )
             .write_parquet(gatec_dir, partition_cols=["label"])
         )
 
