@@ -155,3 +155,28 @@ class TestPolitenessAndRobots:
         blocked = {h for h in world.by_host if world.host_blocked(h)}
         assert blocked, "seed should block at least one host"
         assert not set(eng["host"]) & blocked
+
+
+class TestCombinedConstraints:
+    def test_politeness_robots_twohop_combined(self, ray_session, tmp_path):
+        """Interaction coverage: tight budget + robots-blocked hosts +
+        two-hop sites in one world, still oracle-equal."""
+        wp = WorldParams(seed=23, n_sites=10, pages_per_site=3, jobs_per_page=4,
+                         politeness_rps=4, blocked_pct=20, rss_missing_loc=False)
+        out = str(tmp_path / "combo")
+        summary = run_crawl(wp, out, CrawlConfig(**{**CFG.__dict__, "max_waves": 64}))
+        oracle = run_oracle(wp)
+        eng = _read_dir(os.path.join(out, "job_records")).sort_values("url_sha1")
+        ora = oracle["records"].sort_values("url_sha1")
+        assert eng["url_sha1"].tolist() == ora["url_sha1"].tolist()
+        assert eng["description"].tolist() == ora["description"].tolist()
+        assert set(summary["seen_membership"]) == oracle["seen"]
+
+    def test_fully_blocked_world_empty_outputs(self, ray_session, tmp_path):
+        wp = WorldParams(seed=3, n_sites=3, pages_per_site=1, jobs_per_page=2,
+                         blocked_pct=100)
+        out = str(tmp_path / "blocked")
+        summary = run_crawl(wp, out, CFG)
+        assert summary["job_records"] == 0
+        assert summary["image_caption"] == 0
+        assert len(summary["seen_membership"]) == 0
