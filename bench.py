@@ -137,19 +137,21 @@ def run_at(ncpu: int) -> dict:
 
 
 def scaling() -> None:
-    lo, hi = 8, 32
+    # N and 4N (default 8→32); override with GRAFT_SCALE_LO/HI, e.g. 4→16
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo)))
     r_lo, r_hi = run_at(lo), run_at(hi)
     thr_lo = r_lo["crawl"]["urls_per_sec"]
     thr_hi = r_hi["crawl"]["urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
-        "metric": "crawl throughput scaling (num_cpus 8 vs 32)",
-        "urls_per_sec_8": thr_lo,
-        "urls_per_sec_32": thr_hi,
-        "images_per_sec_8": r_lo["crawl"]["images_per_sec"],
-        "images_per_sec_32": r_hi["crawl"]["images_per_sec"],
-        "sec_8": r_lo["crawl"]["sec"],
-        "sec_32": r_hi["crawl"]["sec"],
+        "metric": f"crawl throughput scaling (num_cpus {lo} vs {hi})",
+        f"urls_per_sec_{lo}": thr_lo,
+        f"urls_per_sec_{hi}": thr_hi,
+        f"images_per_sec_{lo}": r_lo["crawl"]["images_per_sec"],
+        f"images_per_sec_{hi}": r_hi["crawl"]["images_per_sec"],
+        f"sec_{lo}": r_lo["crawl"]["sec"],
+        f"sec_{hi}": r_hi["crawl"]["sec"],
         "scaling_efficiency": round(eff, 3),
     }))
 
