@@ -746,6 +746,65 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_distinct_users(sf_dir: str):
+    """Set op: global distinct count (``Dataset.unique`` — a shuffle)."""
+    n = len(_tbl(sf_dir, "events", ["user_id"]).unique("user_id"))
+    return pd.DataFrame({"n": pd.Series([n], dtype=np.int64)})
+
+
+def q_supplier_regions(sf_dir: str):
+    """3-way dimension join via chained broadcast lookups (supplier →
+    nation → region), counts per region."""
+    nation = {r["n_nationkey"]: r["n_regionkey"] for r in _tbl(sf_dir, "nation").take_all()}
+    region = {r["r_regionkey"]: r["r_name"] for r in _tbl(sf_dir, "region").take_all()}
+    ref = ray.put((nation, region))
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        nlut, rlut = _bget(ref)
+        out = pd.DataFrame({"region": df["s_nationkey"].map(nlut).map(rlut)})
+        return out.groupby("region", as_index=False).agg(n=("region", "size"))
+
+    return (
+        _tbl(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(lookup, batch_format="pandas")
+        .groupby("region")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)), batch_format="pandas")
+    )
+
+
+def q_top_customers_by_spend(sf_dir: str):
+    """Join + aggregate + global top-k: top 10 customers by total order
+    value (broadcast the customer names, pre-aggregate order totals)."""
+    names = {r["c_custkey"]: r["c_name"] for r in
+             _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).take_all()}
+    ref = ray.put(names)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(spend=("o_totalprice", "sum"))
+
+    agg = (
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("spend", alias_name="spend"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(ref)
+        df = df.copy()
+        df["c_name"] = df["o_custkey"].map(lut)
+        df["spend"] = _round_half_up(df["spend"], 2)
+        return df[["o_custkey", "c_name", "spend"]]
+
+    top = (
+        agg.map_batches(finish, batch_format="pandas")
+        .sort(["spend", "o_custkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user — the stream-shaped
     op Ray Data lacks natively: bucket users (64 coarse groups, not one
@@ -909,6 +968,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_job_records": q_crawl_job_records,
     "multimodal_features": q_multimodal_features,
     "session_windows": q_session_windows,
+    "distinct_users": q_distinct_users,
+    "supplier_regions": q_supplier_regions,
+    "top_customers_by_spend": q_top_customers_by_spend,
     "embed_documents": q_embed_documents,
     "multimodal_resize": q_multimodal_resize,
     "phash_neardup": q_phash_neardup,
@@ -1016,6 +1078,17 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id AND "
         f"list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_TAU}"
+    ),
+    "distinct_users": "SELECT count(DISTINCT user_id) AS n FROM events",
+    "supplier_regions": (
+        "SELECT r.r_name AS region, count(*) AS n FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    ),
+    "top_customers_by_spend": (
+        "SELECT o_custkey, c_name, round(sum(o_totalprice), 2) AS spend "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY o_custkey, c_name ORDER BY spend DESC, o_custkey LIMIT 10"
     ),
     "session_windows": (
         "WITH o AS (SELECT user_id, event_id, ts, "
