@@ -4,20 +4,25 @@ Replaces the reference's single-process asyncio loop
 (``src/main.py:25-42`` + ``src/crawler.py:320-377``) with a
 driver-controlled *wave* loop over ``ray.data.Dataset`` stages:
 
-    pol.finalize(k)   # grants from demand piggybacked by wave k-1
-    exec B  frontier → threshold gate → fetch+parse (map-only, fused)
-            → write parsed/, hive-partitioned by out_kind.
-            Piggybacks: seen-set offers for this wave's candidates;
-            politeness demand (wave k+1) for deferred rows. Every real
-            fetch also emits a compact fetchlog row.
-    seen.finalize(k)  # cuckoo anti-join, first-wins in global gseq order
-    exec D  candidates → verdict labels (+ derived image frontier rows)
-            → write gatec/, hive-partitioned by label.
-            Piggybacks: admitted rows' politeness demand (wave k+1).
-    manifest (checkpoint; next frontier = defer ∪ detail ∪ image dirs)
+    pol.finalize(k)    # token grants from demand piggybacked by wave k-1
+    THE wave execution (one fused map-only chain):
+        [wave k-1 candidates labeled lazily against the finalized
+         verdicts → admitted rows become detail/detail2/image fetches,
+         pass-through records, derived image rows]  ∪  deferred rows
+          → threshold gate → fetch+parse
+          → write parsed/, hive-partitioned by out_kind.
+        Piggybacks: seen-set offers for this wave's new candidates;
+        politeness demand (wave k+1) for deferred rows. Every real
+        fetch also emits a compact fetchlog row.
+    seen.finalize(k)   # cuckoo anti-join, first-wins in global gseq
+                       # order; also computes the admitted rows'
+                       # politeness demand, forwarded driver-side
+    manifest (checkpoint; next frontier = defer ∪ candidate dirs;
+              seen snapshots carry the verdicts so a resumed run can
+              label wave k's candidates)
 
-    (Cold start — wave 0 or resume — runs one extra frontier column
-    scan to rebuild the politeness demand the previous wave would have
+    (Cold start — wave 0 or resume — runs one extra frontier scan to
+    rebuild the politeness demand the previous wave would have
     piggybacked.)
 
 Every wave stage is map-only: the politeness and seen gates use an
@@ -286,7 +291,9 @@ def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, ra
 
 
 def _offer_seen_candidates(seen_handles: list, wave: int, cols: dict, idxs: list[int]):
-    """Piggybacked seen-set offers for the candidate rows just parsed."""
+    """Piggybacked seen-set offers for the candidate rows just parsed.
+    Rows carry (host, priority, rate, seq) so finalize can also compute
+    the admitted rows' politeness demand for wave+1."""
     if not idxs:
         return
     by_shard: dict[int, list[tuple]] = {}
@@ -294,7 +301,9 @@ def _offer_seen_candidates(seen_handles: list, wave: int, cols: dict, idxs: list
         kind = cols["kind"][i]
         by_shard.setdefault(int(cols["shard"][i]), []).append(
             (cols["url_sha1"][i], int(cols["gseq"][i]), kind,
-             bool(cols["follow_link"][i]), cols["canon_url"][i])
+             bool(cols["follow_link"][i]), cols["canon_url"][i],
+             cols["host"][i], int(cols["priority"][i]),
+             float(cols["politeness_rps"][i]), int(cols["seq"][i]))
         )
     ray.get([
         seen_handles[s].offer_candidates.remote(wave, rows)
@@ -336,6 +345,11 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
                 continue
             if gate == "block":
                 em.emit(**{**base, "out_kind": "blocked"})
+                continue
+            if r["kind"] == "record_passthrough":
+                # admitted non-follow candidate: record completes with
+                # its listing description — no fetch, no fetchlog
+                em.emit(**{**base, "out_kind": "record"})
                 continue
             status, payload = world.fetch(r["canon_url"])
             # compact fetch-log row: the conformance ordering projection
@@ -546,34 +560,41 @@ def _gate_labels(df: pd.DataFrame, pol_handles: list, wave: int) -> np.ndarray:
     )
 
 
-def make_verdict_label_fn(seen_handles: list, wave: int,
-                          pol_handles: list | None = None):
-    """Exec D: label candidates from the finalized verdicts; emit the
-    pre-authorized derived image frontier rows for 'record' labels.
-    With ``pol_handles``, also piggybacks the admitted rows' politeness
-    demand for wave+1 (they are the next wave's frontier)."""
+def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConfig):
+    """Frontier source: label the previous wave's candidate rows from
+    the finalized verdicts (cached read-only RPC) and convert the
+    admitted ones into this wave's frontier rows — detail/detail2/image
+    fetches, pass-through records (completed without a fetch), and the
+    pre-authorized derived image rows. Dups drop here. This replaces a
+    whole labeling execution: the conversion fuses into the wave's
+    single gate→fetch→parse chain."""
 
-    def label(df: pd.DataFrame) -> pd.DataFrame:
+    _KIND = {"detail": "detail", "detail2_frontier": "detail2",
+             "image_frontier": "image", "record": "record_passthrough"}
+
+    def convert(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return df.assign(label=pd.Series([], dtype=str))
+            return df
         verd: dict[str, tuple[str, int]] = {}
         emit_img: dict[str, bool] = {}
         for shard in df["shard"].unique():
-            v, e = _cached_rpc(seen_handles[int(shard)], "verdicts", wave)
+            v, e = _cached_rpc(seen_handles[int(shard)], "verdicts", prev_wave)
             verd.update(v)
             emit_img.update(e)
-        df = df.copy()
         lab = df["url_sha1"].map(lambda s: verd.get(s, ("dup", -1)))
         # only the winning gseq carries the verdict; later intra-wave
         # duplicates of the same key are "dup" (first-wins)
-        df["label"] = [
+        df = df.assign(label=[
             l if g == win_g else "dup"
             for (l, win_g), g in zip(lab, df["gseq"].astype(int))
-        ]
-        rec = df[df["label"] == "record"]
+        ])
+        keep = df[df["label"].isin(list(_KIND))].copy()
+        keep["kind"] = keep["label"].map(_KIND)
+        rec = keep[keep["label"] == "record"]
         rec = rec[rec["url_sha1"].map(emit_img).fillna(False)]
+        out = [keep.drop(columns=["label"])]
         if len(rec):
-            img = rec.copy()
+            img = rec.drop(columns=["label"]).copy()
             img["image_id"] = rec["url_sha1"]
             img["canon_url"] = rec["canon_url"] + "/image"
             img["url"] = img["canon_url"]
@@ -583,19 +604,10 @@ def make_verdict_label_fn(seen_handles: list, wave: int,
             img["gseq"] = rec["gseq"] + 1
             img["priority"] = [int(pack_priority(0, 2, 0, s)) for s in img["seq"]]
             img["kind"] = "image"
-            img["label"] = "image_frontier"
-            df = pd.concat([df, img], ignore_index=True)
-        if pol_handles is not None:
-            adm = df[df["label"].isin(["detail", "detail2_frontier", "image_frontier"])]
-            if len(adm):
-                _offer_pol_demand(
-                    pol_handles, wave + 1,
-                    adm["host"].tolist(), adm["pol_shard"].tolist(),
-                    adm["priority"].tolist(), adm["politeness_rps"].tolist(),
-                )
-        return df
+            out.append(img)
+        return pd.concat(out, ignore_index=True)
 
-    return label
+    return convert
 
 
 # --------------------------------------------------------------------------
@@ -721,9 +733,6 @@ def run_crawl(
             "job_records": sum(
                 dir_num_rows(p)
                 for p in glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=record"))
-            ) + sum(
-                dir_num_rows(p)
-                for p in glob.glob(os.path.join(out_dir, "waves", "w*", "gatec", "label=record"))
             ),
             "image_caption": sum(
                 dir_num_rows(p)
@@ -739,13 +748,18 @@ def run_crawl(
     return summary
 
 
-def _load_frontier(spec: dict, num_blocks: int | None = None):
+def _load_frontier(spec: dict, num_blocks: int | None = None,
+                   seen_handles: list | None = None,
+                   prev_wave: int | None = None,
+                   cfg: CrawlConfig | None = None):
     """Build the wave's input Dataset from the previous wave's hive
-    partitions: seed dirs + deferred rows (fairness bump) + admitted
-    detail/image rows. All lazy — one execution consumes them.
-    ``num_blocks`` splits the read into balanced tasks up front
-    (override_num_blocks) — an explicit repartition would be an
-    AllToAll barrier costing ~10s wall regardless of data size."""
+    partitions: seed dirs + deferred rows (fairness bump) + the previous
+    wave's candidate rows labeled lazily against the finalized seen-set
+    verdicts ("cands" source — fuses what used to be a whole labeling
+    execution into this wave's chain). All lazy — one execution consumes
+    them. ``num_blocks`` splits the read into balanced tasks up front
+    (override_num_blocks) — an explicit repartition would be an AllToAll
+    barrier costing ~10s wall regardless of data size."""
     parts = []
     norm = _normalize(FRONTIER_FIELDS)
 
@@ -786,6 +800,19 @@ def _load_frontier(spec: dict, num_blocks: int | None = None):
                                 override_num_blocks=num_blocks)
                 .map_batches(fn, batch_format="pyarrow")
             )
+    cand_paths = _existing(spec.get("cands", []))
+    if cand_paths:
+        assert seen_handles is not None and prev_wave is not None
+        parts.append(
+            rd.read_parquet(_parquet_files(cand_paths), columns=FRONTIER_COLS,
+                            override_num_blocks=num_blocks)
+            .map_batches(norm, batch_format="pyarrow")
+            .map_batches(
+                make_cands_to_frontier_fn(seen_handles, prev_wave, cfg),
+                batch_format="pandas",
+            )
+            .map_batches(norm, batch_format="pyarrow")
+        )
     if not parts:
         return None
     ds = parts[0]
@@ -806,11 +833,16 @@ def _run_wave(
 ) -> WaveManifest:
     wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
     parsed_dir = os.path.join(wdir, "parsed")
-    gatec_dir = os.path.join(wdir, "gatec")
-    for d in (parsed_dir, gatec_dir):
-        os.makedirs(d, exist_ok=True)
+    os.makedirs(parsed_dir, exist_ok=True)
+    seen_handles = seen.handles()
+    pol_handles = pol.handles()
 
-    frontier = _load_frontier(frontier_spec)
+    def _load(num_blocks=None):
+        return _load_frontier(frontier_spec, num_blocks=num_blocks,
+                              seen_handles=seen_handles, prev_wave=wave - 1,
+                              cfg=cfg)
+
+    frontier = _load()
     if frontier is None:
         return WaveManifest(wave=wave, frontier_path=None,
                             seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
@@ -818,74 +850,75 @@ def _run_wave(
 
     # Cold start (seed wave / resume): the politeness demand for this
     # wave wasn't piggybacked by a previous wave — scan the frontier
-    # once. Warm waves skip this: exec B/D of wave k-1 already offered.
+    # once. Warm waves skip this: wave k-1's exec + finalize offered it.
     if cold_start:
         (
-            _load_frontier(frontier_spec)
-            .select_columns(["host", "pol_shard", "priority", "politeness_rps"])
-            .map_batches(make_demand_fn(pol.handles(), wave), batch_format="pandas")
+            _load()
+            .map_batches(make_demand_fn(pol_handles, wave), batch_format="pandas")
             .count()
         )
     pol.finalize(wave)
 
-    # Exec B (the heavy one, map-only): threshold gate → fetch+parse →
-    # hive write. Piggybacks the seen-set offers for this wave's
-    # candidates and the politeness demand for deferred rows (wave+1).
-    pol_handles = pol.handles()
-
+    # THE wave execution (map-only, fused): previous wave's candidates
+    # labeled against the finalized verdicts → threshold gate →
+    # fetch+parse → hive write. Piggybacks the seen-set offers for this
+    # wave's candidates and the deferred rows' politeness demand (wave+1).
     def gate_label(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["gate"] = _gate_labels(df, pol_handles, wave) if len(df) else []
+        if len(df):
+            g = _gate_labels(df, pol_handles, wave)
+            # pass-through records were already admitted and need no
+            # fetch — politeness does not apply
+            df["gate"] = np.where(df["kind"] == "record_passthrough", "allow", g)
+        else:
+            df["gate"] = []
         return df
 
     (
-        _load_frontier(frontier_spec, num_blocks=cfg.wave_blocks)
+        _load(num_blocks=cfg.wave_blocks)
         .map_batches(gate_label, batch_format="pandas")
         .map_batches(
             make_fetch_parse_fn(world_params, wave, cfg,
                                 pol_handles=pol_handles,
-                                seen_handles=seen.handles()),
+                                seen_handles=seen_handles),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         )
         .write_parquet(parsed_dir, partition_cols=["out_kind"])
     )
 
-    # finalize + Exec D: the seen-set anti-join without a shuffle —
-    # first-wins per shard in global gseq order, then label + derived
-    # image rows; piggybacks admitted rows' politeness demand (wave+1).
+    # seen finalize (anti-join, first-wins in global gseq order) + the
+    # admitted rows' politeness demand for wave+1, forwarded driver-side
     cand_dirs = _existing([
         _subdir(parsed_dir, "out_kind", "candidate"),
         _subdir(parsed_dir, "out_kind", "frontier_image"),
         _subdir(parsed_dir, "out_kind", "frontier_detail2"),
     ])
+    seen_counts: dict = {}
     if cand_dirs:
-        seen.finalize(wave)
-        (
-            rd.read_parquet(_parquet_files(cand_dirs), columns=FRONTIER_COLS)
-            .map_batches(_normalize(FRONTIER_FIELDS), batch_format="pyarrow")
-            .map_batches(
-                make_verdict_label_fn(seen.handles(), wave, pol_handles=pol_handles),
-                batch_format="pandas",
-            )
-            .write_parquet(gatec_dir, partition_cols=["label"])
-        )
+        seen_counts = seen.finalize(wave)
+        # one batched round-trip for all shards' demands, one batched
+        # offer round per politeness shard (a sequential per-shard loop
+        # here serialized ~64 RPCs per wave and flattened scaling)
+        demands = ray.get([s.admitted_demand.remote(wave) for s in seen_handles])
+        by_pol: dict[int, dict] = {}
+        for demand in demands:
+            for host, d in demand.items():
+                by_pol.setdefault(hash64(host) % pol.num_shards, {})[host] = d
+        ray.get([
+            pol_handles[s].offer.remote(wave + 1, dd)
+            for s, dd in by_pol.items()
+        ])
 
-    # 3. next frontier = deferred ∪ admitted detail ∪ admitted image dirs
+    # next frontier = deferred rows ∪ this wave's candidate dirs (labeled
+    # lazily next wave against the verdicts snapshotted below)
     defer_dirs = _existing([_subdir(parsed_dir, "out_kind", "deferred")])
-    detail_dirs = _existing([_subdir(gatec_dir, "label", "detail")])
-    detail2_dirs = _existing([_subdir(gatec_dir, "label", "detail2_frontier")])
-    image_dirs = _existing([_subdir(gatec_dir, "label", "image_frontier")])
     next_spec = None
-    if defer_dirs or detail_dirs or detail2_dirs or image_dirs:
-        next_spec = {"seed": [], "defer": defer_dirs, "detail": detail_dirs,
-                     "detail2": detail2_dirs, "image": image_dirs}
+    if defer_dirs or cand_dirs:
+        next_spec = {"seed": [], "defer": defer_dirs, "cands": cand_dirs}
 
-    # 4. metrics + manifest (records/images/errors are hive subdirs)
-    records_paths = _existing([
-        _subdir(parsed_dir, "out_kind", "record"),
-        _subdir(gatec_dir, "label", "record"),
-    ])
+    # metrics + manifest (records/images/errors are hive subdirs)
+    records_paths = _existing([_subdir(parsed_dir, "out_kind", "record")])
     images_paths = _existing([_subdir(parsed_dir, "out_kind", "image")])
     errors_paths = _existing([_subdir(parsed_dir, "out_kind", "error")])
     metrics = {
@@ -898,10 +931,7 @@ def _run_wave(
             _subdir(parsed_dir, "out_kind", v)
             for v in ("candidate", "frontier_image", "record", "image", "error")
         ]),
-        "seen": _site_counts([
-            _subdir(gatec_dir, "label", v)
-            for v in ("dup", "detail", "record", "image_frontier", "detail2_frontier")
-        ]),
+        "seen": seen_counts,
         "fetched": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
         "deferred": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
         "records": sum(dir_num_rows(p) for p in records_paths),
@@ -967,7 +997,6 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
 
     rec_dirs = _existing(
         sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=record")))
-        + sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "gatec", "label=record")))
     )
     img_dirs = _existing(
         sorted(glob.glob(os.path.join(out_dir, "waves", "w*", "parsed", "out_kind=image")))

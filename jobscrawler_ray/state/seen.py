@@ -75,7 +75,10 @@ class _SeenShard:
     # by the politeness budget, not the frontier.
 
     def offer_candidates(self, wave: int, rows: list[tuple]) -> bool:
-        """rows: (url_sha1, gseq, kind, follow_link, canon_url)."""
+        """rows: (url_sha1, gseq, kind, follow_link, canon_url,
+        host, priority, rate, seq) — the last four feed the admitted
+        rows' politeness demand for wave+1 (computed in finalize, so the
+        whole anti-join + next-wave demand needs no extra pass)."""
         buf = getattr(self, "_offer_buf", None)
         if buf is None or getattr(self, "_offer_wave", None) != wave:
             self._offer_buf = buf = []
@@ -89,6 +92,8 @@ class _SeenShard:
         derived-image emission in the labeling pass is pre-authorized."""
         import hashlib
 
+        from ..functions.priority import pack_priority
+
         rows = sorted(getattr(self, "_offer_buf", []) or [], key=lambda r: (r[1], r[2]))
         # verdict = (label, winning_gseq): rows of the same key with a
         # later gseq are intra-wave duplicates → "dup" (first-wins).
@@ -96,6 +101,15 @@ class _SeenShard:
         # the end; the loop only touches python sets.
         verdicts: dict[str, tuple[str, int]] = {}
         emit_image: dict[str, bool] = {}
+        # per-host demand of the rows this wave ADMITS (they are the next
+        # wave's frontier): host -> [count, sorted-prio-list, rate]
+        demand: dict[str, list] = {}
+
+        def _demand(host: str, prio: int, rate: float):
+            d = demand.setdefault(host, [0, [], float(rate)])
+            d[0] += 1
+            d[1].append(int(prio))
+
         n = len(rows)
         if n:
             h64 = np.fromiter(
@@ -108,8 +122,8 @@ class _SeenShard:
             #   (hash collision) need only one fingerprint — inserting
             #   every copy would overflow its two buckets
             new_keys: list[str] = []
-            img_pending: list[tuple[str, str]] = []  # (candidate sha, img sha)
-            for i, (sha, gseq, kind, follow, canon) in enumerate(rows):
+            img_pending: list[tuple[str, str, str, float, int]] = []
+            for i, (sha, gseq, kind, follow, canon, host, prio, rate, seq) in enumerate(rows):
                 if sha in verdicts:
                     continue  # intra-wave duplicate; first occurrence won
                 if self.exact is not None:
@@ -129,22 +143,24 @@ class _SeenShard:
                 if kind != "candidate":
                     # image → image_frontier, detail2 → detail2_frontier
                     verdicts[sha] = (f"{kind}_frontier", int(gseq))
+                    _demand(host, prio, rate)
                 elif follow:
                     verdicts[sha] = ("detail", int(gseq))
+                    _demand(host, prio, rate)
                 else:
                     verdicts[sha] = ("record", int(gseq))
                     img_sha = hashlib.sha1((canon + "/image").encode()).hexdigest()
-                    img_pending.append((sha, img_sha))
+                    img_pending.append((sha, img_sha, host, rate, int(seq)))
             if new_h:
                 self.filter.add_many(np.array(new_h, dtype=np.uint64))
             if img_pending:
                 ih = np.fromiter(
-                    (int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for _, s in img_pending),
+                    (int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for _, s, _, _, _ in img_pending),
                     dtype=np.uint64, count=len(img_pending),
                 )
                 ipre = self.filter.contains_many(ih)
                 add_h: list[int] = []
-                for j, (cand_sha, img_sha) in enumerate(img_pending):
+                for j, (cand_sha, img_sha, host, rate, seq) in enumerate(img_pending):
                     if self.exact is not None:
                         dup = img_sha in self.exact
                     else:
@@ -154,29 +170,54 @@ class _SeenShard:
                         if self.exact is not None:
                             self.exact.add(img_sha)
                         add_h.append(int(ih[j]))
+                        # derived image fetch joins the next wave too
+                        _demand(host, int(pack_priority(0, 2, 0, seq + 1)), rate)
                 if add_h:
                     self.filter.add_many(np.array(add_h, dtype=np.uint64))
+        for d in demand.values():
+            d[1].sort()
         self._verdicts = verdicts
         self._emit_image = emit_image
+        self._admit_demand = demand
         self._final_wave = wave
         self._offer_buf = []
-        return len(verdicts)
+        counts: dict[str, int] = {}
+        for label, _ in verdicts.values():
+            counts[label] = counts.get(label, 0) + 1
+        return counts
 
     def verdicts(self, wave: int) -> tuple[dict, dict]:
         assert wave == getattr(self, "_final_wave", None)
         return self._verdicts, self._emit_image
 
+    def admitted_demand(self, wave: int) -> dict:
+        """Per-host politeness demand of the rows this finalize admitted
+        — the driver forwards it to the politeness shards for wave+1."""
+        assert wave == getattr(self, "_final_wave", None)
+        return {h: (d[0], d[1][: int(2 * d[2]) + 2], d[2])
+                for h, d in self._admit_demand.items()}
+
     def count(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
 
     def snapshot(self, path: str) -> str:
-        """Persist shard state for checkpoint/resume (atomic rename)."""
+        """Persist shard state for checkpoint/resume (atomic rename).
+        Includes the last finalized wave's verdicts, so a resumed run can
+        label that wave's candidates (they are the next frontier)."""
+        import json
+
         tmp = path + ".tmp"
         exact = (
             np.array(sorted(self.exact), dtype="U40")
             if self.exact is not None
             else np.array([], dtype="U40")
         )
+        state = {
+            "final_wave": getattr(self, "_final_wave", None),
+            "verdicts": getattr(self, "_verdicts", {}),
+            "emit_image": getattr(self, "_emit_image", {}),
+        }
+        blob = np.frombuffer(json.dumps(state).encode("utf-8"), dtype=np.uint8)
         with open(tmp, "wb") as f:
             np.savez_compressed(
                 f,
@@ -185,11 +226,14 @@ class _SeenShard:
                 seed=np.int64(self.filter.seed),
                 has_exact=np.bool_(self.exact is not None),
                 exact=exact,
+                wave_state=blob,
             )
         os.replace(tmp, path)
         return path
 
     def restore(self, path: str) -> int:
+        import json
+
         with np.load(path) as z:
             f = CuckooFilter.__new__(CuckooFilter)
             f.buckets = z["buckets"].copy()
@@ -199,6 +243,11 @@ class _SeenShard:
             f.seed = int(z["seed"])
             self.filter = f
             self.exact = set(z["exact"].tolist()) if bool(z["has_exact"]) else None
+            if "wave_state" in z.files:
+                st = json.loads(bytes(z["wave_state"].tobytes()).decode("utf-8"))
+                self._final_wave = st["final_wave"]
+                self._verdicts = {k: tuple(v) for k, v in st["verdicts"].items()}
+                self._emit_image = st["emit_image"]
         return self.count()
 
 

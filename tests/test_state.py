@@ -25,8 +25,8 @@ class TestSeenShardProtocol:
         s = self._shard()
         # same key offered twice, out of order: lower gseq must win
         rows = [
-            ("a" * 40, 20, "candidate", False, "https://h.test/jobs/1"),
-            ("a" * 40, 10, "candidate", False, "https://h.test/jobs/1"),
+            ("a" * 40, 20, "candidate", False, "https://h.test/jobs/1", "h.test", 20, 8.0, 20),
+            ("a" * 40, 10, "candidate", False, "https://h.test/jobs/1", "h.test", 10, 8.0, 10),
         ]
         s.offer_candidates(0, rows)
         s.finalize(0)
@@ -36,21 +36,21 @@ class TestSeenShardProtocol:
 
     def test_cross_wave_dup(self):
         s = self._shard()
-        s.offer_candidates(0, [("b" * 40, 5, "candidate", True, "https://h.test/x")])
+        s.offer_candidates(0, [("b" * 40, 5, "candidate", True, "https://h.test/x", "h.test", 5, 8.0, 5)])
         s.finalize(0)
         assert s.verdicts(0)[0]["b" * 40] == ("detail", 5)
-        s.offer_candidates(1, [("b" * 40, 99, "candidate", True, "https://h.test/x")])
+        s.offer_candidates(1, [("b" * 40, 99, "candidate", True, "https://h.test/x", "h.test", 99, 8.0, 99)])
         s.finalize(1)
         assert s.verdicts(1)[0]["b" * 40] == ("dup", 99)
 
     def test_image_claim(self):
         s = self._shard()
-        s.offer_candidates(0, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9")])
+        s.offer_candidates(0, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)])
         s.finalize(0)
         _, emit = s.verdicts(0)
         assert emit["c" * 40] is True
         # replay (resume): record is dup now, image not re-emitted
-        s.offer_candidates(1, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9")])
+        s.offer_candidates(1, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)])
         s.finalize(1)
         verd, emit2 = s.verdicts(1)
         assert verd["c" * 40] == ("dup", 1)
@@ -58,7 +58,7 @@ class TestSeenShardProtocol:
 
     def test_filter_only_mode(self):
         s = self._shard(exact=False)
-        rows = [(f"{i:040x}", i, "candidate", True, f"https://h.test/{i}") for i in range(200)]
+        rows = [(f"{i:040x}", i, "candidate", True, f"https://h.test/{i}", "h.test", i, 8.0, i) for i in range(200)]
         s.offer_candidates(0, rows)
         s.finalize(0)
         verd, _ = s.verdicts(0)
