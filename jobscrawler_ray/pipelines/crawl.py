@@ -273,6 +273,21 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
+def _offer_id(wave: int, shard: int, hosts, prios) -> int:
+    """Stable identity for one task's politeness offer: a content hash of
+    the offered (host, priority) multiset. A retried/reconstructed Ray
+    task re-offers exactly the same rows, so its id repeats and the shard
+    ignores it — offers stay idempotent under task retries (offers are
+    side effects inside map tasks, which Ray may re-execute)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(f"{wave}|{shard}".encode())
+    for host, p in sorted(zip(hosts, prios)):
+        h.update(f"{host}:{p}|".encode())
+    return int.from_bytes(h.digest(), "big")
+
+
 def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, rates):
     """Piggybacked politeness demand: offer (count, top-k priorities,
     rate) per host for a FUTURE wave, grouped by politeness shard."""
@@ -287,7 +302,8 @@ def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, ra
             cap = int(2 * rate) + 1
             p = np.sort(hg["priority"].to_numpy())[: cap + 1]
             d[host] = (int(len(hg)), p.tolist(), rate)
-        ray.get(pol_handles[int(shard)].offer.remote(wave, d))
+        oid = _offer_id(wave, int(shard), g["host"].tolist(), g["priority"].tolist())
+        ray.get(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
 
 
 def _offer_seen_candidates(seen_handles: list, wave: int, cols: dict, idxs: list[int]):
@@ -518,9 +534,16 @@ _ACTOR_CACHE: dict[tuple, Any] = {}
 
 
 def _cached_rpc(handle, method: str, wave: int):
-    """One read-only RPC per (actor, wave) per worker process."""
+    """One read-only RPC per (actor, wave) per worker process. Entries
+    for older waves of the same (actor, method) are evicted on insert —
+    worker processes outlive waves, and the cached verdict tables are
+    full per-wave sha1 maps that would otherwise accumulate unboundedly
+    over a long crawl."""
     key = (handle._actor_id.hex(), method, wave)
     if key not in _ACTOR_CACHE:
+        stale = [k for k in _ACTOR_CACHE if k[:2] == key[:2] and k[2] < wave]
+        for k in stale:
+            del _ACTOR_CACHE[k]
         _ACTOR_CACHE[key] = ray.get(getattr(handle, method).remote(wave))
     return _ACTOR_CACHE[key]
 
@@ -530,6 +553,11 @@ def make_demand_fn(pol_handles: list, wave: int):
     count + smallest cap+1 priorities (distributed top-k merge)."""
 
     def demand(df: pd.DataFrame) -> pd.DataFrame:
+        # pass-through records never fetch: offering their demand would
+        # debit tokens for rows that bypass the gate, making a resumed
+        # run's wave accounting diverge from the warm path (which
+        # excludes them in SeenShard.finalize's admitted_demand)
+        df = df[df["kind"] != "record_passthrough"]
         if not df.empty:
             for shard, g in df.groupby("pol_shard", sort=False):
                 d = {}
@@ -538,7 +566,9 @@ def make_demand_fn(pol_handles: list, wave: int):
                     cap = int(2 * rate) + 1
                     prios = np.sort(hg["priority"].to_numpy())[: cap + 1]
                     d[host] = (int(len(hg)), prios.tolist(), rate)
-                ray.get(pol_handles[int(shard)].offer.remote(wave, d))
+                oid = _offer_id(wave, int(shard), g["host"].tolist(),
+                                g["priority"].tolist())
+                ray.get(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
         return pd.DataFrame({"n": [len(df)]})
 
     return demand
@@ -593,6 +623,27 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
         rec = keep[keep["label"] == "record"]
         rec = rec[rec["url_sha1"].map(emit_img).fillna(False)]
         out = [keep.drop(columns=["label"])]
+        # A "dup" verdict on a detail2 (stripped-apply) URL means the
+        # intermediate fetch is redundant — NOT that the job is a dup
+        # (reachable via cuckoo false positives, or two jobs sharing an
+        # apply target). The reference would still emit the record with
+        # the default (listing) description; convert to a pass-through
+        # record keyed by the JOB link instead of silently dropping it.
+        dup2 = df[(df["label"] == "dup") & (df["kind"] == "detail2")]
+        if len(dup2):
+            rec2 = dup2.drop(columns=["label"]).copy()
+            canon = rec2["link"].map(canonicalize)
+            host = canon.map(host_of)
+            hh = host.map(hash64)
+            rec2["url"] = rec2["link"]
+            rec2["canon_url"] = canon
+            rec2["url_sha1"] = canon.map(sha1_hex)
+            rec2["host"] = host
+            rec2["host_hash"] = hh
+            rec2["shard"] = hh % cfg.num_seen_shards
+            rec2["pol_shard"] = hh % cfg.num_pol_shards
+            rec2["kind"] = "record_passthrough"
+            out.append(rec2)
         if len(rec):
             img = rec.drop(columns=["label"]).copy()
             img["image_id"] = rec["url_sha1"]

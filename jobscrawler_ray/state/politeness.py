@@ -74,6 +74,7 @@ class _PolitenessShard:
         self._rates: dict[str, float] = {}
         self._thresholds: dict[str, int] = {}
         self._final_wave: int = -1
+        self._offer_ids: dict[int, int] = {}  # offer_id -> wave offered for
 
     def _robots(self, host: str) -> bool:
         if host not in self.robots_blocked:
@@ -81,8 +82,19 @@ class _PolitenessShard:
             self.robots_blocked[host] = status == 200 and _robots_disallows_all(payload)
         return self.robots_blocked[host]
 
-    def offer(self, wave: int, demand: dict[str, tuple[int, list[int], float]]) -> bool:
-        """demand: host -> (count, smallest cap+1 priorities, rate)."""
+    def offer(self, wave: int, demand: dict[str, tuple[int, list[int], float]],
+              offer_id: int | None = None) -> bool:
+        """demand: host -> (count, smallest cap+1 priorities, rate).
+
+        ``offer_id`` is a stable content hash of the offering task's rows:
+        a retried/reconstructed Ray map task re-offers the same id and is
+        ignored, keeping per-host counts and the top-k merge idempotent
+        under task re-execution (offers are side effects inside map
+        tasks)."""
+        if offer_id is not None:
+            if offer_id in self._offer_ids:
+                return False
+            self._offer_ids[offer_id] = wave
         for host, (n, prios, rate) in demand.items():
             self._counts[host] = self._counts.get(host, 0) + int(n)
             cap = int(2 * rate) + 1
@@ -118,6 +130,10 @@ class _PolitenessShard:
         self._thresholds = out
         self._final_wave = wave
         self._counts, self._prios, self._rates = {}, {}, {}
+        # keep recent offer ids across finalizes (a task retried after its
+        # wave finalized must still be recognized); prune old waves so the
+        # set stays bounded over a long crawl
+        self._offer_ids = {k: w for k, w in self._offer_ids.items() if w >= wave - 1}
         return len(out)
 
     def thresholds(self, wave: int) -> dict[str, int]:
