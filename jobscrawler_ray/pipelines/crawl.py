@@ -169,6 +169,13 @@ def _defaults_for(fields) -> dict:
 _PARSED_DEFAULTS = _defaults_for(PARSED_FIELDS)
 
 
+def _arrow_out(df: pd.DataFrame) -> pa.Table:
+    """pandas → metadata-free Arrow. Pandas-converted blocks embed a
+    ``pandas`` schema-metadata dict that makes ``pa.Schema`` unhashable,
+    defeating Ray's schema dedup ('Failed to hash the schemas' spam)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 class _Emitter:
     """Column-dict accumulator for parse outputs (the reference's
     column-dict of parallel lists, ``src/crawler.py:335-345``, kept
@@ -914,7 +921,7 @@ def _run_wave(
     # labeled against the finalized verdicts → threshold gate →
     # fetch+parse → hive write. Piggybacks the seen-set offers for this
     # wave's candidates and the deferred rows' politeness demand (wave+1).
-    def gate_label(df: pd.DataFrame) -> pd.DataFrame:
+    def gate_label(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         if len(df):
             g = _gate_labels(df, pol_handles, wave)
@@ -923,7 +930,7 @@ def _run_wave(
             df["gate"] = np.where(df["kind"] == "record_passthrough", "allow", g)
         else:
             df["gate"] = []
-        return df
+        return _arrow_out(df)
 
     (
         _load(num_blocks=cfg.wave_blocks)
@@ -1117,10 +1124,10 @@ def _dedup_by_sha(ds, order_cols: list[str]):
     groups → a real shuffle but no per-key task explosion), then a
     vectorized sort + drop_duplicates inside each bucket."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["dedup_bucket"] = [int(s[:2], 16) for s in df["url_sha1"]]
-        return df
+        return _arrow_out(df)
 
     def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["url_sha1", *order_cols], kind="stable")

@@ -39,8 +39,28 @@ from ..synth.locations import WORLD_LOCATIONS
 # --------------------------------------------------------------------------
 
 
+_SCHEMA_CACHE: dict[str, pa.Schema] = {}
+
+
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """Pruned read with an explicit metadata-FREE schema: pandas-written
+    parquet embeds a ``pandas`` metadata dict that makes ``pa.Schema``
+    unhashable, defeating Ray's schema dedup ('Failed to hash the
+    schemas' spam at every downstream unify). Passing the stripped
+    schema keeps every read block clean at the source."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    full = _SCHEMA_CACHE.get(path)
+    if full is None:
+        full = papq.ParquetFile(path).schema_arrow.remove_metadata()
+        _SCHEMA_CACHE[path] = full
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=schema)
+
+
+def _arrow_out(df: pd.DataFrame) -> pa.Table:
+    """pandas → metadata-free Arrow for stages that feed shuffles (see
+    _tbl; pandas-converted blocks re-embed the unhashable metadata dict)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 _BCAST_CACHE: dict[bytes, Any] = {}
@@ -125,24 +145,26 @@ def q_windowed_events(sf_dir: str):
         g = df.groupby(["user_id", "day"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
         )
-        return g
+        return _arrow_out(g)
 
     # combiner pattern: heavy rows reduce to per-batch partials inside
-    # map_batches; the final merge over the (much smaller) partial set
-    # happens once. At sandbox scale that merge is a driver-side pandas
-    # groupby (the partial set is tiny); at cluster scale with a huge
-    # (user, day) key space it becomes a second groupby over partials.
+    # map_batches; the merge over the (much smaller) partial set is a
+    # second Ray groupby — same shape as pricing_summary, so a huge
+    # (user, day) key space never lands on the driver.
     parts = (
         _tbl(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
-    out = parts.groupby(["user_id", "day"], as_index=False).agg(
-        n=("n", "sum"), sum_value=("sum_value", "sum")
-    )
-    out["n"] = out["n"].astype(np.int64)
-    out["sum_value"] = _round_half_up(out["sum_value"], 4)
-    return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype(np.int64)
+        df["sum_value"] = _round_half_up(df["sum_value"], 4)
+        return df[["user_id", "day", "n", "sum_value"]]
+
+    return parts.map_batches(finish, batch_format="pandas")
 
 
 def q_pricing_summary(sf_dir: str):
@@ -166,7 +188,7 @@ def q_pricing_summary(sf_dir: str):
             sum_disc_price=("disc_price", "sum"),
             n=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _arrow_out(g)
 
     agg = (
         _tbl(sf_dir, "lineitem",
@@ -454,10 +476,13 @@ def q_jaccard_pairs(sf_dir: str):
                 inter = len(np.intersect1d(ta, tb, assume_unique=True))
                 union = len(ta) + len(tb) - inter
                 j = inter / union if union else 0.0
-                if j >= _JACC_TAU:
+                # threshold the ROUNDED value — the SQL oracle filters on
+                # round(j, 4) >= tau, so j in [tau - 5e-5, tau) must pass
+                jr = float(_round_half_up(j, 4))
+                if jr >= _JACC_TAU:
                     out_a.append(a)
                     out_b.append(b)
-                    out_j.append(float(_round_half_up(j, 4)))
+                    out_j.append(jr)
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
                              "id_b": pd.Series(out_b, dtype=np.int64),
                              "jacc": pd.Series(out_j, dtype=np.float64)})
@@ -468,9 +493,12 @@ def q_jaccard_pairs(sf_dir: str):
 def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup detection, the full distributed shape:
     shingle+minhash per batch → explode (band_key, doc_id) → groupby
-    band → candidate pairs → verify true Jaccard ≥ 0.5. Rows-only
-    (not SQL-expressible); recall vs the exact pairs is asserted in
-    tests."""
+    band → candidate pairs → coarse-bucket pair dedup → hash-join the
+    texts back on both ids → verify true Jaccard ≥ 0.5. No stage
+    materializes the corpus: candidates flow through Ray groupbys and
+    two ``Dataset.join``s keyed on doc_id, so memory is bounded by the
+    candidate-pair volume, not N. Rows-only (not SQL-expressible);
+    recall vs the exact pairs is asserted in tests."""
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     hasher = dedupe.MinHasher(num_perm=64, seed=1234)
     bands = 16
@@ -482,8 +510,10 @@ def q_minhash_lsh(sf_dir: str):
             for key in hasher.band_keys(sig, bands):
                 out_band.append(key)
                 out_doc.append(did)
-        return pd.DataFrame({"band_key": pd.Series(out_band, dtype=np.int64),
-                             "doc_id": pd.Series(out_doc, dtype=np.int64)})
+        return _arrow_out(
+            pd.DataFrame({"band_key": pd.Series(out_band, dtype=np.int64),
+                          "doc_id": pd.Series(out_doc, dtype=np.int64)})
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -496,39 +526,57 @@ def q_minhash_lsh(sf_dir: str):
 
     cand = (
         docs.map_batches(band_rows, batch_format="pandas")
-        .groupby("band_key")
+        .groupby("band_key", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    if cand_df.empty:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "jacc": pd.Series([], dtype=np.float64)})
 
-    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
-    tref = ray.put(texts)
+    # global pair dedup without driver materialization: coarse-bucket the
+    # pair key (identical pairs land in the same bucket), drop duplicates
+    # inside each bucket
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = ((df["id_a"] * 1000003 + df["id_b"]) % 64).astype(np.int64)
+        return _arrow_out(df)
+
+    cand = (
+        cand.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb", num_partitions=8)
+        .map_groups(
+            lambda g: _arrow_out(g.drop_duplicates().drop(columns=["pb"])),
+            batch_format="pandas",
+        )
+    )
+
+    def _side(col_id: str, col_text: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({col_id: t["doc_id"], col_text: t["text"]})
+        return fn
+
+    j = cand.join(docs.map_batches(_side("id_a", "text_a"), batch_format="pyarrow"),
+                  "inner", num_partitions=8, on=("id_a",))
+    j = j.join(docs.map_batches(_side("id_b", "text_b"), batch_format="pyarrow"),
+               "inner", num_partitions=8, on=("id_b",))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        lut = _bget(tref)
         keep_a, keep_b, keep_j = [], [], []
         cache: dict[int, np.ndarray] = {}
 
-        def sh(i):
+        def sh(i, text):
             if i not in cache:
-                cache[i] = dedupe.shingle_set(lut[i], k=3)
+                cache[i] = dedupe.shingle_set(text, k=3)
             return cache[i]
 
-        for a, b in zip(df["id_a"], df["id_b"]):
-            j = dedupe.jaccard(sh(int(a)), sh(int(b)))
-            if j >= 0.5:
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
+            jv = dedupe.jaccard(sh(int(a), ta), sh(int(b), tb))
+            if jv >= 0.5:
                 keep_a.append(a)
                 keep_b.append(b)
-                keep_j.append(round(j, 4))
+                keep_j.append(round(jv, 4))
         return pd.DataFrame({"id_a": pd.Series(keep_a, dtype=np.int64),
                              "id_b": pd.Series(keep_b, dtype=np.int64),
                              "jacc": pd.Series(keep_j, dtype=np.float64)})
 
-    return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def q_simhash(sf_dir: str):
@@ -550,8 +598,18 @@ def q_simhash(sf_dir: str):
     )
 
 
-def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """QUERY-side load only: a row-group-pruned parquet read of the 5
+    query vectors (vec_id < 5) — never the full embeddings table."""
+    t = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
     ids = t["vec_id"].to_numpy()
     mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
     return ids, mat
@@ -560,103 +618,267 @@ def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def q_knn_cosine(sf_dir: str):
     """Similarity search baseline: brute-force cosine top-10 for query
     vectors (vec_id < 5) — per-batch numpy matmul against the broadcast
-    query matrix, partial top-k per batch, merged at the end."""
+    query matrix, batch-local top-k in the same (rounded-score,
+    neighbor_id) total order the oracle ranks by, merged with a Ray
+    groupby over the tiny per-query partials (no driver pandas)."""
     k = 10
-    ids, mat = _load_embeddings(sf_dir)
-    qmask = ids < 5
-    qids, qmat = ids[qmask], mat[qmask]
-    qref = ray.put((qids, qmat))
+    qids, qmat = _query_vectors(sf_dir)
+    qref = ray.put((qids, _norm_rows(qmat)))
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        qi, qm = _bget(qref)
+        qi, qn = _bget(qref)
         cids = df["vec_id"].to_numpy()
-        cmat = np.stack(df["embedding"].tolist()).astype(np.float64)
-        top, scores = dedupe.cosine_topk(qm, cmat, min(k + 1, len(cids)))
+        cn = _norm_rows(np.stack(df["embedding"].tolist()).astype(np.float64))
+        sims = _round_half_up(qn @ cn.T, 6)  # SQL ROUND semantics
         out = []
-        for row, qid in enumerate(qi):
-            for j in range(top.shape[1]):
-                nid = int(cids[top[row, j]])
-                if nid == int(qid):
-                    continue
-                out.append((int(qid), nid, float(scores[row, j])))
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+        for row in range(len(qi)):
+            mask = cids != qi[row]
+            ids_m, s_m = cids[mask], sims[row][mask]
+            order = np.lexsort((ids_m, -s_m))[:k]
+            out.extend(
+                (int(qi[row]), int(ids_m[o]), float(s_m[o])) for o in order
+            )
+        return _arrow_out(
+            pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+        )
 
-    parts = (
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+    return (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pandas", batch_size=512)
-        .to_pandas()
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
     )
-    parts = parts.sort_values(
-        ["query_id", "score", "neighbor_id"], ascending=[True, False, True],
-        kind="stable",
-    )
-    parts["rank"] = parts.groupby("query_id").cumcount() + 1
-    out = parts[parts["rank"] <= k][["query_id", "neighbor_id", "rank"]]
-    return out.reset_index(drop=True).astype(np.int64)
+
+
+_NEARDUP_BLOCKS = 8  # power of two (block = vec_id & (B-1))
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4): corpus broadcast,
-    each batch emits its (a < b) pairs — ids only, no float columns."""
-    ids, mat = _load_embeddings(sf_dir)
-    ref = ray.put((ids, mat))
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), EXACT — blocked
+    all-pairs: embeddings spill to B hash blocks (streaming write), then
+    one task per block pair (B(B+1)/2 tasks) loads just its two blocks
+    and emits the qualifying (a < b) pairs. Per-task memory is two
+    blocks regardless of corpus size and no full-corpus broadcast or
+    driver read exists; exact all-pairs is inherently O(N²) compute —
+    the sub-quadratic approximate path is ``embedding_neardup_ann``."""
+    import shutil
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        aid, amat = _bget(ref)
-        cids = df["vec_id"].to_numpy()
-        cmat = np.stack(df["embedding"].tolist()).astype(np.float64)
-        cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
-        an = amat / np.maximum(np.linalg.norm(amat, axis=1, keepdims=True), 1e-12)
-        sims = cn @ an.T
+    B = _NEARDUP_BLOCKS
+    blk_dir = os.path.join(
+        "/tmp", f"jcr_neardup_blocks_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    )
+    shutil.rmtree(blk_dir, ignore_errors=True)
+
+    def add_block(t: pa.Table) -> pa.Table:
+        blk = pc.bit_wise_and(t["vec_id"], B - 1)
+        return t.append_column("block", pc.cast(blk, pa.int64()))
+
+    (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(add_block, batch_format="pyarrow")
+        .write_parquet(blk_dir, partition_cols=["block"])
+    )
+
+    def _load_block(b: int) -> tuple[np.ndarray, np.ndarray]:
+        t = papq.read_table(os.path.join(blk_dir, f"block={b}"),
+                            columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        mat = _norm_rows(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        return ids, mat
+
+    def compare(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(cids)):
-            hit = np.flatnonzero((sims[i] >= _COS_TAU) & (aid > cids[i]))
-            out_a.extend([int(cids[i])] * len(hit))
-            out_b.extend(int(aid[h]) for h in hit)
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
-                             "id_b": pd.Series(out_b, dtype=np.int64)})
+        for bi, bj in zip(df["bi"], df["bj"]):
+            aid, amat = _load_block(int(bi))
+            if bi == bj:
+                bid, bmat = aid, amat
+            else:
+                bid, bmat = _load_block(int(bj))
+            sims = amat @ bmat.T
+            ii, jj = np.nonzero(sims >= _COS_TAU)
+            pa_, pb_ = aid[ii], bid[jj]
+            lo, hi = np.minimum(pa_, pb_), np.maximum(pa_, pb_)
+            keep = lo < hi  # drop self-pairs (possible only when bi == bj)
+            out_a.extend(lo[keep].tolist())
+            out_b.extend(hi[keep].tolist())
+        df_out = pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                               "id_b": pd.Series(out_b, dtype=np.int64)})
+        # bi == bj emits both triangles of the symmetric sim matrix →
+        # each unordered pair twice; cross blocks emit it once
+        return df_out.drop_duplicates().reset_index(drop=True)
 
-    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pandas", batch_size=512
+    specs = [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
+    return rd.from_items(specs).map_batches(
+        compare, batch_format="pandas", batch_size=1
     )
 
 
+def q_embedding_neardup_ann(sf_dir: str):
+    """Approximate embedding near-dup (the 100 TB path): random-
+    hyperplane LSH — 16 bands × 4 bits per vector (seeded projection
+    broadcast once), groupby band bucket, exact cosine only within
+    buckets, coarse-bucket pair dedup. Sub-quadratic; recall vs the
+    exact blocked all-pairs is asserted in tests. Rows-only."""
+    nb, rb = 16, 4  # bands × bits per band
+    dim = 64
+    rng = np.random.default_rng(2024)
+    planes = rng.standard_normal((nb * rb, dim))
+    pref = ray.put(planes)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        pl = _bget(pref)
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        bits = (mat @ pl.T) > 0  # (n, nb*rb)
+        out_key, out_id, out_emb = [], [], []
+        weights = 1 << np.arange(rb)
+        for b in range(nb):
+            chunk = bits[:, b * rb:(b + 1) * rb] @ weights  # (n,)
+            key = (chunk.astype(np.int64) << 8) | b
+            out_key.extend(key.tolist())
+            out_id.extend(ids.tolist())
+            out_emb.extend(df["embedding"].tolist())
+        return pd.DataFrame({"bkey": pd.Series(out_key, dtype=np.int64),
+                             "vec_id": pd.Series(out_id, dtype=np.int64),
+                             "embedding": out_emb})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset="vec_id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        ids = g["vec_id"].to_numpy()
+        mat = _norm_rows(np.stack(g["embedding"].tolist()).astype(np.float64))
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= _COS_TAU, k=1))
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": lo.astype(np.int64),
+                             "id_b": hi.astype(np.int64)})
+
+    pairs = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(band_rows, batch_format="pandas", batch_size=512)
+        .groupby("bkey", num_partitions=16)
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = ((df["id_a"] * 1000003 + df["id_b"]) % 64).astype(np.int64)
+        return _arrow_out(df)
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb", num_partitions=8)
+        .map_groups(lambda g: _arrow_out(g.drop_duplicates().drop(columns=["pb"])),
+                    batch_format="pandas")
+    )
+
+
+def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
+    """Deterministic IVF centroids, distributed: seed = evenly-strided
+    vec_ids (row-group-pruned read), then ONE Lloyd step where each batch
+    emits per-centroid partial (count, vector-sum) — the merge is over
+    nlist×num_blocks tiny rows, independent of corpus size."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = papq.ParquetFile(path).metadata.num_rows
+    stride = max(1, n_rows // nlist)
+    seed_ids = [i * stride for i in range(nlist)]
+    t = papq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", seed_ids)])
+    order = np.argsort(t["vec_id"].to_numpy())
+    cent = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
+    cref = ray.put(_norm_rows(cent))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        cn = _bget(cref)
+        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        assign = np.argmax(_norm_rows(mat) @ cn.T, axis=1)
+        rows = []
+        for ci in np.unique(assign):
+            m = assign == ci
+            rows.append((int(ci), int(m.sum()), mat[m].sum(axis=0).tolist()))
+        return pd.DataFrame(rows, columns=["c", "n", "vsum"])
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    # tiny merge: ≤ nlist × num_blocks rows of (id, count, d-vector)
+    new_cent = cent.copy()
+    for ci, g in parts.groupby("c"):
+        tot = int(g["n"].sum())
+        if tot:
+            new_cent[int(ci)] = np.sum(np.stack(g["vsum"].tolist()), axis=0) / tot
+    return new_cent
+
+
 def q_ann_ivf(sf_dir: str):
-    """IVF-style ANN (the scale path): deterministic centroids (seeded
-    sample + one Lloyd step), probe the 4 nearest lists, top-10 within.
-    Rows-only; recall vs brute force asserted in tests."""
+    """IVF ANN as a real distributed pipeline: centroids built with a
+    distributed Lloyd step (broadcast centroids, per-batch partial
+    sums), then assignment in ``map_batches`` (keep only vectors in
+    lists probed by any query), per-list top-k in
+    ``groupby(list_id).map_groups``, final per-query merge over the
+    ≤ nprobe·k partial rows. Rows-only; recall vs brute force asserted
+    in tests."""
     k, nlist, nprobe = 10, 16, 4
-    ids, mat = _load_embeddings(sf_dir)
-    rng = np.random.default_rng(7)
-    cent = mat[rng.choice(len(mat), nlist, replace=False)].copy()
-    # one Lloyd iteration (deterministic)
-    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    assign = np.argmax(n @ cn.T, axis=1)
-    for c in range(nlist):
-        pts = mat[assign == c]
-        if len(pts):
-            cent[c] = pts.mean(axis=0)
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    assign = np.argmax(n @ cn.T, axis=1)
-    qids, qmat = ids[ids < 5], mat[ids < 5]
-    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    out = []
-    for qi, qv in zip(qids, qn):
-        lists = np.argsort(-(qv @ cn.T), kind="stable")[:nprobe]
-        cand = np.flatnonzero(np.isin(assign, lists))
-        sims = np.round(n[cand] @ qv, 6)
-        order = np.argsort(-sims, kind="stable")
-        rank = 0
-        for o in order:
-            nid = int(ids[cand[o]])
-            if nid == int(qi):
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = _ivf_centroids(sf_dir, ds, nlist)
+    cn = _norm_rows(cent)
+    qids, qmat = _query_vectors(sf_dir)
+    qn = _norm_rows(qmat)
+    # per-query probed lists (nprobe nearest centroids)
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probed = set(int(x) for x in probe_lists.ravel())
+    bref = ray.put((cn, qids, qn, probe_lists))
+
+    def assign_filter(df: pd.DataFrame) -> pd.DataFrame:
+        cnn, _, _, _ = _bget(bref)
+        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        assign = np.argmax(_norm_rows(mat) @ cnn.T, axis=1)
+        keep = np.isin(assign, list(probed))
+        return pd.DataFrame({
+            "list_id": assign[keep].astype(np.int64),
+            "vec_id": df["vec_id"].to_numpy()[keep],
+            "embedding": [e for e, kp in zip(df["embedding"], keep) if kp],
+        })
+
+    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
+        _, qi, qnn, plists = _bget(bref)
+        lid = int(g["list_id"].iloc[0])
+        ids = g["vec_id"].to_numpy()
+        mat = _norm_rows(np.stack(g["embedding"].tolist()).astype(np.float64))
+        out = []
+        for row in range(len(qi)):
+            if lid not in plists[row]:
                 continue
-            rank += 1
-            out.append((int(qi), nid, rank))
-            if rank >= k:
-                break
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"]).astype(np.int64)
+            sims = np.round(mat @ qnn[row], 6)
+            mask = ids != qi[row]
+            ids_m, s_m = ids[mask], sims[mask]
+            order = np.lexsort((ids_m, -s_m))[:k]
+            out.extend((int(qi[row]), int(ids_m[o]), float(s_m[o]))
+                       for o in order)
+        return _arrow_out(
+            pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+    return (
+        ds.map_batches(assign_filter, batch_format="pandas", batch_size=512)
+        .groupby("list_id", num_partitions=8)
+        .map_groups(list_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -762,7 +984,7 @@ def q_supplier_regions(sf_dir: str):
     def lookup(df: pd.DataFrame) -> pd.DataFrame:
         nlut, rlut = _bget(ref)
         out = pd.DataFrame({"region": df["s_nationkey"].map(nlut).map(rlut)})
-        return out.groupby("region", as_index=False).agg(n=("region", "size"))
+        return _arrow_out(out.groupby("region", as_index=False).agg(n=("region", "size")))
 
     return (
         _tbl(sf_dir, "supplier", ["s_nationkey"])
@@ -780,8 +1002,10 @@ def q_top_customers_by_spend(sf_dir: str):
              _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).take_all()}
     ref = ray.put(names)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", as_index=False).agg(spend=("o_totalprice", "sum"))
+    def partial(df: pd.DataFrame):
+        return _arrow_out(
+            df.groupby("o_custkey", as_index=False).agg(spend=("o_totalprice", "sum"))
+        )
 
     agg = (
         _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -811,10 +1035,10 @@ def q_session_windows(sf_dir: str):
     task per user), sessionize each user's sorted history with pandas
     inside map_groups. Ordering ties broken by event_id in both engines."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame):
         df = df.copy()
         df["bucket"] = (df["user_id"] % 64).astype(np.int64)
-        return df
+        return _arrow_out(df)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -911,7 +1135,7 @@ def q_phash_neardup(sf_dir: str):
             out_b.extend((band + (b << 8)).tolist())
             out_p.extend(df["pid"].tolist())
             out_h.extend(df["phash"].tolist())
-        return pd.DataFrame({"band": out_b, "pid": out_p, "phash": out_h})
+        return _arrow_out(pd.DataFrame({"band": out_b, "pid": out_p, "phash": out_h}))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(set(zip(g["pid"], g["phash"])))
@@ -963,6 +1187,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash": q_simhash,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_ann": q_embedding_neardup_ann,
     "ann_ivf": q_ann_ivf,
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,

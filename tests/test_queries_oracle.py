@@ -137,6 +137,21 @@ class TestRowsOnly:
             recall.append(len(a & b) / len(b))
         assert np.mean(recall) >= 0.5, f"IVF mean recall {np.mean(recall)}"
 
+    def test_embedding_neardup_ann_recall(self, ray_session):
+        """The LSH-bucketed near-dup path must be a subset of the exact
+        blocked all-pairs result (within-bucket compares are exact, so
+        precision is 1.0 by construction) with recall >= 0.8."""
+        from jobscrawler_ray.pipelines.queries import QUERIES
+
+        exact = _to_pandas(QUERIES["embedding_neardup"](SF_DIR))
+        approx = _to_pandas(QUERIES["embedding_neardup_ann"](SF_DIR))
+        e = set(zip(exact["id_a"], exact["id_b"]))
+        a = set(zip(approx["id_a"], approx["id_b"]))
+        assert a <= e, f"false positives: {sorted(a - e)[:5]}"
+        if e:
+            recall = len(a & e) / len(e)
+            assert recall >= 0.8, f"ANN near-dup recall {recall} over {len(e)}"
+
     def test_crawl_queries(self, ray_session):
         from jobscrawler_ray.pipelines.queries import QUERIES
 
