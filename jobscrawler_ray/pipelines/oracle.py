@@ -33,7 +33,7 @@ from ..functions.textclean import CLEAN_COLUMNS, clean_caption, clean_location, 
 from ..functions.urlnorm import canonicalize, host_of, sha1_hex
 from ..stages.location import build_alias_map, tag_location
 from ..stages.parse import parse_apply_link, parse_detail, parse_listing, whole_page_text
-from ..synth.locations import WORLD_LOCATIONS
+from ..synth.locations_full import WORLD_LOCATIONS_FULL
 from ..synth.world import World, WorldParams
 
 
@@ -161,7 +161,7 @@ def run_oracle(world_params: WorldParams, crawl_ts: str = "2026-01-01T00:00:00")
                 rec_df.loc[mask, col] = (
                     clean_location(vals) if col == "location" else strip_html_chars(vals)
                 )
-        alias = build_alias_map(WORLD_LOCATIONS)
+        alias = build_alias_map(WORLD_LOCATIONS_FULL)
         locs, tags = [], []
         for v in rec_df["location"].tolist():
             j, u = tag_location(v, alias)

@@ -336,6 +336,50 @@ def q_location_tags_nation(sf_dir: str):
     )
 
 
+# 25 real-world location probes (indexed by n_nationkey) and the tag
+# the dictionary-scale tagger must produce — compound names (Sao Paulo,
+# Cape Town, Buenos Aires, Saudi Arabia) exercise the adjacent-token
+# retry; zones (APAC, Remote) return the token itself. The SQL oracle
+# carries these expectations as a VALUES table (the tagger itself is
+# not SQL-expressible; the driver's value-hash still checks the live
+# engine output against the golden tags).
+_FULL_LOC_PROBES: list[tuple[str, str]] = [
+    ("Berlin, Germany", "GERMANY"), ("Sao Paulo", "BRAZIL"),
+    ("Kuala Lumpur", "MALAYSIA"), ("NYC", "UNITED STATES"),
+    ("Tbilisi", "GEORGIA"), ("APAC", "APAC"), ("Remote", "REMOTE"),
+    ("Saudi Arabia", "SAUDI ARABIA"), ("Buenos Aires", "ARGENTINA"),
+    ("Lagos", "NIGERIA"), ("Saigon", "VIETNAM"), ("Zurich", "SWITZERLAND"),
+    ("Krakow", "POLAND"), ("Bangalore", "INDIA"), ("Cape Town", "SOUTH AFRICA"),
+    ("Montreal", "CANADA"), ("Wellington", "NEW ZEALAND"),
+    ("Dubai", "UNITED ARAB EMIRATES"), ("Istanbul", "TURKEY"),
+    ("Reykjavik", "ICELAND"), ("Casablanca", "MOROCCO"), ("Hanoi", "VIETNAM"),
+    ("Seoul", "SOUTH KOREA"), ("Lisbon", "PORTUGAL"),
+    ("Edinburgh", "UNITED KINGDOM"),
+]
+
+
+def q_location_tags_full(sf_dir: str):
+    """M13 at dictionary scale: the tagger over the full ~1k-alias world
+    map (synth/locations_full.py), applied to real location strings
+    selected per nation row. The tags come out of the LIVE tagger; the
+    oracle holds the expected constants."""
+    from ..stages.location import LocationTagger
+
+    tagger = LocationTagger()  # full dictionary-scale map
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        locs = [_FULL_LOC_PROBES[int(k) % 25][0] for k in df["n_nationkey"]]
+        tags = [tag_location(v, tagger.alias)[1][0] for v in locs]
+        return pd.DataFrame(
+            {"n_nationkey": df["n_nationkey"], "n_name": df["n_name"],
+             "loc": locs, "tag": tags}
+        )
+
+    return _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        tag, batch_format="pandas"
+    )
+
+
 def q_embed_format(sf_dir: str):
     """M15/M17: the e5 text formatter — '<title>…</title> …' wrap +
     'passage: ' prefix (``embed_latest_crawled_data.py:58-81``,
@@ -1176,6 +1220,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_orders_lineitem": q_join_orders_lineitem,
     "clean_pipeline": q_clean_pipeline,
     "location_tags_nation": q_location_tags_nation,
+    "location_tags_full": q_location_tags_full,
     "embed_format": q_embed_format,
     "token_truncate": q_token_truncate,
     "token_counts": q_token_counts,
@@ -1259,6 +1304,14 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT n_nationkey, n_name, CASE WHEN n_name IN "
         "('BRAZIL','FRANCE','GERMANY','JAPAN','UNITED KINGDOM','UNITED STATES') "
         "THEN n_name ELSE 'NaN' END AS tag FROM nation"
+    ),
+    "location_tags_full": (
+        "SELECT n.n_nationkey, n.n_name, p.loc, p.tag FROM nation n JOIN (VALUES "
+        + ", ".join(
+            f"({i}, '{loc}', '{tag}')"
+            for i, (loc, tag) in enumerate(_FULL_LOC_PROBES)
+        )
+        + ") AS p(i, loc, tag) ON n.n_nationkey % 25 = p.i"
     ),
     "embed_format": (
         "SELECT doc_id, 'passage: <title>doc-' || doc_id || '</title> "

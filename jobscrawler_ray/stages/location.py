@@ -85,10 +85,18 @@ def tag_location(value: str, alias: dict[str, str]) -> tuple[str, list[str]]:
 
 
 class LocationTagger:
-    """map_batches callable class: alias map built once per actor."""
+    """map_batches callable class: alias map built once per actor.
+    Defaults to the dictionary-scale map (~1k aliases,
+    synth/locations_full.py — the reference's 6,613-line
+    WorldLocations.json scale); pass ``WORLD_LOCATIONS`` for the
+    miniature fixture."""
 
     def __init__(self, location_data: dict | None = None):
-        self.alias = build_alias_map(location_data or WORLD_LOCATIONS)
+        if location_data is None:
+            from ..synth.locations_full import WORLD_LOCATIONS_FULL
+
+            location_data = WORLD_LOCATIONS_FULL
+        self.alias = build_alias_map(location_data)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

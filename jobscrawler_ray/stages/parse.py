@@ -8,12 +8,13 @@ supports — HTML-selector (main + container zip semantics,
 parser (``src/utils/FollowLink.py:8-39``).
 
 bs4/feedparser are not installed in this sandbox, so HTML/RSS parsing is
-a minimal class-attribute selector engine sufficient for the synthetic
-world's well-formed markup (documented assumption: no nested same-tag
-elements inside a selected element). A real deployment would register
-bs4-backed operators through the same ``PARSER_REGISTRY`` seam — the
-registry is the user-extension surface (reference:
-``async_bs4.py:301-304`` strategy_map).
+a minimal class-attribute selector engine. Element extents are found by
+a tag-balance scan (nested same-tag elements are handled correctly, and
+nested matching elements are all returned — bs4 ``select`` semantics);
+the remaining assumption is well-formed markup (every open tag closed).
+A real deployment would register bs4-backed operators through the same
+``PARSER_REGISTRY`` seam — the registry is the user-extension surface
+(reference: ``async_bs4.py:301-304`` strategy_map).
 
 Faithful quirks preserved (and asserted by the conformance oracle):
 - container strategy zips parallel column selects positionally
@@ -56,26 +57,63 @@ class Element:
         return m.group(1) if m else None
 
 
+_TAG_SCAN_CACHE: dict[str, re.Pattern] = {}
+
+
 def _pattern_for(selector: str) -> re.Pattern:
+    """Opening tags whose class attribute contains the selector's class."""
     cls = re.escape(selector.lstrip("."))
     pat = _SELECTOR_CACHE.get(cls)
     if pat is None:
         pat = re.compile(
-            rf'<(\w+)((?=[^>]*class="[^"]*(?<![\w-]){cls}(?![\w-])[^"]*")[^>]*)>(.*?)</\1>',
-            re.DOTALL,
+            rf'<(\w+)((?=[^>]*class="[^"]*(?<![\w-]){cls}(?![\w-])[^"]*")[^>]*)>'
         )
         _SELECTOR_CACHE[cls] = pat
     return pat
 
 
+def _tag_scan(tag: str) -> re.Pattern:
+    pat = _TAG_SCAN_CACHE.get(tag)
+    if pat is None:
+        pat = re.compile(rf'<{tag}\b[^>]*>|</{tag}\s*>')
+        _TAG_SCAN_CACHE[tag] = pat
+    return pat
+
+
+def _balanced_end(html: str, tag: str, start: int) -> int:
+    """Start index of the close tag matching the open tag that ends at
+    ``start``, counting nested same-tag opens (a plain ``.*?</tag>``
+    regex would truncate at the first close and mangle nested markup).
+    Self-closing ``<tag .../>`` doesn't nest. -1 if unbalanced."""
+    depth = 1
+    for t in _tag_scan(tag).finditer(html, start):
+        tok = t.group(0)
+        if tok.startswith("</"):
+            depth -= 1
+            if depth == 0:
+                return t.start()
+        elif not tok.endswith("/>"):
+            depth += 1
+    return -1
+
+
 def mini_select(html: str, selector: str) -> list[Element]:
-    """All elements whose class attribute contains the selector's class."""
-    return [Element(m.group(1), m.group(2), m.group(3)) for m in _pattern_for(selector).finditer(html)]
+    """All elements whose class attribute contains the selector's class
+    (including elements nested inside other matches — bs4 semantics)."""
+    out = []
+    for m in _pattern_for(selector).finditer(html):
+        end = _balanced_end(html, m.group(1), m.end())
+        if end >= 0:
+            out.append(Element(m.group(1), m.group(2), html[m.end():end]))
+    return out
 
 
 def mini_select_one(html: str, selector: str) -> Element | None:
     m = _pattern_for(selector).search(html)
-    return Element(m.group(1), m.group(2), m.group(3)) if m else None
+    if m is None:
+        return None
+    end = _balanced_end(html, m.group(1), m.end())
+    return Element(m.group(1), m.group(2), html[m.end():end]) if end >= 0 else None
 
 
 # --------------------------------------------------------------------------

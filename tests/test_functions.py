@@ -199,6 +199,37 @@ class TestLocationTagger:
         assert out["location_tags"].tolist() == [["JAPAN"], ["UNITED STATES"], ["NaN"]]
 
 
+class TestLocationTaggerFullDict:
+    def test_full_dictionary_scale(self):
+        """Dictionary-scale tagging (VERDICT item 7): ~1k aliases, O(1)
+        per token — correctness on compound names and throughput."""
+        import time
+
+        from jobscrawler_ray.stages.location import build_alias_map, tag_location
+        from jobscrawler_ray.synth.locations_full import WORLD_LOCATIONS_FULL
+
+        alias = build_alias_map(WORLD_LOCATIONS_FULL)
+        assert len(alias) >= 1000
+        cases = {
+            "Berlin, Germany": ["GERMANY"],
+            "Sao Paulo | Brazil": ["BRAZIL"],
+            "Saudi Arabia": ["SAUDI ARABIA"],
+            "United States": ["UNITED STATES"],
+            "Kuala Lumpur": ["MALAYSIA"],
+            "APAC": ["APAC"],
+        }
+        for v, want in cases.items():
+            _, tags = tag_location(v, alias)
+            assert tags == want, (v, tags)
+        keys = list(alias)
+        rows = [f"{keys[i % len(keys)]}, {keys[(7 * i) % len(keys)]}"
+                for i in range(20000)]
+        t0 = time.time()
+        for v in rows:
+            tag_location(v, alias)
+        assert time.time() - t0 < 5.0  # hash-map tagger, not a dict scan
+
+
 class TestParsers:
     HTML = (
         '<html><body><div class="job"><h2 class="title">T1</h2>'
@@ -221,6 +252,38 @@ class TestParsers:
         assert len(els) == 2
         assert mini_select_one(els[0].inner, ".title").text == "T1"
         assert mini_select_one(els[0].inner, ".joblink").href == "/jobs/a"
+
+    def test_mini_select_nested_same_tag(self):
+        # nested same-tag elements must not truncate at the inner close
+        html = (
+            '<div class="job"><div class="inner"><div>deep</div>x</div>'
+            '<h2 class="title">T1</h2></div>'
+            '<div class="job"><h2 class="title">T2</h2></div>'
+        )
+        els = mini_select(html, ".job")
+        assert len(els) == 2
+        assert mini_select_one(els[0].inner, ".title").text == "T1"
+        assert mini_select_one(els[1].inner, ".title").text == "T2"
+        # nested MATCHING elements are each returned (bs4 select semantics)
+        html2 = '<div class="job">outer<div class="job">inner</div></div>'
+        els2 = mini_select(html2, ".job")
+        assert [e.inner for e in els2] == [
+            'outer<div class="job">inner</div>', "inner"
+        ]
+        # self-closing same tag does not change nesting depth
+        html3 = '<div class="job">a<div/>b<img src="x"/><h2 class="title">S</h2></div>'
+        assert mini_select_one(html3, ".title").text == "S"
+
+    def test_html_main_nested_markup(self):
+        nested = (
+            '<div class="job"><div class="wrap"><h2 class="title">N1</h2>'
+            '<a class="joblink" href="/n/1">v</a></div>'
+            '<span class="location">NL</span><p class="desc">ND</p></div>'
+        )
+        out = parse_html_main(nested, self.EP, "https://s.test")
+        assert out[0]["title"] == "N1"
+        assert out[0]["link"] == "https://s.test/n/1"
+        assert out[0]["location"] == "NL"
 
     def test_html_main(self):
         out = parse_html_main(self.HTML, self.EP, "https://s.test")
