@@ -21,9 +21,9 @@ driver-controlled *wave* loop over ``ray.data.Dataset`` stages:
               seen snapshots carry the verdicts so a resumed run can
               label wave k's candidates)
 
-    (Cold start — wave 0 or resume — runs one extra frontier scan to
-    rebuild the politeness demand the previous wave would have
-    piggybacked.)
+    (Cold start: wave 0 offers its politeness demand driver-side from
+    the in-memory seed table; a RESUME runs one extra frontier scan to
+    rebuild the demand the previous wave would have piggybacked.)
 
 Every wave stage is map-only: the politeness and seen gates use an
 offer → finalize → cached-lookup protocol against the shard actors
@@ -167,6 +167,51 @@ def _defaults_for(fields) -> dict:
 
 
 _PARSED_DEFAULTS = _defaults_for(PARSED_FIELDS)
+_PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
+
+_HASH64_CACHE: dict[str, int] = {}
+
+
+def _h64(host: str) -> int:
+    """hash64 with a per-process host cache — host cardinality is tiny
+    next to row count, and profiling showed repeated hash64(host) calls
+    dominating candidate emission."""
+    v = _HASH64_CACHE.get(host)
+    if v is None:
+        v = hash64(host)
+        _HASH64_CACHE[host] = v
+    return v
+
+
+def _parsed_table(out_kind: str, wave: int, n: int,
+                  base: pa.Table | None = None,
+                  overrides: dict | None = None) -> pa.Table:
+    """Build a PARSED-schema table column-wise: ``overrides`` supplies
+    per-row lists/arrays or scalar constants; remaining columns copy
+    from ``base`` (same row order) or fill with defaults. All fills are
+    Arrow kernels (pa.repeat / cast) — no per-row Python."""
+    ov = overrides or {}
+    cols = {}
+    for name, typ in PARSED_FIELDS:
+        if name == "out_kind":
+            arr = pa.repeat(pa.scalar(out_kind, pa.string()), n)
+        elif name == "wave":
+            arr = pa.repeat(pa.scalar(wave, pa.int64()), n)
+        elif name in ov:
+            v = ov[name]
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                arr = v if v.type == typ else v.cast(typ)
+            elif isinstance(v, (list, np.ndarray)):
+                arr = pa.array(v, type=typ)
+            else:
+                arr = pa.repeat(pa.scalar(v, typ), n)
+        elif base is not None and name in base.column_names:
+            col = base[name]
+            arr = col if col.type == typ else col.cast(typ)
+        else:
+            arr = pa.repeat(pa.scalar(_PARSED_DEFAULTS[name], typ), n)
+        cols[name] = arr
+    return pa.table(cols, schema=_PARSED_SCHEMA)
 
 
 def _arrow_out(df: pd.DataFrame) -> pa.Table:
@@ -205,7 +250,10 @@ class CrawlConfig:
     num_pol_shards: int = 4
     seen_capacity_per_shard: int = 1 << 16
     exact_sidecar: bool = True
-    fetch_batch_size: int = 512
+    fetch_batch_size: int | None = None  # None = one batch per block
+    #   (task granularity = override_num_blocks). A fixed batch_size
+    #   COALESCES small blocks: 1024-row bundling collapsed the 64-block
+    #   seed wave into ~4 tasks, flattening 8→32-CPU scaling.
     max_waves: int = 64
     out_buckets: int = 16  # output partition count (resumable layout)
     crawl_ts: str = "2026-01-01T00:00:00"  # per-run stamp (M18 determinism)
@@ -213,6 +261,12 @@ class CrawlConfig:
     #                        fetch+dedup throughput, the north_rule metric)
     wave_blocks: int = 64  # uniform block count for the fetch stage
     #   (breaks straggler skew from uneven upstream partition files)
+    detailed_metrics: bool = True  # per-site parse rollups + per-kind row
+    #   counts in the manifest; driver-side reads that don't scale with
+    #   CPUs — benches turn them off (the counts aren't load-bearing)
+    checkpoint_every: int = 1  # seen-shard snapshot cadence (waves).
+    #   >1 trades resume granularity (re-run up to k-1 waves) for less
+    #   checkpoint IO; the final wave always snapshots.
 
 
 # --------------------------------------------------------------------------
@@ -295,13 +349,23 @@ def _offer_id(wave: int, shard: int, hosts, prios) -> int:
     return int.from_bytes(h.digest(), "big")
 
 
-def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, rates):
+def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, rates,
+                      wait: bool = True):
     """Piggybacked politeness demand: offer (count, top-k priorities,
-    rate) per host for a FUTURE wave, grouped by politeness shard."""
+    rate) per host for a FUTURE wave, grouped by politeness shard. All
+    shard RPCs are issued async and awaited once — a sequential
+    per-shard ray.get serializes num_shards round-trips per task.
+
+    ``wait=False`` is safe ONLY from the driver: Ray orders actor tasks
+    per caller, so the driver's later ``finalize`` RPC is guaranteed to
+    run after its own offers. Inside map tasks the ray.get is
+    load-bearing — the driver finalizes from a different caller, so a
+    task must not report done before its offers are processed."""
     df = pd.DataFrame({"host": hosts, "pol_shard": pol_shards,
                        "priority": prios, "politeness_rps": rates})
     if df.empty:
         return
+    futs = []
     for shard, g in df.groupby("pol_shard", sort=False):
         d = {}
         for host, hg in g.groupby("host", sort=False):
@@ -310,28 +374,37 @@ def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, ra
             p = np.sort(hg["priority"].to_numpy())[: cap + 1]
             d[host] = (int(len(hg)), p.tolist(), rate)
         oid = _offer_id(wave, int(shard), g["host"].tolist(), g["priority"].tolist())
-        ray.get(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
+        futs.append(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
+    if wait:
+        ray.get(futs)
 
 
 def _offer_seen_candidates(seen_handles: list, wave: int, cols: dict, idxs: list[int]):
     """Piggybacked seen-set offers for the candidate rows just parsed.
     Rows carry (host, priority, rate, seq) so finalize can also compute
-    the admitted rows' politeness demand for wave+1."""
+    the admitted rows' politeness demand for wave+1. Sent column-wise
+    (9 lists per shard, not 100k row tuples) — row-tuple pickling was a
+    measurable, CPU-count-independent cost in the fetch stage."""
     if not idxs:
         return
-    by_shard: dict[int, list[tuple]] = {}
+    by_shard: dict[int, list[int]] = {}
     for i in idxs:
-        kind = cols["kind"][i]
-        by_shard.setdefault(int(cols["shard"][i]), []).append(
-            (cols["url_sha1"][i], int(cols["gseq"][i]), kind,
-             bool(cols["follow_link"][i]), cols["canon_url"][i],
-             cols["host"][i], int(cols["priority"][i]),
-             float(cols["politeness_rps"][i]), int(cols["seq"][i]))
+        by_shard.setdefault(int(cols["shard"][i]), []).append(i)
+    futs = []
+    for s, ii in by_shard.items():
+        colpack = (
+            [cols["url_sha1"][i] for i in ii],
+            [int(cols["gseq"][i]) for i in ii],
+            [cols["kind"][i] for i in ii],
+            [bool(cols["follow_link"][i]) for i in ii],
+            [cols["canon_url"][i] for i in ii],
+            [cols["host"][i] for i in ii],
+            [int(cols["priority"][i]) for i in ii],
+            [float(cols["politeness_rps"][i]) for i in ii],
+            [int(cols["seq"][i]) for i in ii],
         )
-    ray.get([
-        seen_handles[s].offer_candidates.remote(wave, rows)
-        for s, rows in by_shard.items()
-    ])
+        futs.append(seen_handles[s].offer_candidates.remote(wave, colpack))
+    ray.get(futs)
 
 
 def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
@@ -341,184 +414,348 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
     cache (see module docstring); the parse dispatch is the M3 registry.
     When handles are given, the stage also piggybacks the wave protocol's
     offers — seen-set candidates for THIS wave, politeness demand for the
-    deferred rows' NEXT wave — so no separate scan executions are needed."""
+    deferred rows' NEXT wave — so no separate scan executions are needed.
 
-    def _derived_url_fields(link: str):
-        canon = canonicalize(link)
-        host = host_of(canon)
-        return {
-            "url": link,
-            "canon_url": canon,
-            "url_sha1": sha1_hex(canon),
-            "host": host,
-            "host_hash": hash64(host),
-            "shard": hash64(host) % cfg.num_seen_shards,
-            "pol_shard": hash64(host) % cfg.num_pol_shards,
-        }
+    Emission is COLUMN-WISE: gate/pass-through kinds are Arrow
+    ``take`` + constant-override table builds (zero per-row Python);
+    the per-URL fetch loop is inherent, but its emissions accumulate
+    into per-field column lists (per-listing list comprehensions, one
+    vectorized pack_priority per page, host-hash cache) instead of
+    per-row dict merges — profiling showed the dict-merge emitter and
+    repeated hash64 calls costing more than the actual fetch+parse."""
+    nss, nps = cfg.num_seen_shards, cfg.num_pol_shards
 
-    def fetch_parse(batch: pa.Table) -> pa.Table:
+    # per-row column lists for NEW frontier rows (candidate /
+    # frontier_image / frontier_detail2) — every other PARSED field is
+    # a constant or default filled at table build
+    _NEW_FIELDS = (
+        "url", "canon_url", "url_sha1", "host", "host_hash", "shard",
+        "pol_shard", "depth", "seq", "gseq", "fairness_round", "priority",
+        "site_id", "strategy", "kind", "follow_link", "two_hop",
+        "inner_link_tag", "politeness_rps", "title", "link", "location",
+        "description", "image_id", "status",
+    )
+
+    class _NewRows:
+        __slots__ = ("c",)
+
+        def __init__(self):
+            self.c = {k: [] for k in _NEW_FIELDS}
+
+    def fetch_parse(batch: pa.Table):
         world = get_world(world_params)
-        em = _Emitter(PARSED_FIELDS)
-        for r in batch.to_pylist():
-            base = {k: v for k, v in r.items() if k in _PARSED_DEFAULTS}
-            base["wave"] = wave
-            gate = r.get("gate", "allow")
-            if gate == "defer":
-                em.emit(**{**base, "out_kind": "deferred"})
-                continue
-            if gate == "block":
-                em.emit(**{**base, "out_kind": "blocked"})
-                continue
-            if r["kind"] == "record_passthrough":
-                # admitted non-follow candidate: record completes with
-                # its listing description — no fetch, no fetchlog
-                em.emit(**{**base, "out_kind": "record"})
-                continue
-            status, payload = world.fetch(r["canon_url"])
-            # compact fetch-log row: the conformance ordering projection
-            em.emit(**{**base, "out_kind": "fetchlog", "status": status,
-                       "title": "", "link": "", "location": "", "description": "",
-                       "elements_path": ""})
-            kind = r["kind"]
-            if kind == "listing":
-                if status != 200:
-                    em.emit(**{**base, "out_kind": "error", "status": status,
-                               "error": f"listing fetch status {status}"})
-                    continue
-                try:
-                    cands = parse_listing(
-                        payload.decode("utf-8", "replace"),
-                        r["strategy"],
-                        json.loads(r["elements_path"]),
-                        "https://" + r["host"],  # absolutization prefix (cfg.name)
-                    )
-                except (ValueError, KeyError, json.JSONDecodeError) as e:
-                    em.emit(**{**base, "out_kind": "error", "status": status,
-                               "error": f"{type(e).__name__}: {e}"})
-                    continue
-                for slot, c in enumerate(cands):
-                    em.emit(**{
-                        **base,
-                        **_derived_url_fields(c["link"]),
-                        "out_kind": "candidate",
-                        "kind": "candidate",
-                        "status": status,
-                        "depth": 1,
-                        "seq": r["seq"] + 1 + 2 * slot,
-                        "gseq": r["gseq"] + 1 + 2 * slot,
-                        "priority": int(pack_priority(0, 1, 0, r["seq"] + 1 + 2 * slot)),
-                        "fairness_round": 0,
-                        "title": c["title"],
-                        "link": c["link"],
-                        "location": c["location"],
-                        "description": c["description"],
-                        "elements_path": "",
-                    })
-            elif kind == "detail":
-                text = payload.decode("utf-8", "replace")
-                if r["two_hop"]:
-                    # M10: detail page → apply link → strip /apply; the
-                    # stripped URL's whole-page text is the description
-                    apply = parse_apply_link(text, status)
-                    if apply is not None:
-                        hop = _derived_url_fields("https://" + r["host"] + apply)
-                        em.emit(**{
-                            **base, **hop,
-                            "out_kind": "frontier_detail2",
-                            "kind": "detail2",
-                            "status": status,
-                            "depth": 2,
-                            "priority": int(pack_priority(0, 2, 0, r["seq"])),
-                            "image_id": r["url_sha1"],  # parent record identity
-                        })
+        if batch.num_rows == 0:
+            return
+        gate = np.asarray(batch["gate"].to_pylist())
+        kind_arr = np.asarray(batch["kind"].to_pylist())
+        outs: list[pa.Table] = []
+
+        def passthrough(mask, out_kind: str):
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                return None
+            sub = batch.take(pa.array(idx))
+            outs.append(_parsed_table(out_kind, wave, len(idx), base=sub))
+            return sub
+
+        defer_tbl = passthrough(gate == "defer", "deferred")
+        passthrough(gate == "block", "blocked")
+        # admitted non-follow candidates: record completes with its
+        # listing description — no fetch, no fetchlog
+        passthrough((gate == "allow") & (kind_arr == "record_passthrough"),
+                    "record")
+
+        fidx = np.flatnonzero((gate == "allow") & (kind_arr != "record_passthrough"))
+        cand = _NewRows()   # new candidate rows (listing parses)
+        frontier = _NewRows()  # frontier_image + frontier_detail2 rows
+        frontier_out: list[str] = []  # parallel out_kind per frontier row
+        if len(fidx):
+            ftbl = batch.take(pa.array(fidx))
+            F = {
+                name: ftbl[name].to_pylist()
+                for name in ("canon_url", "url_sha1", "host", "kind", "strategy",
+                             "elements_path", "inner_link_tag", "two_hop",
+                             "follow_link", "site_id", "seq", "gseq", "depth",
+                             "fairness_round", "description", "link", "location",
+                             "title", "politeness_rps")
+            }
+            nf = len(fidx)
+            statuses = [0] * nf
+            err_idx: list[int] = []
+            err_status: list[int] = []
+            err_msg: list[str] = []
+            rec_idx: list[int] = []       # detail records (identity = row)
+            rec_desc: list[str] = []
+            rec_status: list[int] = []
+            img_idx: list[int] = []       # final image rows
+            img_bytes: list[bytes] = []
+            img_w: list[int] = []
+            img_h: list[int] = []
+            img_fmt: list[str] = []
+            img_ph: list[int] = []
+            d2rec = _NewRows()            # detail2 records (identity = job link)
+            d2rec_base: list[int] = []    # parallel base-row index
+
+            def new_frontier_row(out_kind, i, url, kind, depth, seq, gseq,
+                                 priority, desc, image_id, status):
+                canon = canonicalize(url)
+                host = host_of(canon)
+                hh = _h64(host)
+                c = frontier.c
+                c["url"].append(url)
+                c["canon_url"].append(canon)
+                c["url_sha1"].append(sha1_hex(canon))
+                c["host"].append(host)
+                c["host_hash"].append(hh)
+                c["shard"].append(hh % nss)
+                c["pol_shard"].append(hh % nps)
+                c["depth"].append(depth)
+                c["seq"].append(seq)
+                c["gseq"].append(gseq)
+                c["fairness_round"].append(F["fairness_round"][i])
+                c["priority"].append(priority)
+                c["site_id"].append(F["site_id"][i])
+                c["strategy"].append(F["strategy"][i])
+                c["kind"].append(kind)
+                c["follow_link"].append(F["follow_link"][i])
+                c["two_hop"].append(F["two_hop"][i])
+                c["inner_link_tag"].append(F["inner_link_tag"][i])
+                c["politeness_rps"].append(F["politeness_rps"][i])
+                c["title"].append(F["title"][i])
+                c["link"].append(F["link"][i])
+                c["location"].append(F["location"][i])
+                c["description"].append(desc)
+                c["image_id"].append(image_id)
+                c["status"].append(status)
+                frontier_out.append(out_kind)
+
+            for i in range(nf):
+                status, payload = world.fetch(F["canon_url"][i])
+                statuses[i] = status
+                kind = F["kind"][i]
+                if kind == "listing":
+                    if status != 200:
+                        err_idx.append(i)
+                        err_status.append(status)
+                        err_msg.append(f"listing fetch status {status}")
                         continue
-                    desc = r["description"]  # no apply link → default
-                else:
-                    desc = parse_detail(
-                        text, status, r["inner_link_tag"], default=r["description"],
+                    try:
+                        cands = parse_listing(
+                            payload.decode("utf-8", "replace"),
+                            F["strategy"][i],
+                            json.loads(F["elements_path"][i]),
+                            "https://" + F["host"][i],  # absolutization (cfg.name)
+                        )
+                    except (ValueError, KeyError, json.JSONDecodeError) as e:
+                        err_idx.append(i)
+                        err_status.append(status)
+                        err_msg.append(f"{type(e).__name__}: {e}")
+                        continue
+                    k = len(cands)
+                    links = [c["link"] for c in cands]
+                    canon = [canonicalize(l) for l in links]
+                    hosts = [host_of(cn) for cn in canon]
+                    hh = [_h64(h) for h in hosts]
+                    seq0, gseq0 = F["seq"][i], F["gseq"][i]
+                    seqs = [seq0 + 1 + 2 * s for s in range(k)]
+                    prios = pack_priority(0, 1, 0, np.asarray(seqs, dtype=np.int64))
+                    c = cand.c
+                    c["url"].extend(links)
+                    c["canon_url"].extend(canon)
+                    c["url_sha1"].extend(sha1_hex(cn) for cn in canon)
+                    c["host"].extend(hosts)
+                    c["host_hash"].extend(hh)
+                    c["shard"].extend(h % nss for h in hh)
+                    c["pol_shard"].extend(h % nps for h in hh)
+                    c["depth"].extend([1] * k)
+                    c["seq"].extend(seqs)
+                    c["gseq"].extend(gseq0 + 1 + 2 * s for s in range(k))
+                    c["fairness_round"].extend([0] * k)
+                    c["priority"].extend(prios.tolist())
+                    c["site_id"].extend([F["site_id"][i]] * k)
+                    c["strategy"].extend([F["strategy"][i]] * k)
+                    c["kind"].extend(["candidate"] * k)
+                    c["follow_link"].extend([F["follow_link"][i]] * k)
+                    c["two_hop"].extend([F["two_hop"][i]] * k)
+                    c["inner_link_tag"].extend([F["inner_link_tag"][i]] * k)
+                    c["politeness_rps"].extend([F["politeness_rps"][i]] * k)
+                    c["title"].extend(cd["title"] for cd in cands)
+                    c["link"].extend(links)
+                    c["location"].extend(cd["location"] for cd in cands)
+                    c["description"].extend(cd["description"] for cd in cands)
+                    c["image_id"].extend([""] * k)
+                    c["status"].extend([status] * k)
+                elif kind == "detail":
+                    text = payload.decode("utf-8", "replace")
+                    if F["two_hop"][i]:
+                        # M10: detail page → apply link → strip /apply; the
+                        # stripped URL's whole-page text is the description
+                        apply = parse_apply_link(text, status)
+                        if apply is not None:
+                            new_frontier_row(
+                                "frontier_detail2", i,
+                                "https://" + F["host"][i] + apply, "detail2",
+                                2, F["seq"][i], F["gseq"][i],
+                                int(pack_priority(0, 2, 0, F["seq"][i])),
+                                F["description"][i],
+                                F["url_sha1"][i],  # parent record identity
+                                status,
+                            )
+                            continue
+                        desc = F["description"][i]  # no apply link → default
+                    else:
+                        desc = parse_detail(text, status, F["inner_link_tag"][i],
+                                            default=F["description"][i])
+                    rec_idx.append(i)
+                    rec_desc.append(desc)
+                    rec_status.append(status)
+                    new_frontier_row(
+                        "frontier_image", i, F["canon_url"][i] + "/image",
+                        "image", 2, F["seq"][i] + 1, F["gseq"][i] + 1,
+                        int(pack_priority(0, 2, 0, F["seq"][i] + 1)),
+                        desc, F["url_sha1"][i], status,
                     )
-                em.emit(**{**base, "out_kind": "record", "status": status,
-                           "description": desc})
-                img = _derived_url_fields(r["canon_url"] + "/image")
-                em.emit(**{
-                    **base, **img,
-                    "out_kind": "frontier_image",
-                    "kind": "image",
-                    "status": status,
-                    "depth": 2,
-                    "seq": r["seq"] + 1,
-                    "gseq": r["gseq"] + 1,
-                    "priority": int(pack_priority(0, 2, 0, r["seq"] + 1)),
-                    "description": desc,
-                    "image_id": r["url_sha1"],
-                })
-            elif kind == "detail2":
-                # M10 second hop: whole-page text; the record keeps the
-                # JOB link identity (carried in link/image_id)
-                desc = whole_page_text(
-                    payload.decode("utf-8", "replace"), status, r["description"],
-                )
-                job = _derived_url_fields(r["link"])
-                em.emit(**{**base, **job, "out_kind": "record", "status": status,
-                           "depth": 2, "description": desc})
-                img = _derived_url_fields(job["canon_url"] + "/image")
-                em.emit(**{
-                    **base, **img,
-                    "out_kind": "frontier_image",
-                    "kind": "image",
-                    "status": status,
-                    "depth": 3,
-                    "seq": r["seq"] + 1,
-                    "gseq": r["gseq"] + 1,
-                    "priority": int(pack_priority(0, 3, 0, r["seq"] + 1)),
-                    "description": desc,
-                    "image_id": job["url_sha1"],
-                })
-            elif kind == "image":
-                if status != 200 or not payload:
-                    em.emit(**{**base, "out_kind": "error", "status": status,
-                               "error": f"image fetch status {status}"})
-                    continue
-                pixels, fmt = codecs.decode(payload)
-                em.emit(**{
-                    **base,
-                    "out_kind": "image",
-                    "status": status,
-                    "img_bytes": payload,
-                    "w": pixels.shape[1],
-                    "h": pixels.shape[0],
-                    "fmt": fmt,
-                    "phash": codecs.phash64(pixels),
-                })
-            else:
-                em.emit(**{**base, "out_kind": "error", "status": status,
-                           "error": f"unknown kind {kind}"})
-        cols = em.cols
+                elif kind == "detail2":
+                    # M10 second hop: whole-page text; the record keeps
+                    # the JOB link identity (carried in link/image_id)
+                    desc = whole_page_text(payload.decode("utf-8", "replace"),
+                                           status, F["description"][i])
+                    job_url = F["link"][i]
+                    job_canon = canonicalize(job_url)
+                    job_sha = sha1_hex(job_canon)
+                    jh = host_of(job_canon)
+                    jhh = _h64(jh)
+                    c = d2rec.c
+                    c["url"].append(job_url)
+                    c["canon_url"].append(job_canon)
+                    c["url_sha1"].append(job_sha)
+                    c["host"].append(jh)
+                    c["host_hash"].append(jhh)
+                    c["shard"].append(jhh % nss)
+                    c["pol_shard"].append(jhh % nps)
+                    c["depth"].append(2)
+                    c["seq"].append(F["seq"][i])
+                    c["gseq"].append(F["gseq"][i])
+                    c["fairness_round"].append(F["fairness_round"][i])
+                    c["priority"].append(0)
+                    c["site_id"].append(F["site_id"][i])
+                    c["strategy"].append(F["strategy"][i])
+                    c["kind"].append(F["kind"][i])
+                    c["follow_link"].append(F["follow_link"][i])
+                    c["two_hop"].append(F["two_hop"][i])
+                    c["inner_link_tag"].append(F["inner_link_tag"][i])
+                    c["politeness_rps"].append(F["politeness_rps"][i])
+                    c["title"].append(F["title"][i])
+                    c["link"].append(F["link"][i])
+                    c["location"].append(F["location"][i])
+                    c["description"].append(desc)
+                    c["image_id"].append(F["url_sha1"][i])
+                    c["status"].append(status)
+                    d2rec_base.append(i)
+                    new_frontier_row(
+                        "frontier_image", i, job_canon + "/image", "image",
+                        3, F["seq"][i] + 1, F["gseq"][i] + 1,
+                        int(pack_priority(0, 3, 0, F["seq"][i] + 1)),
+                        desc, job_sha, status,
+                    )
+                elif kind == "image":
+                    if status != 200 or not payload:
+                        err_idx.append(i)
+                        err_status.append(status)
+                        err_msg.append(f"image fetch status {status}")
+                        continue
+                    pixels, fmt = codecs.decode(payload)
+                    img_idx.append(i)
+                    img_bytes.append(payload)
+                    img_w.append(pixels.shape[1])
+                    img_h.append(pixels.shape[0])
+                    img_fmt.append(fmt)
+                    img_ph.append(codecs.phash64(pixels))
+                else:
+                    err_idx.append(i)
+                    err_status.append(status)
+                    err_msg.append(f"unknown kind {kind}")
+
+            # compact fetch-log rows: the conformance ordering projection
+            outs.append(_parsed_table(
+                "fetchlog", wave, nf, base=ftbl,
+                overrides={"status": statuses, "title": "", "link": "",
+                           "location": "", "description": "",
+                           "elements_path": ""},
+            ))
+            if err_idx:
+                sub = ftbl.take(pa.array(err_idx))
+                outs.append(_parsed_table(
+                    "error", wave, len(err_idx), base=sub,
+                    overrides={"status": err_status, "error": err_msg},
+                ))
+            if rec_idx:
+                sub = ftbl.take(pa.array(rec_idx))
+                outs.append(_parsed_table(
+                    "record", wave, len(rec_idx), base=sub,
+                    overrides={"status": rec_status, "description": rec_desc},
+                ))
+            if d2rec_base:
+                outs.append(_parsed_table(
+                    "record", wave, len(d2rec_base),
+                    overrides={k: v for k, v in d2rec.c.items() if k != "priority"},
+                ))
+            if img_idx:
+                sub = ftbl.take(pa.array(img_idx))
+                outs.append(_parsed_table(
+                    "image", wave, len(img_idx), base=sub,
+                    overrides={"status": [statuses[i] for i in img_idx],
+                               "img_bytes": img_bytes, "w": img_w, "h": img_h,
+                               "fmt": img_fmt, "phash": img_ph},
+                ))
+            if cand.c["url"]:
+                outs.append(_parsed_table(
+                    "candidate", wave, len(cand.c["url"]),
+                    overrides={**cand.c, "elements_path": ""},
+                ))
+            if frontier.c["url"]:
+                fo = frontier_out
+                c = frontier.c
+                n_f = len(fo)
+                # split by out_kind (frontier_image vs frontier_detail2)
+                for okind in ("frontier_image", "frontier_detail2"):
+                    sel = [j for j in range(n_f) if fo[j] == okind]
+                    if not sel:
+                        continue
+                    outs.append(_parsed_table(
+                        okind, wave, len(sel),
+                        overrides={k: [v[j] for j in sel] for k, v in c.items()},
+                    ))
+
+        # piggybacked offers
         if seen_handles is not None:
-            cand_idx = [
-                i for i, ok in enumerate(cols["out_kind"])
-                if ok in ("candidate", "frontier_image", "frontier_detail2")
-            ]
-            _offer_seen_candidates(seen_handles, wave, cols, cand_idx)
-        if pol_handles is not None:
+            offer_cols = {k: list(cand.c[k]) for k in
+                          ("url_sha1", "gseq", "kind", "follow_link", "canon_url",
+                           "host", "priority", "politeness_rps", "seq", "shard")}
+            for k in offer_cols:
+                offer_cols[k].extend(frontier.c[k])
+            if offer_cols["url_sha1"]:
+                _offer_seen_candidates(
+                    seen_handles, wave, offer_cols,
+                    list(range(len(offer_cols["url_sha1"]))),
+                )
+        if pol_handles is not None and defer_tbl is not None:
             # deferred rows re-enter wave+1 with a fairness bump; offer
             # their bumped priority so the next finalize sees what the
             # next gate will compare
-            didx = [i for i, ok in enumerate(cols["out_kind"]) if ok == "deferred"]
-            if didx:
-                bumped = [
-                    int(pack_priority(cols["fairness_round"][i] + 1,
-                                      cols["depth"][i], 0, cols["seq"][i]))
-                    for i in didx
-                ]
-                _offer_pol_demand(
-                    pol_handles, wave + 1,
-                    [cols["host"][i] for i in didx],
-                    [cols["pol_shard"][i] for i in didx],
-                    bumped,
-                    [cols["politeness_rps"][i] for i in didx],
-                )
-        return em.table()
+            bumped = pack_priority(
+                np.asarray(defer_tbl["fairness_round"].to_pylist()) + 1,
+                np.asarray(defer_tbl["depth"].to_pylist()), 0,
+                np.asarray(defer_tbl["seq"].to_pylist()),
+            )
+            _offer_pol_demand(
+                pol_handles, wave + 1,
+                defer_tbl["host"].to_pylist(),
+                defer_tbl["pol_shard"].to_pylist(),
+                bumped.tolist(),
+                defer_tbl["politeness_rps"].to_pylist(),
+            )
+        yield from outs
 
     return fetch_parse
 
@@ -609,9 +846,9 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
     _KIND = {"detail": "detail", "detail2_frontier": "detail2",
              "image_frontier": "image", "record": "record_passthrough"}
 
-    def convert(df: pd.DataFrame) -> pd.DataFrame:
+    def convert(df: pd.DataFrame):
         if df.empty:
-            return df
+            return _arrow_out(df)
         verd: dict[str, tuple[str, int]] = {}
         emit_img: dict[str, bool] = {}
         for shard in df["shard"].unique():
@@ -663,7 +900,7 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
             img["priority"] = [int(pack_priority(0, 2, 0, s)) for s in img["seq"]]
             img["kind"] = "image"
             out.append(img)
-        return pd.concat(out, ignore_index=True)
+        return _arrow_out(pd.concat(out, ignore_index=True))
 
     return convert
 
@@ -700,17 +937,18 @@ def _parquet_files(dirs: list[str]) -> list[str]:
 
 def _site_counts(paths: list[str], extra_col: str | None = None) -> dict:
     """Per-site metric rollup from small columns of hive subdirs (the
-    subdir name is the label). At cluster scale this becomes a groupby
-    aggregate over the label column."""
+    subdir name is the label), via an Arrow value_counts kernel. At
+    cluster scale this becomes a groupby aggregate over the label
+    column."""
     out: dict = {}
     for p in paths:
         if dir_num_rows(p) == 0:
             continue
         label = os.path.basename(p).split("=", 1)[-1]
         t = pads.dataset(p, format="parquet").to_table(columns=["site_id"])
-        for s in t["site_id"].to_pylist():
-            out.setdefault(s, {}).setdefault(label, 0)
-            out[s][label] += 1
+        for vc in pc.value_counts(t["site_id"]).to_pylist():
+            out.setdefault(vc["values"], {}).setdefault(label, 0)
+            out[vc["values"]][label] += int(vc["counts"])
     return out
 
 
@@ -771,16 +1009,47 @@ def run_crawl(
         pol.load_states(prior.politeness_states)
         start_wave = prior.wave + 1
         frontier_spec = prior.frontier_path
-    else:
+    seed_tbl: pa.Table | None = None
+    if prior is None:
         os.makedirs(seed_dir, exist_ok=True)
-        pq.write_table(seed_frontier_table(world, cfg),
-                       os.path.join(seed_dir, "seed.parquet"))
+        seed_tbl = seed_frontier_table(world, cfg)
+        # split the seed across wave_blocks FILES: a single parquet file
+        # reads as ONE task whose SplitBlocks generator paces all
+        # downstream task launches (measured ~1.6× effective concurrency
+        # regardless of CPUs); separate files read as independent tasks
+        per = max(1, (seed_tbl.num_rows + cfg.wave_blocks - 1) // cfg.wave_blocks)
+        for i in range(0, cfg.wave_blocks):
+            sl = seed_tbl.slice(i * per, per)
+            if sl.num_rows:
+                pq.write_table(sl, os.path.join(seed_dir, f"seed_{i:04d}.parquet"))
+
+    # Wave-0 politeness demand straight from the in-memory seed table —
+    # running a whole Ray execution just to scan the seed we built one
+    # line ago paid a full worker-pool spin-up before the first wave.
+    # (Resume still uses the frontier-scan cold start: its frontier is
+    # parquet on disk, not in memory.)
+    if seed_tbl is not None and seed_tbl.num_rows:
+        _offer_pol_demand(
+            pol.handles(), start_wave,
+            seed_tbl["host"].to_pylist(),
+            seed_tbl["pol_shard"].to_pylist(),
+            seed_tbl["priority"].to_pylist(),
+            seed_tbl["politeness_rps"].to_pylist(),
+            wait=False,  # driver-side: actor queue orders offer < finalize
+        )
 
     wave = start_wave
     while wave < cfg.max_waves and frontier_spec is not None:
+        # checkpoint cadence: snapshot + manifest every k-th wave (and
+        # always on the terminal wave). Skipped waves replay on resume —
+        # wave outputs are idempotent (assembly dedups by url_sha1; seen/
+        # politeness offers dedup by key/offer-id).
+        want_ckpt = (wave - start_wave) % cfg.checkpoint_every == 0
         m = _run_wave(out_dir, wave, frontier_spec, seen, pol, world_params, cfg,
-                      cold_start=(wave == start_wave))
-        write_manifest(out_dir, m)
+                      cold_start=(wave == start_wave and seed_tbl is None),
+                      do_checkpoint=want_ckpt)
+        if m.metrics.get("checkpointed", True):
+            write_manifest(out_dir, m)
         frontier_spec = m.frontier_path
         wave += 1
 
@@ -888,7 +1157,19 @@ def _run_wave(
     world_params: WorldParams,
     cfg: CrawlConfig,
     cold_start: bool = True,
+    do_checkpoint: bool = True,
 ) -> WaveManifest:
+    import time as _time
+
+    timing: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str):
+        nonlocal _t0
+        now = _time.perf_counter()
+        timing[key] = round(timing.get(key, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
     parsed_dir = os.path.join(wdir, "parsed")
     os.makedirs(parsed_dir, exist_ok=True)
@@ -902,9 +1183,11 @@ def _run_wave(
 
     frontier = _load()
     if frontier is None:
-        return WaveManifest(wave=wave, frontier_path=None,
-                            seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
-                            politeness_states=pol.states())
+        m = WaveManifest(wave=wave, frontier_path=None,
+                         seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
+                         politeness_states=pol.states())
+        m.metrics["checkpointed"] = True
+        return m
 
     # Cold start (seed wave / resume): the politeness demand for this
     # wave wasn't piggybacked by a previous wave — scan the frontier
@@ -916,6 +1199,7 @@ def _run_wave(
             .count()
         )
     pol.finalize(wave)
+    _mark("gate_finalize")
 
     # THE wave execution (map-only, fused): previous wave's candidates
     # labeled against the finalized verdicts → threshold gate →
@@ -944,6 +1228,7 @@ def _run_wave(
         )
         .write_parquet(parsed_dir, partition_cols=["out_kind"])
     )
+    _mark("exec")
 
     # seen finalize (anti-join, first-wins in global gseq order) + the
     # admitted rows' politeness demand for wave+1, forwarded driver-side
@@ -974,36 +1259,47 @@ def _run_wave(
     next_spec = None
     if defer_dirs or cand_dirs:
         next_spec = {"seed": [], "defer": defer_dirs, "cands": cand_dirs}
+    _mark("seen_finalize")
 
-    # metrics + manifest (records/images/errors are hive subdirs)
+    # metrics + manifest (records/images/errors are hive subdirs). The
+    # detailed rollups are driver-side metadata/column reads that don't
+    # scale with CPUs — benches disable them (not load-bearing).
     records_paths = _existing([_subdir(parsed_dir, "out_kind", "record")])
     images_paths = _existing([_subdir(parsed_dir, "out_kind", "image")])
     errors_paths = _existing([_subdir(parsed_dir, "out_kind", "error")])
-    metrics = {
-        "gate": {
-            "allow": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
-            "defer": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
-            "block": dir_num_rows(_subdir(parsed_dir, "out_kind", "blocked")),
-        },
-        "parse": _site_counts([
-            _subdir(parsed_dir, "out_kind", v)
-            for v in ("candidate", "frontier_image", "record", "image", "error")
-        ]),
-        "seen": seen_counts,
-        "fetched": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
-        "deferred": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
-        "records": sum(dir_num_rows(p) for p in records_paths),
-        "images": sum(dir_num_rows(p) for p in images_paths),
-        "errors": sum(dir_num_rows(p) for p in errors_paths),
-    }
+    metrics: dict = {"seen": seen_counts}
+    if cfg.detailed_metrics:
+        metrics.update({
+            "gate": {
+                "allow": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
+                "defer": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
+                "block": dir_num_rows(_subdir(parsed_dir, "out_kind", "blocked")),
+            },
+            "parse": _site_counts([
+                _subdir(parsed_dir, "out_kind", v)
+                for v in ("candidate", "frontier_image", "record", "image", "error")
+            ]),
+            "fetched": dir_num_rows(_subdir(parsed_dir, "out_kind", "fetchlog")),
+            "deferred": dir_num_rows(_subdir(parsed_dir, "out_kind", "deferred")),
+            "records": sum(dir_num_rows(p) for p in records_paths),
+            "images": sum(dir_num_rows(p) for p in images_paths),
+            "errors": sum(dir_num_rows(p) for p in errors_paths),
+        })
+    _mark("metrics")
+
+    do_ckpt = do_checkpoint or next_spec is None  # terminal wave: always
+    seen_paths = seen.snapshot(ckpt_dir(out_dir), wave) if do_ckpt else []
+    metrics["checkpointed"] = do_ckpt
+    _mark("snapshot")
+    metrics["timing"] = timing
     return WaveManifest(
         wave=wave,
         frontier_path=next_spec,
         records_paths=records_paths,
         images_paths=images_paths,
         errors_paths=errors_paths,
-        seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
-        politeness_states=pol.states(),
+        seen_paths=seen_paths,
+        politeness_states=pol.states() if do_ckpt else [],
         metrics=metrics,
         lineage={
             "parent_wave": wave - 1,
@@ -1080,7 +1376,7 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
             df["pubdate"] = ts.date()
             df["timestamp"] = ts
             df["bucket"] = (df["host_hash"] % cfg.out_buckets).astype(np.int64)
-            return df
+            return _arrow_out(df)
 
         recs.map_batches(_clean_tag_stamp, batch_format="pandas").write_parquet(
             job_dir, partition_cols=["bucket"]

@@ -148,23 +148,25 @@ def q_windowed_events(sf_dir: str):
         return _arrow_out(g)
 
     # combiner pattern: heavy rows reduce to per-batch partials inside
-    # map_batches; the merge over the (much smaller) partial set is a
-    # second Ray groupby — same shape as pricing_summary, so a huge
-    # (user, day) key space never lands on the driver.
-    parts = (
+    # map_batches; the merge over the (much smaller) partial set runs in
+    # ONE coalesced WORKER task (giant batch_size bundles all partial
+    # blocks) — never on the driver, and without an all-to-all barrier
+    # (each Ray shuffle costs ~10s wall on this build regardless of
+    # size). If the distinct (user, day) key space outgrew one worker's
+    # heap, this one line becomes `.groupby([...]).aggregate(Sum, Sum)`.
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_value"] = _round_half_up(out["sum_value"], 4)
+        return out[["user_id", "day", "n", "sum_value"]]
+
+    return (
         _tbl(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n"] = df["n"].astype(np.int64)
-        df["sum_value"] = _round_half_up(df["sum_value"], 4)
-        return df[["user_id", "day", "n", "sum_value"]]
-
-    return parts.map_batches(finish, batch_format="pandas")
 
 
 def q_pricing_summary(sf_dir: str):
@@ -537,12 +539,10 @@ def q_jaccard_pairs(sf_dir: str):
 def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup detection, the full distributed shape:
     shingle+minhash per batch → explode (band_key, doc_id) → groupby
-    band → candidate pairs → coarse-bucket pair dedup → hash-join the
-    texts back on both ids → verify true Jaccard ≥ 0.5. No stage
-    materializes the corpus: candidates flow through Ray groupbys and
-    two ``Dataset.join``s keyed on doc_id, so memory is bounded by the
-    candidate-pair volume, not N. Rows-only (not SQL-expressible);
-    recall vs the exact pairs is asserted in tests."""
+    band → candidate pairs → single coalesced dedup+verify task with a
+    doc_id-pruned text fetch. No stage materializes the corpus: memory
+    is bounded by the candidate-pair volume, not N. Rows-only (not
+    SQL-expressible); recall vs the exact pairs is asserted in tests."""
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     hasher = dedupe.MinHasher(num_perm=64, seed=1234)
     bands = 16
@@ -568,59 +568,66 @@ def q_minhash_lsh(sf_dir: str):
         arr = np.array(out, dtype=np.int64)
         return pd.DataFrame({"id_a": arr[:, 0], "id_b": arr[:, 1]})
 
+    # materialize the candidate PAIRS (not the corpus): the set is
+    # bounded by the near-dup rate, and the checkpoint lets the
+    # coalesced dedup stage consume complete blocks instead of stalling
+    # the streaming executor behind the groupby barrier (measured 36s →
+    # 7s at sf0.1 for the whole query)
     cand = (
         docs.map_batches(band_rows, batch_format="pandas")
         .groupby("band_key", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    ).materialize()
 
-    # global pair dedup without driver materialization: coarse-bucket the
-    # pair key (identical pairs land in the same bucket), drop duplicates
-    # inside each bucket
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = ((df["id_a"] * 1000003 + df["id_b"]) % 64).astype(np.int64)
-        return _arrow_out(df)
-
-    cand = (
-        cand.map_batches(add_pb, batch_format="pandas")
-        .groupby("pb", num_partitions=8)
-        .map_groups(
-            lambda g: _arrow_out(g.drop_duplicates().drop(columns=["pb"])),
-            batch_format="pandas",
-        )
-    )
-
-    def _side(col_id: str, col_text: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({col_id: t["doc_id"], col_text: t["text"]})
-        return fn
-
-    j = cand.join(docs.map_batches(_side("id_a", "text_a"), batch_format="pyarrow"),
-                  "inner", num_partitions=8, on=("id_a",))
-    j = j.join(docs.map_batches(_side("id_b", "text_b"), batch_format="pyarrow"),
-               "inner", num_partitions=8, on=("id_b",))
+    # global pair dedup in ONE coalesced worker task (pairs are tiny
+    # next to the corpus — bounded by the near-dup rate; a giant
+    # batch_size bundles all pair blocks without paying a second
+    # all-to-all barrier, which costs ~10s wall on this build
+    # regardless of size); then PARALLEL verify batches, each fetching
+    # only ITS pairs' texts via a doc_id-pruned parquet read — the
+    # corpus is never broadcast or collected, and memory per task is
+    # bounded by the batch's candidate set. At a candidate volume too
+    # big for the dedup task, dedup becomes a bucketed groupby and the
+    # text fetch a hash join.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep_a, keep_b, keep_j = [], [], []
-        cache: dict[int, np.ndarray] = {}
+        if len(df):
+            ids = sorted(set(df["id_a"]) | set(df["id_b"]))
+            t = papq.read_table(doc_path, columns=["doc_id", "text"],
+                                filters=[("doc_id", "in", ids)])
+            lut = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+            cache: dict[int, np.ndarray] = {}
 
-        def sh(i, text):
-            if i not in cache:
-                cache[i] = dedupe.shingle_set(text, k=3)
-            return cache[i]
+            def sh(i):
+                if i not in cache:
+                    cache[i] = dedupe.shingle_set(lut[i], k=3)
+                return cache[i]
 
-        for a, b, ta, tb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
-            jv = dedupe.jaccard(sh(int(a), ta), sh(int(b), tb))
-            if jv >= 0.5:
-                keep_a.append(a)
-                keep_b.append(b)
-                keep_j.append(round(jv, 4))
+            for a, b in zip(df["id_a"], df["id_b"]):
+                jv = dedupe.jaccard(sh(int(a)), sh(int(b)))
+                if jv >= 0.5:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    keep_j.append(round(jv, 4))
         return pd.DataFrame({"id_a": pd.Series(keep_a, dtype=np.int64),
                              "id_b": pd.Series(keep_b, dtype=np.int64),
                              "jacc": pd.Series(keep_j, dtype=np.float64)})
 
-    return j.map_batches(verify, batch_format="pandas")
+    # dedup + sort by id_a (narrow doc-id range per verify batch →
+    # better row-group pruning and shingle-cache reuse) + re-split into
+    # 512-row blocks, all in the one coalesced task
+    def dedup_split(df: pd.DataFrame):
+        df = df.drop_duplicates().sort_values(["id_a", "id_b"], kind="stable")
+        step = 512
+        for lo in range(0, len(df), step):
+            yield _arrow_out(df.iloc[lo:lo + step])
+
+    return (
+        cand.map_batches(dedup_split, batch_format="pandas", batch_size=1 << 30)
+        .map_batches(verify, batch_format="pandas", batch_size=512)
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -806,23 +813,15 @@ def q_embedding_neardup_ann(sf_dir: str):
         return pd.DataFrame({"id_a": lo.astype(np.int64),
                              "id_b": hi.astype(np.int64)})
 
-    pairs = (
+    # pair dedup in one coalesced worker task (pairs are tiny next to
+    # the corpus; avoids a second all-to-all barrier — see q_minhash_lsh)
+    return (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(band_rows, batch_format="pandas", batch_size=512)
         .groupby("bkey", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-
-    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = ((df["id_a"] * 1000003 + df["id_b"]) % 64).astype(np.int64)
-        return _arrow_out(df)
-
-    return (
-        pairs.map_batches(add_pb, batch_format="pandas")
-        .groupby("pb", num_partitions=8)
-        .map_groups(lambda g: _arrow_out(g.drop_duplicates().drop(columns=["pb"])),
-                    batch_format="pandas")
+        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
+                     batch_format="pandas", batch_size=1 << 30)
     )
 
 

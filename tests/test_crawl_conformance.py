@@ -122,6 +122,38 @@ class TestResume:
                 assert a[col].tolist() == b[col].tolist(), f"{sub}.{col}"
 
 
+class TestCheckpointCadence:
+    def test_checkpoint_every_resume_replay(self, ray_session, tmp_path):
+        """checkpoint_every=2 writes manifests/snapshots only every 2nd
+        wave; a run interrupted between checkpoints resumes from the
+        last one, REPLAYS the skipped wave idempotently, and produces
+        the same final tables as an uninterrupted run."""
+        full_dir = str(tmp_path / "full")
+        part_dir = str(tmp_path / "part")
+        # needs a ≥3-wave world (follow-link sites) so wave 1 is
+        # neither checkpointed nor terminal
+        wp = WorldParams(seed=5, n_sites=6, pages_per_site=2, jobs_per_page=4)
+        cfg2 = CrawlConfig(**{**CFG.__dict__, "checkpoint_every": 2})
+        run_crawl(wp, full_dir, CFG)
+        # interrupt after wave 1 — wave 0 is the last checkpointed wave
+        # (wave 1 wrote no manifest), so resume replays wave 1
+        run_crawl(wp, part_dir, CrawlConfig(**{**cfg2.__dict__, "max_waves": 2}))
+        from jobscrawler_ray.state.checkpoint import latest_manifest
+
+        assert latest_manifest(part_dir).wave == 0  # wave 1 skipped
+        run_crawl(wp, part_dir, cfg2, resume=True)
+        for sub in ("job_records", "image_caption"):
+            a = _read_dir(os.path.join(full_dir, sub))
+            b = _read_dir(os.path.join(part_dir, sub))
+            key = "url_sha1" if sub == "job_records" else "image_id"
+            a = a.sort_values(key).reset_index(drop=True)
+            b = b.sort_values(key).reset_index(drop=True)
+            assert len(a) == len(b) > 0
+            cols = [c for c in a.columns if c != "location_tags"]
+            for col in cols:
+                assert a[col].tolist() == b[col].tolist(), f"{sub}.{col}"
+
+
 class TestPolitenessAndRobots:
     def test_constrained_budget_defers_but_converges(self, ray_session, tmp_path):
         wp = WorldParams(seed=11, n_sites=4, pages_per_site=4, jobs_per_page=4,

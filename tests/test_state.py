@@ -15,6 +15,11 @@ from jobscrawler_ray.state.checkpoint import (
 )
 
 
+
+def _pack(rows):
+    """row tuples -> column-wise transport (offer_candidates format)."""
+    return tuple(list(c) for c in zip(*rows))
+
 class TestSeenShardProtocol:
     def _shard(self, exact=True):
         from jobscrawler_ray.state.seen import _SeenShard
@@ -28,7 +33,7 @@ class TestSeenShardProtocol:
             ("a" * 40, 20, "candidate", False, "https://h.test/jobs/1", "h.test", 20, 8.0, 20),
             ("a" * 40, 10, "candidate", False, "https://h.test/jobs/1", "h.test", 10, 8.0, 10),
         ]
-        s.offer_candidates(0, rows)
+        s.offer_candidates(0, _pack(rows))
         s.finalize(0)
         verd, emit = s.verdicts(0)
         assert verd["a" * 40] == ("record", 10)
@@ -36,21 +41,21 @@ class TestSeenShardProtocol:
 
     def test_cross_wave_dup(self):
         s = self._shard()
-        s.offer_candidates(0, [("b" * 40, 5, "candidate", True, "https://h.test/x", "h.test", 5, 8.0, 5)])
+        s.offer_candidates(0, _pack([("b" * 40, 5, "candidate", True, "https://h.test/x", "h.test", 5, 8.0, 5)]))
         s.finalize(0)
         assert s.verdicts(0)[0]["b" * 40] == ("detail", 5)
-        s.offer_candidates(1, [("b" * 40, 99, "candidate", True, "https://h.test/x", "h.test", 99, 8.0, 99)])
+        s.offer_candidates(1, _pack([("b" * 40, 99, "candidate", True, "https://h.test/x", "h.test", 99, 8.0, 99)]))
         s.finalize(1)
         assert s.verdicts(1)[0]["b" * 40] == ("dup", 99)
 
     def test_image_claim(self):
         s = self._shard()
-        s.offer_candidates(0, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)])
+        s.offer_candidates(0, _pack([("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)]))
         s.finalize(0)
         _, emit = s.verdicts(0)
         assert emit["c" * 40] is True
         # replay (resume): record is dup now, image not re-emitted
-        s.offer_candidates(1, [("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)])
+        s.offer_candidates(1, _pack([("c" * 40, 1, "candidate", False, "https://h.test/jobs/9", "h.test", 1, 8.0, 1)]))
         s.finalize(1)
         verd, emit2 = s.verdicts(1)
         assert verd["c" * 40] == ("dup", 1)
@@ -59,11 +64,11 @@ class TestSeenShardProtocol:
     def test_filter_only_mode(self):
         s = self._shard(exact=False)
         rows = [(f"{i:040x}", i, "candidate", True, f"https://h.test/{i}", "h.test", i, 8.0, i) for i in range(200)]
-        s.offer_candidates(0, rows)
+        s.offer_candidates(0, _pack(rows))
         s.finalize(0)
         verd, _ = s.verdicts(0)
         assert all(v[0] == "detail" for v in verd.values())
-        s.offer_candidates(1, rows)
+        s.offer_candidates(1, _pack(rows))
         s.finalize(1)
         verd2, _ = s.verdicts(1)
         assert all(v[0] == "dup" for v in verd2.values())
