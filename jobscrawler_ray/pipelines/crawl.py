@@ -267,6 +267,10 @@ class CrawlConfig:
     checkpoint_every: int = 1  # seen-shard snapshot cadence (waves).
     #   >1 trades resume granularity (re-run up to k-1 waves) for less
     #   checkpoint IO; the final wave always snapshots.
+    fetch_backend: str = "synthetic"  # sources/fetch_backends.py registry
+    #   key; "synthetic" = the deterministic world (tests/benches),
+    #   "http" = the real-network client (UA rotation, non-200 body
+    #   passthrough) — unusable in this no-network sandbox.
 
 
 # --------------------------------------------------------------------------
@@ -283,6 +287,25 @@ def get_world(params: WorldParams) -> World:
         w = World(params)
         _WORLD_CACHE[key] = w
     return w
+
+
+_BACKEND_CACHE: dict[tuple, Any] = {}
+
+
+def get_fetch_backend(name: str, world_params: WorldParams):
+    """Per-process fetch backend (sources/fetch_backends.py seam). The
+    synthetic backend shares the process World cache; other backends
+    are constructed once per process (session reuse)."""
+    if name == "synthetic":
+        return get_world(world_params)
+    key = (name, astuple(world_params))
+    b = _BACKEND_CACHE.get(key)
+    if b is None:
+        from ..sources.fetch_backends import FETCH_BACKENDS
+
+        b = FETCH_BACKENDS[name](allow_network=True)
+        _BACKEND_CACHE[key] = b
+    return b
 
 
 # --------------------------------------------------------------------------
@@ -443,7 +466,7 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
             self.c = {k: [] for k in _NEW_FIELDS}
 
     def fetch_parse(batch: pa.Table):
-        world = get_world(world_params)
+        world = get_fetch_backend(cfg.fetch_backend, world_params)
         if batch.num_rows == 0:
             return
         gate = np.asarray(batch["gate"].to_pylist())
