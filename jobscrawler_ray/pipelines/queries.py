@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as papq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import dedupe, textstats
 from ..stages.location import build_alias_map, tag_location
@@ -74,6 +74,19 @@ def _bget(ref):
     return _BCAST_CACHE[key]
 
 
+def _max_ts(ds, col: str) -> pd.Timestamp:
+    """MAX over a timestamp column via Arrow partial-max per batch + a
+    tiny coalesced merge. ``Dataset.max`` routes timestamps through a
+    pandas block whose day-aligned values numpy narrows to 'D'
+    precision, spamming a conversion warning in every aggregate map
+    task; pc.max stays in Arrow the whole way."""
+    part = ds.map_batches(lambda t: pa.table({col: [pc.max(t[col])]}),
+                          batch_format="pyarrow")
+    final = part.map_batches(lambda t: pa.table({col: [pc.max(t[col])]}),
+                             batch_format="pyarrow", batch_size=1 << 30)
+    return pd.Timestamp(final.take_all()[0][col])
+
+
 def _round_half_up(x, decimals: int):
     """SQL ROUND semantics (half away from zero) — numpy's round is
     half-to-even and disagrees with DuckDB on exact .5 ulp boundaries
@@ -108,8 +121,8 @@ def q_lang_frequency(sf_dir: str):
 def q_watermark_max_ts(sf_dir: str):
     """A5/T4: the MAX(timestamp) watermark
     (``embed_latest_crawled_data.py:135-148``)."""
-    v = _tbl(sf_dir, "events", ["ts"]).max("ts")
-    return pd.DataFrame({"max_ts": [pd.Timestamp(v)]})
+    v = _max_ts(_tbl(sf_dir, "events", ["ts"]), "ts")
+    return pd.DataFrame({"max_ts": [v]})
 
 
 def q_latest_events(sf_dir: str):
@@ -125,7 +138,7 @@ def q_incremental_since_watermark(sf_dir: str):
     """S10: incremental read — rows newer than (watermark - 7d)
     (``embed_latest_crawled_data.py:36-55``)."""
     ds = _tbl(sf_dir, "events", ["ts", "event_type"])
-    wm = pd.Timestamp(ds.max("ts")) - pd.Timedelta(days=7)
+    wm = _max_ts(_tbl(sf_dir, "events", ["ts"]), "ts") - pd.Timedelta(days=7)
     cutoff = pa.scalar(wm.to_pydatetime(), type=pa.timestamp("us"))
     return (
         ds.map_batches(
@@ -246,7 +259,7 @@ def q_anti_join_customers(sf_dir: str):
     in the last 30 days) — the seen-set pattern: broadcast the key set,
     filter inside map_batches; no shuffle."""
     orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    cutoff = pd.Timestamp(orders.max("o_orderdate")) - pd.Timedelta(days=30)
+    cutoff = _max_ts(_tbl(sf_dir, "orders", ["o_orderdate"]), "o_orderdate") - pd.Timedelta(days=30)
     sc = pa.scalar(cutoff.to_pydatetime(), type=pa.timestamp("us"))
     recent = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_orderdate"], sc)), batch_format="pyarrow"

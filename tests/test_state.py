@@ -118,6 +118,26 @@ class TestPolitenessThresholds:
         assert s.thresholds(0)[blocked[0]] == _PolitenessShard.BLOCK
 
 
+    def test_offer_id_dedup_under_retries(self):
+        """A retried map task re-offers the same content hash; the shard
+        must count it once (idempotent side effects under Ray task
+        re-execution)."""
+        from jobscrawler_ray.state.politeness import _PolitenessShard
+        from jobscrawler_ray.synth.world import WorldParams
+
+        sh = _PolitenessShard(WorldParams(seed=3, n_sites=2, pages_per_site=1,
+                                          jobs_per_page=2, politeness_rps=1))
+        host = "site-0000.test"
+        demand = {host: (3, [1, 2, 3], 1.0)}
+        assert sh.offer(0, demand, offer_id=99) is True
+        assert sh.offer(0, demand, offer_id=99) is False  # retry ignored
+        assert sh._counts[host] == 3  # not 6
+        sh.finalize(0)
+        # a STALE retry arriving after finalize is still recognized
+        assert sh.offer(1, demand, offer_id=99) is False
+        # un-keyed offers (legacy) are always accepted
+        assert sh.offer(1, demand) is True
+
 class TestCheckpoint:
     def test_manifest_roundtrip(self, tmp_path):
         out = str(tmp_path)
