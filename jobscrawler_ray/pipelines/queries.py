@@ -643,6 +643,46 @@ def q_minhash_lsh(sf_dir: str):
     )
 
 
+def q_minhash_dedup_keep(sf_dir: str):
+    """Near-dup REMOVAL — the operation a training-data pipeline
+    actually runs (detection alone doesn't shrink the corpus):
+    MinHash+LSH verified pairs → connected components (union-find over
+    the pair list, which is bounded by the near-dup rate, NOT the
+    corpus) → keep the smallest doc_id per component → broadcast the
+    drop-set and anti-join it against the full corpus in map_batches.
+    Rows-only; the keep-set properties are asserted in tests."""
+    pairs = q_minhash_lsh(sf_dir).to_pandas()  # bounded: near-dup pairs only
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by smaller id → the component root IS the keeper
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    drops = frozenset(x for x in parent if find(x) != x)
+    dref = ray.put(drops)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _bget(dref)
+        mask = pa.array([int(i) not in d for i in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    return _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def q_simhash(sf_dir: str):
     """SimHash fingerprints (rows-only; near-dup = small Hamming
     distance, asserted in tests)."""
@@ -1241,6 +1281,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": q_fingerprints,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash": q_simhash,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,

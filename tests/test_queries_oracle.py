@@ -125,6 +125,37 @@ class TestRowsOnly:
             recall = len(exact & got_pairs) / len(exact)
             assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} exact pairs"
 
+    def test_minhash_dedup_keep(self, ray_session):
+        """Keep-set properties: every dropped id is in some verified
+        pair, at most one side of every pair survives, and the smallest
+        id of each connected component is kept."""
+        from jobscrawler_ray.pipelines.queries import QUERIES
+
+        pairs = _to_pandas(QUERIES["minhash_lsh"](SF_DIR))
+        kept = set(_to_pandas(QUERIES["minhash_dedup_keep"](SF_DIR))["doc_id"])
+        all_ids = set(range(500))
+        dropped = all_ids - kept
+        in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
+        assert dropped <= in_pairs
+        # independent union-find over the same pairs
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["id_a"], pairs["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        comps = {}
+        for x in in_pairs:
+            comps.setdefault(find(int(x)), set()).add(int(x))
+        for root, members in comps.items():
+            assert kept & members == {min(members)}, (root, members)
+
     def test_ann_ivf_recall(self, ray_session):
         from jobscrawler_ray.pipelines.queries import QUERIES
 
