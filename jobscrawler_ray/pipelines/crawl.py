@@ -798,6 +798,7 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
 # --------------------------------------------------------------------------
 
 _ACTOR_CACHE: dict[tuple, Any] = {}
+_VERDICT_BCAST_CACHE: dict[int, Any] = {}  # driver-side: wave -> ObjectRef
 
 
 def _cached_rpc(handle, method: str, wave: int):
@@ -869,26 +870,79 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
     _KIND = {"detail": "detail", "detail2_frontier": "detail2",
              "image_frontier": "image", "record": "record_passthrough"}
 
+    # Driver-side: fetch every shard's sorted verdict arrays in ONE
+    # parallel RPC round, merge, and BROADCAST via ray.put — workers
+    # read the plasma buffers zero-copy. (Per-worker fetching cost ~9 s
+    # on each process's first batch: 32 processes × 16 sequential RPCs
+    # serialized on 16 single-threaded actors.) Cached per wave so the
+    # wave's two _load() calls don't merge twice.
+    actors_key = tuple(h._actor_id.hex() for h in seen_handles)
+    vref = _VERDICT_BCAST_CACHE.get((actors_key, prev_wave))
+    if vref is None:
+        parts = ray.get([h.verdict_arrays.remote(prev_wave) for h in seen_handles])
+        keys = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype="S40")
+        labs = np.concatenate([p[1] for p in parts]) if parts else np.array([], dtype=np.int8)
+        wins = np.concatenate([p[2] for p in parts]) if parts else np.array([], dtype=np.int64)
+        ekeys = np.concatenate([p[3] for p in parts]) if parts else np.array([], dtype="S40")
+        evals = np.concatenate([p[4] for p in parts]) if parts else np.array([], dtype=bool)
+        order = np.argsort(keys, kind="stable")
+        eorder = np.argsort(ekeys, kind="stable")
+        vref = ray.put((keys[order], labs[order], wins[order],
+                        ekeys[eorder], evals[eorder]))
+        # keyed by the ACTOR SET + wave: a wave number alone would leak
+        # verdicts across run_crawl invocations in one driver process
+        for k in [k for k in _VERDICT_BCAST_CACHE
+                  if k[0] != actors_key or k[1] < prev_wave]:
+            del _VERDICT_BCAST_CACHE[k]
+        _VERDICT_BCAST_CACHE[(actors_key, prev_wave)] = vref
+
+    def _merged_arrays():
+        """ray.get the broadcast ONCE per worker process (zero-copy
+        plasma-backed numpy; ~17 bytes/key — a dict representation of
+        the same table cost ~600 MB per process)."""
+        key = ("merged_verdicts", actors_key, prev_wave)
+        hit = _ACTOR_CACHE.get(key)
+        if hit is None:
+            stale = [k for k in _ACTOR_CACHE
+                     if k[0] == "merged_verdicts" and k[1:] != (actors_key, prev_wave)]
+            for k in stale:
+                del _ACTOR_CACHE[k]
+            hit = ray.get(vref)
+            _ACTOR_CACHE[key] = hit
+        return hit
+
+    from ..state.seen import _SeenShard
+
+    _LABEL_NAMES = np.array(_SeenShard.LABELS)
+
+    def _lookup(sorted_keys: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found_mask, clipped_index) of q in sorted_keys (exact S40)."""
+        if len(sorted_keys) == 0:
+            return np.zeros(len(q), dtype=bool), np.zeros(len(q), dtype=np.int64)
+        idx = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
+        return sorted_keys[idx] == q, idx
+
     def convert(df: pd.DataFrame):
         if df.empty:
             return _arrow_out(df)
-        verd: dict[str, tuple[str, int]] = {}
-        emit_img: dict[str, bool] = {}
-        for shard in df["shard"].unique():
-            v, e = _cached_rpc(seen_handles[int(shard)], "verdicts", prev_wave)
-            verd.update(v)
-            emit_img.update(e)
-        lab = df["url_sha1"].map(lambda s: verd.get(s, ("dup", -1)))
+        keys, labs, wins, ekeys, evals = _merged_arrays()
+        q = df["url_sha1"].to_numpy(dtype="S40")
+        found, idx = _lookup(keys, q)
         # only the winning gseq carries the verdict; later intra-wave
-        # duplicates of the same key are "dup" (first-wins)
-        df = df.assign(label=[
-            l if g == win_g else "dup"
-            for (l, win_g), g in zip(lab, df["gseq"].astype(int))
-        ])
+        # duplicates of the same key are "dup" (first-wins; missing →
+        # code 0 = "dup")
+        code = np.where(found, labs[idx], 0)
+        win = np.where(found, wins[idx], -1)
+        lab = _LABEL_NAMES[code]
+        df = df.assign(
+            label=np.where(df["gseq"].to_numpy(dtype=np.int64) == win, lab, "dup")
+        )
         keep = df[df["label"].isin(list(_KIND))].copy()
         keep["kind"] = keep["label"].map(_KIND)
         rec = keep[keep["label"] == "record"]
-        rec = rec[rec["url_sha1"].map(emit_img).fillna(False)]
+        if len(rec):
+            ef, ei = _lookup(ekeys, rec["url_sha1"].to_numpy(dtype="S40"))
+            rec = rec[np.where(ef, evals[ei], False)]
         out = [keep.drop(columns=["label"])]
         # A "dup" verdict on a detail2 (stripped-apply) URL means the
         # intermediate fetch is redundant — NOT that the job is a dup
@@ -920,7 +974,9 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
             img["depth"] = 2
             img["seq"] = rec["seq"] + 1
             img["gseq"] = rec["gseq"] + 1
-            img["priority"] = [int(pack_priority(0, 2, 0, s)) for s in img["seq"]]
+            img["priority"] = pack_priority(
+                0, 2, 0, img["seq"].to_numpy(dtype=np.int64)
+            ).astype(np.int64)
             img["kind"] = "image"
             out.append(img)
         return _arrow_out(pd.concat(out, ignore_index=True))
