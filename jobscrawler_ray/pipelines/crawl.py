@@ -879,16 +879,14 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
     actors_key = tuple(h._actor_id.hex() for h in seen_handles)
     vref = _VERDICT_BCAST_CACHE.get((actors_key, prev_wave))
     if vref is None:
+        # one parallel RPC round, then broadcast the PER-SHARD sorted
+        # arrays as-is — no driver-side concatenate/argsort (a global
+        # re-sort of ~1M S40 keys cost ~2s of serial driver time per
+        # wave, which the fast scaling leg paid disproportionately).
+        # Workers route lookups by each row's shard column, the same
+        # hash64(host) % K routing the offers used.
         parts = ray.get([h.verdict_arrays.remote(prev_wave) for h in seen_handles])
-        keys = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype="S40")
-        labs = np.concatenate([p[1] for p in parts]) if parts else np.array([], dtype=np.int8)
-        wins = np.concatenate([p[2] for p in parts]) if parts else np.array([], dtype=np.int64)
-        ekeys = np.concatenate([p[3] for p in parts]) if parts else np.array([], dtype="S40")
-        evals = np.concatenate([p[4] for p in parts]) if parts else np.array([], dtype=bool)
-        order = np.argsort(keys, kind="stable")
-        eorder = np.argsort(ekeys, kind="stable")
-        vref = ray.put((keys[order], labs[order], wins[order],
-                        ekeys[eorder], evals[eorder]))
+        vref = ray.put(parts)
         # keyed by the ACTOR SET + wave: a wave number alone would leak
         # verdicts across run_crawl invocations in one driver process
         for k in [k for k in _VERDICT_BCAST_CACHE
@@ -896,7 +894,7 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
             del _VERDICT_BCAST_CACHE[k]
         _VERDICT_BCAST_CACHE[(actors_key, prev_wave)] = vref
 
-    def _merged_arrays():
+    def _shard_arrays():
         """ray.get the broadcast ONCE per worker process (zero-copy
         plasma-backed numpy; ~17 bytes/key — a dict representation of
         the same table cost ~600 MB per process)."""
@@ -925,14 +923,20 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
     def convert(df: pd.DataFrame):
         if df.empty:
             return _arrow_out(df)
-        keys, labs, wins, ekeys, evals = _merged_arrays()
+        parts = _shard_arrays()
         q = df["url_sha1"].to_numpy(dtype="S40")
-        found, idx = _lookup(keys, q)
+        sh = df["shard"].to_numpy(dtype=np.int64)
+        n = len(df)
+        code = np.zeros(n, dtype=np.int8)   # 0 = "dup" (missing)
+        win = np.full(n, -1, dtype=np.int64)
+        for s in np.unique(sh):
+            m = sh == s
+            keys, labs, wins = parts[int(s)][:3]
+            found, idx = _lookup(keys, q[m])
+            code[m] = np.where(found, labs[idx], 0)
+            win[m] = np.where(found, wins[idx], -1)
         # only the winning gseq carries the verdict; later intra-wave
-        # duplicates of the same key are "dup" (first-wins; missing →
-        # code 0 = "dup")
-        code = np.where(found, labs[idx], 0)
-        win = np.where(found, wins[idx], -1)
+        # duplicates of the same key are "dup" (first-wins)
         lab = _LABEL_NAMES[code]
         df = df.assign(
             label=np.where(df["gseq"].to_numpy(dtype=np.int64) == win, lab, "dup")
@@ -941,8 +945,15 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
         keep["kind"] = keep["label"].map(_KIND)
         rec = keep[keep["label"] == "record"]
         if len(rec):
-            ef, ei = _lookup(ekeys, rec["url_sha1"].to_numpy(dtype="S40"))
-            rec = rec[np.where(ef, evals[ei], False)]
+            rq = rec["url_sha1"].to_numpy(dtype="S40")
+            rs = rec["shard"].to_numpy(dtype=np.int64)
+            rkeep = np.zeros(len(rec), dtype=bool)
+            for s in np.unique(rs):
+                m = rs == s
+                ekeys, evals = parts[int(s)][3:]
+                ef, ei = _lookup(ekeys, rq[m])
+                rkeep[m] = np.where(ef, evals[ei], False)
+            rec = rec[rkeep]
         out = [keep.drop(columns=["label"])]
         # A "dup" verdict on a detail2 (stripped-apply) URL means the
         # intermediate fetch is redundant — NOT that the job is a dup
