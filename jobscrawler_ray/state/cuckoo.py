@@ -65,15 +65,40 @@ class CuckooFilter:
         fpc = fp[:, None]
         return ((b1 == fpc).any(axis=1)) | ((b2 == fpc).any(axis=1))
 
+    def _hash_parts(self, h: np.ndarray):
+        """(fp, i1, i2) for a key array, as plain-int lists — the insert
+        loop runs on Python ints (per-key numpy scalar construction cost
+        ~30µs/key and dominated seen-set finalize at bench scale)."""
+        fp = self._fp(h)
+        i1 = (h & self.mask).astype(np.uint64)
+        i2 = ((i1 ^ (fp * _FP_MULT)) & self.mask)
+        return fp.tolist(), i1.tolist(), i2.tolist()
+
+    def _slot_insert(self, fp: int, i1: int, i2: int, h: int) -> bool:
+        """Place fp in a free slot of bucket i1/i2, else evict-insert."""
+        B = self.buckets
+        for i in (i1, i2):
+            row = B[i]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    self.count += 1
+                    return True
+        return self._evict_insert(h, fp, i1, i2)
+
     def add_many(self, hashes: np.ndarray) -> int:
         """Insert every key-hash; returns number actually inserted
         (pre-existing fingerprints in their buckets are skipped, which is
         exactly the first-wins dedup semantics)."""
         h = hashes.astype(np.uint64)
         present = self.contains_many(h)
+        new = h[~present]
+        if not len(new):
+            return 0
+        fps, i1s, i2s = self._hash_parts(new)
         inserted = 0
-        for hv in h[~present]:
-            if self._insert_one(np.uint64(hv)):
+        for hv, fp, i1, i2 in zip(new.tolist(), fps, i1s, i2s):
+            if self._slot_insert(fp, i1, i2, hv):
                 inserted += 1
         return inserted
 
@@ -86,13 +111,19 @@ class CuckooFilter:
         # fast path: batch-level pre-check
         pre = self.contains_many(h)
         out |= pre
-        # python loop only over the (few) unseen; handles intra-batch dups
-        for idx in np.flatnonzero(~pre):
-            hv = np.uint64(h[idx])
-            if self._contains_one(hv):
-                out[idx] = True
+        # loop only over the (few) unseen; handles intra-batch dups
+        unseen = np.flatnonzero(~pre)
+        if not len(unseen):
+            return out
+        hu = h[unseen]
+        fps, i1s, i2s = self._hash_parts(hu)
+        B = self.buckets
+        for k, idx in enumerate(unseen.tolist()):
+            fp, i1, i2 = fps[k], i1s[k], i2s[k]
+            if (B[i1] == fp).any() or (B[i2] == fp).any():
+                out[idx] = True  # intra-batch duplicate (earlier row won)
             else:
-                self._insert_one(hv)
+                self._slot_insert(fp, i1, i2, int(hu[k]))
         return out
 
     # -- scalar ops ------------------------------------------------------
@@ -103,23 +134,20 @@ class CuckooFilter:
         return bool((self.buckets[i1] == fp).any() or (self.buckets[i2] == fp).any())
 
     def _insert_one(self, h: np.uint64) -> bool:
-        fp = np.uint16(self._fp(np.array([h], dtype=np.uint64))[0])
+        fp = int(self._fp(np.array([h], dtype=np.uint64))[0])
         i1 = int(h & self.mask)
         i2 = int((np.uint64(i1) ^ (np.uint64(fp) * _FP_MULT)) & self.mask)
-        for i in (i1, i2):
-            row = self.buckets[i]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
-        # evict: deterministic pseudo-random walk seeded from the key
+        return self._slot_insert(fp, i1, i2, int(h))
+
+    def _evict_insert(self, h: int, fp: int, i1: int, i2: int) -> bool:
+        """Deterministic pseudo-random eviction walk seeded from the key
+        (both target buckets full — rare below ~95% load)."""
         rng = np.random.default_rng(int(h) ^ self.seed)
         i = int(rng.choice((i1, i2)))
         cur = fp
         for _ in range(_MAX_KICKS):
             slot = int(rng.integers(0, 4))
-            cur, self.buckets[i, slot] = self.buckets[i, slot], cur
+            cur, self.buckets[i, slot] = int(self.buckets[i, slot]), cur
             i = int((np.uint64(i) ^ (np.uint64(cur) * _FP_MULT)) & self.mask)
             row = self.buckets[i]
             empty = np.flatnonzero(row == 0)
