@@ -85,6 +85,7 @@ import ray
 import ray.data as rd
 
 from ..functions import codecs
+from ..functions.arrowio import arrow_out as _arrow_out
 from ..functions.priority import pack_priority
 from ..functions.urlnorm import canonicalize, hash64, host_of, sha1_hex
 from ..stages.parse import parse_apply_link, parse_detail, parse_listing, whole_page_text
@@ -214,11 +215,7 @@ def _parsed_table(out_kind: str, wave: int, n: int,
     return pa.table(cols, schema=_PARSED_SCHEMA)
 
 
-def _arrow_out(df: pd.DataFrame) -> pa.Table:
-    """pandas → metadata-free Arrow. Pandas-converted blocks embed a
-    ``pandas`` schema-metadata dict that makes ``pa.Schema`` unhashable,
-    defeating Ray's schema dedup ('Failed to hash the schemas' spam)."""
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
 
 
 class _Emitter:
@@ -357,23 +354,27 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def _offer_id(wave: int, shard: int, hosts, prios) -> int:
+def _offer_id(wave: int, shard: int, sha1s) -> int:
     """Stable identity for one task's politeness offer: a content hash of
-    the offered (host, priority) multiset. A retried/reconstructed Ray
-    task re-offers exactly the same rows, so its id repeats and the shard
+    the offered rows' url_sha1s. A retried/reconstructed Ray task
+    re-offers exactly the same rows, so its id repeats and the shard
     ignores it — offers stay idempotent under task retries (offers are
-    side effects inside map tasks, which Ray may re-execute)."""
+    side effects inside map tasks, which Ray may re-execute). Hashing
+    row IDENTITIES (not the derived host/priority summary) means two
+    different tasks can never collide: each frontier row exists in
+    exactly one task."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=8)
     h.update(f"{wave}|{shard}".encode())
-    for host, p in sorted(zip(hosts, prios)):
-        h.update(f"{host}:{p}|".encode())
+    for s in sorted(sha1s):
+        h.update(s.encode())
+        h.update(b"|")
     return int.from_bytes(h.digest(), "big")
 
 
 def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, rates,
-                      wait: bool = True):
+                      sha1s, wait: bool = True):
     """Piggybacked politeness demand: offer (count, top-k priorities,
     rate) per host for a FUTURE wave, grouped by politeness shard. All
     shard RPCs are issued async and awaited once — a sequential
@@ -385,7 +386,8 @@ def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, ra
     load-bearing — the driver finalizes from a different caller, so a
     task must not report done before its offers are processed."""
     df = pd.DataFrame({"host": hosts, "pol_shard": pol_shards,
-                       "priority": prios, "politeness_rps": rates})
+                       "priority": prios, "politeness_rps": rates,
+                       "url_sha1": sha1s})
     if df.empty:
         return
     futs = []
@@ -396,7 +398,7 @@ def _offer_pol_demand(pol_handles: list, wave: int, hosts, pol_shards, prios, ra
             cap = int(2 * rate) + 1
             p = np.sort(hg["priority"].to_numpy())[: cap + 1]
             d[host] = (int(len(hg)), p.tolist(), rate)
-        oid = _offer_id(wave, int(shard), g["host"].tolist(), g["priority"].tolist())
+        oid = _offer_id(wave, int(shard), g["url_sha1"].tolist())
         futs.append(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
     if wait:
         ray.get(futs)
@@ -777,6 +779,7 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
                 defer_tbl["pol_shard"].to_pylist(),
                 bumped.tolist(),
                 defer_tbl["politeness_rps"].to_pylist(),
+                defer_tbl["url_sha1"].to_pylist(),
             )
         yield from outs
 
@@ -834,8 +837,7 @@ def make_demand_fn(pol_handles: list, wave: int):
                     cap = int(2 * rate) + 1
                     prios = np.sort(hg["priority"].to_numpy())[: cap + 1]
                     d[host] = (int(len(hg)), prios.tolist(), rate)
-                oid = _offer_id(wave, int(shard), g["host"].tolist(),
-                                g["priority"].tolist())
+                oid = _offer_id(wave, int(shard), g["url_sha1"].tolist())
                 ray.get(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
         return pd.DataFrame({"n": [len(df)]})
 
@@ -1125,6 +1127,7 @@ def run_crawl(
             seed_tbl["pol_shard"].to_pylist(),
             seed_tbl["priority"].to_pylist(),
             seed_tbl["politeness_rps"].to_pylist(),
+            seed_tbl["url_sha1"].to_pylist(),
             wait=False,  # driver-side: actor queue orders offer < finalize
         )
 

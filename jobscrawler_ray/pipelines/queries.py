@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import dedupe, textstats
+from ..functions.arrowio import arrow_out as _arrow_out
 from ..stages.location import build_alias_map, tag_location
 from ..synth.locations import WORLD_LOCATIONS
 
@@ -57,10 +58,7 @@ def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
-def _arrow_out(df: pd.DataFrame) -> pa.Table:
-    """pandas → metadata-free Arrow for stages that feed shuffles (see
-    _tbl; pandas-converted blocks re-embed the unhashable metadata dict)."""
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
 
 
 _BCAST_CACHE: dict[bytes, Any] = {}
@@ -85,6 +83,20 @@ def _max_ts(ds, col: str) -> pd.Timestamp:
     final = part.map_batches(lambda t: pa.table({col: [pc.max(t[col])]}),
                              batch_format="pyarrow", batch_size=1 << 30)
     return pd.Timestamp(final.take_all()[0][col])
+
+
+def _merge_topk(k: int):
+    """Per-query merge of partial top-k rows: the oracle's total order
+    (rounded score desc, neighbor_id asc) then ranks 1..k. Shared by
+    knn_cosine and ann_ivf so their tie-break semantics cannot drift."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+    return merge
 
 
 def _round_half_up(x, decimals: int):
@@ -742,21 +754,19 @@ def q_knn_cosine(sf_dir: str):
             out.extend(
                 (int(qi[row]), int(ids_m[o]), float(s_m[o])) for o in order
             )
-        return _arrow_out(
-            pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
-        )
+        res = pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+        if res.empty:  # typed empty frame — null-typed columns break
+            #            Ray's schema unification at the groupby
+            res = res.astype({"query_id": np.int64, "neighbor_id": np.int64,
+                              "score": np.float64})
+        return _arrow_out(res)
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
 
     return (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pandas", batch_size=512)
         .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pandas")
     )
 
 
@@ -771,12 +781,14 @@ def q_embedding_neardup(sf_dir: str):
     blocks regardless of corpus size and no full-corpus broadcast or
     driver read exists; exact all-pairs is inherently O(N²) compute —
     the sub-quadratic approximate path is ``embedding_neardup_ann``."""
+    import hashlib
     import shutil
 
     B = _NEARDUP_BLOCKS
-    blk_dir = os.path.join(
-        "/tmp", f"jcr_neardup_blocks_{abs(hash(sf_dir)) % (1 << 32):08x}"
-    )
+    # stable digest (hash() is PYTHONHASHSEED-randomized per process and
+    # would leak a fresh corpus copy into /tmp on every new process)
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest()
+    blk_dir = os.path.join("/tmp", f"jcr_neardup_blocks_{tag}")
     shutil.rmtree(blk_dir, ignore_errors=True)
 
     def add_block(t: pa.Table) -> pa.Table:
@@ -790,8 +802,12 @@ def q_embedding_neardup(sf_dir: str):
     )
 
     def _load_block(b: int) -> tuple[np.ndarray, np.ndarray]:
-        t = papq.read_table(os.path.join(blk_dir, f"block={b}"),
-                            columns=["vec_id", "embedding"])
+        path = os.path.join(blk_dir, f"block={b}")
+        if not os.path.isdir(path):  # residue class absent in the corpus
+            return np.array([], dtype=np.int64), np.zeros((0, 1))
+        t = papq.read_table(path, columns=["vec_id", "embedding"])
+        if t.num_rows == 0:
+            return np.array([], dtype=np.int64), np.zeros((0, 1))
         ids = t["vec_id"].to_numpy()
         mat = _norm_rows(np.stack(t["embedding"].to_pylist()).astype(np.float64))
         return ids, mat
@@ -804,6 +820,8 @@ def q_embedding_neardup(sf_dir: str):
                 bid, bmat = aid, amat
             else:
                 bid, bmat = _load_block(int(bj))
+            if not len(aid) or not len(bid):
+                continue
             sims = amat @ bmat.T
             ii, jj = np.nonzero(sims >= _COS_TAU)
             pa_, pb_ = aid[ii], bid[jj]
@@ -958,22 +976,20 @@ def q_ann_ivf(sf_dir: str):
             order = np.lexsort((ids_m, -s_m))[:k]
             out.extend((int(qi[row]), int(ids_m[o]), float(s_m[o]))
                        for o in order)
-        return _arrow_out(
-            pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
-        )
+        res = pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+        if res.empty:  # typed empty frame — null-typed columns break
+            #            Ray's schema unification at the groupby
+            res = res.astype({"query_id": np.int64, "neighbor_id": np.int64,
+                              "score": np.float64})
+        return _arrow_out(res)
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
 
     return (
         ds.map_batches(assign_filter, batch_format="pandas", batch_size=512)
         .groupby("list_id", num_partitions=8)
         .map_groups(list_topk, batch_format="pandas")
         .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
+        .map_groups(_merge_topk(k), batch_format="pandas")
     )
 
 

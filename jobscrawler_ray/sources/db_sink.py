@@ -119,9 +119,16 @@ class PostgresRecordSink:  # pragma: no cover - needs psycopg2 + a DB
         rows = list(zip(*(table[c].to_pylist() for c in self.columns)))
 
         def _do():
-            with self.conn.cursor() as cur:
-                cur.executemany(sql, rows)
-            self.conn.commit()
+            try:
+                with self.conn.cursor() as cur:
+                    cur.executemany(sql, rows)
+                self.conn.commit()
+            except Exception:
+                # a failed statement leaves the connection in an aborted
+                # transaction — without rollback every retry would die
+                # with InFailedSqlTransaction instead of retrying the work
+                self.conn.rollback()
+                raise
             return len(rows)
 
         return retry(_do)
@@ -151,9 +158,13 @@ class PgVectorEmbeddingSink:  # pragma: no cover - needs psycopg2 + pgvector
                 zip(table[self.id_col].to_pylist(), table[self.vec_col].to_pylist())]
 
         def _do():
-            with self.conn.cursor() as cur:
-                cur.executemany(sql, rows)
-            self.conn.commit()
+            try:
+                with self.conn.cursor() as cur:
+                    cur.executemany(sql, rows)
+                self.conn.commit()
+            except Exception:
+                self.conn.rollback()  # see PostgresRecordSink._do
+                raise
             return len(rows)
 
         return retry(_do)
