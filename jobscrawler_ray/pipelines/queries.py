@@ -477,6 +477,67 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+_QF_MIN_TOKENS = 30
+_QF_MAX_CPT = 9.0
+_QF_MIN_STOP = 0.02
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality FILTERING — the removal op that pairs with scoring (a
+    training-data pipeline keeps only docs passing heuristic gates):
+    token count ≥ 30, chars/token ≤ 9, stopword ratio ≥ 2%. Pure
+    map-side (one vectorized pass, no shuffle); emits the kept doc ids
+    with their scores."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        s = textstats.quality_scores(df["text"].tolist())
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": s["n_tokens"],
+            "chars_per_token": _round_half_up(s["chars_per_token"], 4),
+            "stopword_ratio": _round_half_up(s["stopword_ratio"], 4),
+        })
+        m = ((out["n_tokens"] >= _QF_MIN_TOKENS)
+             & (out["chars_per_token"] <= _QF_MAX_CPT)
+             & (out["stopword_ratio"] >= _QF_MIN_STOP))
+        return out[m].reset_index(drop=True)
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
+def q_corpus_stats(sf_dir: str):
+    """Corpus-level rollup (the report a data pipeline prints at the
+    end): doc count, token sum/avg, char sum — partial sums per batch,
+    one coalesced merge (single-row result, no shuffle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], type=pa.int64()),
+            "n_tokens": pa.array([pc.sum(toks).as_py() or 0], type=pa.int64()),
+            "n_chars": pa.array(
+                [pc.sum(pc.utf8_length(t["text"])).as_py() or 0], type=pa.int64()
+            ),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "n_docs": [int(df["n_docs"].sum())],
+            "n_tokens": [int(df["n_tokens"].sum())],
+            "n_chars": [int(df["n_chars"].sum())],
+        })
+        out["avg_tokens"] = _round_half_up(out["n_tokens"] / out["n_docs"], 4)
+        return out
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 def q_langid(sf_dir: str):
     """Language-ID heuristic (stopword/charset) — no SQL equivalent;
     rows-only check."""
@@ -1293,6 +1354,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_truncate": q_token_truncate,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "quality_filter": q_quality_filter,
+    "corpus_stats": q_corpus_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1400,6 +1463,22 @@ ORACLE_SQL: dict[str, str] = {
         "round(length(text)::DOUBLE / n_tokens, 4) AS chars_per_token, "
         f"round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))::DOUBLE "
         "/ n_tokens, 4) AS stopword_ratio FROM t"
+    ),
+    "quality_filter": (
+        "WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents), s AS (SELECT doc_id, n_tokens::BIGINT AS n_tokens, "
+        "round(length(text)::DOUBLE / n_tokens, 4) AS chars_per_token, "
+        f"round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))::DOUBLE "
+        "/ n_tokens, 4) AS stopword_ratio FROM t) "
+        f"SELECT * FROM s WHERE n_tokens >= {_QF_MIN_TOKENS} "
+        f"AND chars_per_token <= {_QF_MAX_CPT} AND stopword_ratio >= {_QF_MIN_STOP}"
+    ),
+    "corpus_stats": (
+        "SELECT count(*)::BIGINT AS n_docs, "
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, "
+        "sum(length(text))::BIGINT AS n_chars, "
+        "round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_tokens "
+        "FROM documents"
     ),
     "jaccard_pairs": (
         "WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks "
