@@ -72,6 +72,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 from dataclasses import astuple, dataclass
 from typing import Any
 
@@ -934,6 +935,8 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
         for s in np.unique(sh):
             m = sh == s
             keys, labs, wins = parts[int(s)][:3]
+            if len(keys) == 0:  # empty shard (abnormal: resume with a
+                continue        # different shard count) — rows stay "dup"
             found, idx = _lookup(keys, q[m])
             code[m] = np.where(found, labs[idx], 0)
             win[m] = np.where(found, wins[idx], -1)
@@ -953,6 +956,8 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
             for s in np.unique(rs):
                 m = rs == s
                 ekeys, evals = parts[int(s)][3:]
+                if len(ekeys) == 0:  # empty shard — nothing evaluable
+                    continue
                 ef, ei = _lookup(ekeys, rq[m])
                 rkeep[m] = np.where(ef, evals[ei], False)
             rec = rec[rkeep]
@@ -1265,6 +1270,12 @@ def _run_wave(
 
     wdir = os.path.join(out_dir, "waves", f"w{wave:04d}")
     parsed_dir = os.path.join(wdir, "parsed")
+    # a wave replayed on resume (checkpoint_every>1, or a crash mid-wave)
+    # must start from a CLEAN output directory — appending next to the
+    # interrupted run's files would double candidate rows downstream and
+    # inflate non-deduped outputs (error rows, fetchlog, metrics). Only
+    # parsed/ is this wave's output (w0000 also holds the seed frontier).
+    shutil.rmtree(parsed_dir, ignore_errors=True)
     os.makedirs(parsed_dir, exist_ok=True)
     seen_handles = seen.handles()
     pol_handles = pol.handles()

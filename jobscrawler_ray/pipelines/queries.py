@@ -716,34 +716,72 @@ def q_minhash_lsh(sf_dir: str):
     )
 
 
+def _cc_min_labels(pairs, num_partitions: int = 16):
+    """Distributed connected components over an (id_a, id_b) edge
+    Dataset: iterated min-label propagation (hash-to-min, Rastogi et al.
+    2013) — label(x) starts at min(x, neighbors) and each round takes
+    the min of the labels across incident edges, via a hash join of
+    labels onto edges + groupby-min, until the (monotone-decreasing)
+    label sum reaches fixpoint. Every step is a bounded shuffle over the
+    EDGE set (near-dup pairs), never the corpus; the driver sees one
+    scalar per round. Converges in O(component diameter) rounds.
+
+    Returns a Dataset of (node, lab) with lab = component minimum."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])
+        dst = pa.concat_arrays(
+            [t["id_b"].combine_chunks(), t["id_a"].combine_chunks()])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def self_loop(t: pa.Table) -> pa.Table:  # label(x) ≥ considers x itself
+        return pa.table({"node": t["src"], "lab": t["src"]})
+
+    labels = (
+        edges.map_batches(self_loop, batch_format="pyarrow")
+        .union(edges.map_batches(
+            lambda t: pa.table({"node": t["src"], "lab": t["dst"]}),
+            batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(64):  # safety cap far above any real diameter
+        cur = labels.sum("lab")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+        # propagate: each edge (src,dst) carries lab(dst) to src
+        prop = edges.join(labels, "inner", num_partitions=num_partitions,
+                          on=("dst",), right_on=("node",))
+        labels = (
+            prop.map_batches(lambda t: pa.table({"node": t["src"], "lab": t["lab"]}),
+                             batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="lab"))
+            .materialize()
+        )
+    return labels
+
+
 def q_minhash_dedup_keep(sf_dir: str):
     """Near-dup REMOVAL — the operation a training-data pipeline
     actually runs (detection alone doesn't shrink the corpus):
-    MinHash+LSH verified pairs → connected components (union-find over
-    the pair list, which is bounded by the near-dup rate, NOT the
-    corpus) → keep the smallest doc_id per component → broadcast the
-    drop-set and anti-join it against the full corpus in map_batches.
-    Rows-only; the keep-set properties are asserted in tests."""
-    pairs = q_minhash_lsh(sf_dir).to_pandas()  # bounded: near-dup pairs only
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            # union by smaller id → the component root IS the keeper
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    drops = frozenset(x for x in parent if find(x) != x)
+    MinHash+LSH verified pairs → DISTRIBUTED connected components
+    (iterated min-label propagation over the pair list, which is bounded
+    by the near-dup rate, NOT the corpus — see ``_cc_min_labels``) →
+    keep the smallest doc_id per component → broadcast the drop-set
+    (≤ 2×pairs rows) and anti-join it against the full corpus in
+    map_batches. Rows-only; keep-set properties asserted in tests."""
+    labels = _cc_min_labels(q_minhash_lsh(sf_dir))
+    non_root = labels.filter(
+        lambda r: r["lab"] != r["node"])  # bounded: subset of pair nodes
+    drops = frozenset(int(r["node"]) for r in non_root.take_all())
     dref = ray.put(drops)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -831,26 +869,37 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
-_NEARDUP_BLOCKS = 8  # power of two (block = vec_id & (B-1))
+_NEARDUP_BLOCK_ROWS = 4096  # target rows per spill block
+
+
+def _scratch_root() -> str:
+    """Spill root for intermediate blocks. On a multi-node cluster set
+    ``JCR_SCRATCH`` to SHARED storage (NFS/S3-fuse) — node-local /tmp is
+    only correct single-node, because peer tasks must read blocks this
+    driver/other nodes wrote."""
+    return os.environ.get("JCR_SCRATCH", "/tmp/jcr_scratch")
 
 
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), EXACT — blocked
-    all-pairs: embeddings spill to B hash blocks (streaming write), then
-    one task per block pair (B(B+1)/2 tasks) loads just its two blocks
-    and emits the qualifying (a < b) pairs. Per-task memory is two
-    blocks regardless of corpus size and no full-corpus broadcast or
-    driver read exists; exact all-pairs is inherently O(N²) compute —
-    the sub-quadratic approximate path is ``embedding_neardup_ann``."""
-    import hashlib
+    all-pairs: embeddings spill to B hash blocks (streaming write to the
+    shared scratch root), then one task per block pair (B(B+1)/2 tasks)
+    loads just its two blocks and emits the qualifying (a < b) pairs.
+    B scales with the corpus (ceil(N / _NEARDUP_BLOCK_ROWS), power of
+    two) so per-task memory stays ~2 blocks of bounded row count; task
+    count grows as (N/block)² — exact all-pairs is inherently O(N²)
+    compute, the sub-quadratic approximate path is
+    ``embedding_neardup_ann``. The pair result (bounded by the near-dup
+    rate) is materialized before the per-invocation spill dir is
+    removed, so concurrent invocations never race on the same path."""
     import shutil
+    import uuid
 
-    B = _NEARDUP_BLOCKS
-    # stable digest (hash() is PYTHONHASHSEED-randomized per process and
-    # would leak a fresh corpus copy into /tmp on every new process)
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest()
-    blk_dir = os.path.join("/tmp", f"jcr_neardup_blocks_{tag}")
-    shutil.rmtree(blk_dir, ignore_errors=True)
+    n_rows = papq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    B = 8
+    while B * _NEARDUP_BLOCK_ROWS < n_rows:
+        B *= 2
+    blk_dir = os.path.join(_scratch_root(), f"neardup_blocks_{uuid.uuid4().hex}")
 
     def add_block(t: pa.Table) -> pa.Table:
         blk = pc.bit_wise_and(t["vec_id"], B - 1)
@@ -897,9 +946,11 @@ def q_embedding_neardup(sf_dir: str):
         return df_out.drop_duplicates().reset_index(drop=True)
 
     specs = [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
-    return rd.from_items(specs).map_batches(
+    res = rd.from_items(specs).map_batches(
         compare, batch_format="pandas", batch_size=1
-    )
+    ).materialize()  # bounded by the near-dup rate; lets the spill go away
+    shutil.rmtree(blk_dir, ignore_errors=True)
+    return res
 
 
 def q_embedding_neardup_ann(sf_dir: str):
@@ -1066,11 +1117,16 @@ def _crawl_out(sf_dir: str) -> str:
     sf_dir only scales the world size)."""
     key = sf_dir
     if key not in _CRAWL_CACHE:
+        import hashlib
+
         from .crawl import CrawlConfig, run_crawl
         from ..synth.world import WorldParams
 
         n_sites = 6 if "0.001" in sf_dir else 10
-        out = f"/tmp/jcr_crawl_{abs(hash(key)) % (1 << 32):08x}"
+        # stable digest (hash() is PYTHONHASHSEED-randomized per process
+        # and would leak a fresh crawl copy into /tmp per driver process)
+        tag = hashlib.blake2b(key.encode(), digest_size=4).hexdigest()
+        out = f"/tmp/jcr_crawl_{tag}"
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
@@ -1142,9 +1198,21 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_distinct_users(sf_dir: str):
-    """Set op: global distinct count (``Dataset.unique`` — a shuffle)."""
-    n = len(_tbl(sf_dir, "events", ["user_id"]).unique("user_id"))
-    return pd.DataFrame({"n": pd.Series([n], dtype=np.int64)})
+    """Set op: global distinct count. Per-batch unique pre-combine →
+    hash-partitioned groupby → metadata row count: only the COUNT ever
+    crosses to the driver (``Dataset.unique`` would collect the full
+    distinct key list — millions of rows at 100×)."""
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t["user_id"])})
+
+    distinct = (
+        _tbl(sf_dir, "events", ["user_id"])
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="c"))
+    )
+    return pd.DataFrame({"n": pd.Series([distinct.count()], dtype=np.int64)})
 
 
 def q_supplier_regions(sf_dir: str):
@@ -1170,36 +1238,43 @@ def q_supplier_regions(sf_dir: str):
 
 def q_top_customers_by_spend(sf_dir: str):
     """Join + aggregate + global top-k: top 10 customers by total order
-    value (broadcast the customer names, pre-aggregate order totals)."""
-    names = {r["c_custkey"]: r["c_name"] for r in
-             _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).take_all()}
-    ref = ray.put(names)
+    value. Names attach AFTER the limit(10) via a key-pruned point read —
+    the customer dimension is never broadcast or collected (at 100× it's
+    millions of rows; only the 10 winners' names are ever needed)."""
+    cust_path = os.path.join(sf_dir, "customer.parquet")
 
     def partial(df: pd.DataFrame):
         return _arrow_out(
             df.groupby("o_custkey", as_index=False).agg(spend=("o_totalprice", "sum"))
         )
 
-    agg = (
+    # round BEFORE the sort — the oracle orders by the ROUNDED spend, so
+    # top-10 boundary ties must break on (rounded spend, custkey) here too
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["spend"] = _round_half_up(df["spend"], 2)
+        return df
+
+    top = (
         _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
         .aggregate(Sum("spend", alias_name="spend"))
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        lut = _bget(ref)
-        df = df.copy()
-        df["c_name"] = df["o_custkey"].map(lut)
-        df["spend"] = _round_half_up(df["spend"], 2)
-        return df[["o_custkey", "c_name", "spend"]]
-
-    top = (
-        agg.map_batches(finish, batch_format="pandas")
+        .map_batches(rounded, batch_format="pandas")
         .sort(["spend", "o_custkey"], descending=[True, False])
         .limit(10)
     )
-    return top
+
+    def attach_names(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [int(k) for k in df["o_custkey"]]
+        t = papq.read_table(cust_path, columns=["c_custkey", "c_name"],
+                            filters=[("c_custkey", "in", keys)])
+        lut = dict(zip(t["c_custkey"].to_pylist(), t["c_name"].to_pylist()))
+        df = df.copy()
+        df["c_name"] = df["o_custkey"].map(lut)
+        return df[["o_custkey", "c_name", "spend"]]
+
+    return top.map_batches(attach_names, batch_format="pandas", batch_size=1 << 30)
 
 
 def q_session_windows(sf_dir: str):
@@ -1321,13 +1396,16 @@ def q_phash_neardup(sf_dir: str):
             {"hamming": np.int64}
         )
 
-    pairs = (
+    # pair dedup in one coalesced WORKER task (identical to the
+    # minhash_lsh / embedding_neardup_ann shape) — pairs are bounded by
+    # the near-dup rate, never the corpus; nothing lands on the driver
+    return (
         allhash.map_batches(band_rows, batch_format="pandas")
         .groupby("band", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
+                     batch_format="pandas", batch_size=1 << 30)
     )
-    return pairs.drop_duplicates().reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

@@ -53,7 +53,10 @@ def parse_html_main_bs4(payload: str, elements_path: dict, name: str) -> list[di
         loc_el = job.select_one(ep["location_path"])
         out.append({
             "title": title_el.get_text(),
-            "link": name + str(link_el.get("href")),
+            # reference indexes link_element["href"] directly
+            # (async_bs4.py:152): a missing href raises KeyError, which
+            # surfaces as a parse-error row — never a fake '.../None' URL
+            "link": name + link_el["href"],
             "description": desc_el.get_text() if desc_el else "NaN",
             "location": loc_el.get_text() if loc_el else "NaN",
         })

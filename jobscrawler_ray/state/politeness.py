@@ -90,11 +90,15 @@ class _PolitenessShard:
         a retried/reconstructed Ray map task re-offers the same id and is
         ignored, keeping per-host counts and the top-k merge idempotent
         under task re-execution (offers are side effects inside map
-        tasks)."""
-        if offer_id is not None:
-            if offer_id in self._offer_ids:
-                return False
-            self._offer_ids[offer_id] = wave
+        tasks). An offer for an ALREADY-FINALIZED wave is rejected
+        outright: the driver only finalizes after the offering stage
+        completed, so such an offer can only be a re-execution whose
+        demand was already counted — applying it would double-count it
+        into the NEXT wave's budget."""
+        if wave <= self._final_wave:
+            return False
+        if offer_id is not None and offer_id in self._offer_ids:
+            return False
         for host, (n, prios, rate) in demand.items():
             self._counts[host] = self._counts.get(host, 0) + int(n)
             cap = int(2 * rate) + 1
@@ -103,6 +107,10 @@ class _PolitenessShard:
             merged.sort()
             self._prios[host] = merged[: cap + 1]
             self._rates[host] = float(rate)
+        # record the id only after the demand loop fully applied, so an
+        # exception mid-loop can't leave a half-applied offer marked done
+        if offer_id is not None:
+            self._offer_ids[offer_id] = wave
         return True
 
     def finalize(self, wave: int) -> int:
@@ -130,10 +138,10 @@ class _PolitenessShard:
         self._thresholds = out
         self._final_wave = wave
         self._counts, self._prios, self._rates = {}, {}, {}
-        # keep recent offer ids across finalizes (a task retried after its
-        # wave finalized must still be recognized); prune old waves so the
-        # set stays bounded over a long crawl
-        self._offer_ids = {k: w for k, w in self._offer_ids.items() if w >= wave - 1}
+        # ids offered for waves ≤ this finalize can never be applied again
+        # (offer() rejects finalized waves before the id matters), so the
+        # retained set stays bounded by the in-flight waves only
+        self._offer_ids = {k: w for k, w in self._offer_ids.items() if w > wave}
         return len(out)
 
     def thresholds(self, wave: int) -> dict[str, int]:

@@ -133,9 +133,13 @@ class TestPolitenessThresholds:
         assert sh.offer(0, demand, offer_id=99) is False  # retry ignored
         assert sh._counts[host] == 3  # not 6
         sh.finalize(0)
-        # a STALE retry arriving after finalize is still recognized
-        assert sh.offer(1, demand, offer_id=99) is False
-        # un-keyed offers (legacy) are always accepted
+        # a STALE retry arriving after finalize re-offers for ITS wave
+        # (baked into the task closure) — rejected by the wave guard, so
+        # its demand can never leak into the NEXT wave's budget
+        assert sh.offer(0, demand, offer_id=99) is False
+        assert sh.offer(0, demand, offer_id=100) is False  # even unseen ids
+        assert host not in sh._counts
+        # fresh offers for the next (unfinalized) wave are accepted
         assert sh.offer(1, demand) is True
 
 class TestCheckpoint:
