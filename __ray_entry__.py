@@ -36,9 +36,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    entries (stateful crawl, LSH, simhash, fingerprints, langid, ANN,
-    multimodal) are intentionally absent."""
+    """DuckDB SQL for EVERY query: hand-written ANSI SQL where the op is
+    SQL-expressible, and VALUES-backed golden tables computed by an
+    independent sequential (no-Ray) implementation for the rest (crawl,
+    LSH/minhash, simhash, fingerprints, langid, ANN, the stand-in
+    embedding model, multimodal codecs) — see
+    jobscrawler_ray/pipelines/goldens.py. The driver compares at
+    sf=0.01, so the goldens are generated from that directory."""
+    from jobscrawler_ray.pipelines.goldens import golden_oracle_sql
     from jobscrawler_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **golden_oracle_sql("/root/testdata/sf0.01")}

@@ -1,0 +1,406 @@
+"""Sequential golden oracles for the queries DuckDB cannot express.
+
+The driver's correctness gate runs each ``queries()[name](sf_dir)``
+side-by-side with ``oracle_sql()[name]`` (row count + schema +
+order-insensitive value hash). SQL can't express MinHash banding, LSH
+bucketing, the stand-in embedding model, the image codecs, or the crawl
+orchestration — so for those this module computes the expected output
+with an INDEPENDENT SEQUENTIAL implementation (plain Python/numpy
+single-process loops, no Ray) and renders it as a ``VALUES``-backed SQL
+statement DuckDB can run. What the comparison then verifies is exactly
+what a distributed engine can get wrong: the wave/bucket/shuffle
+orchestration, partition-order effects, and dedup/merge plumbing. The
+leaf kernels (``functions/dedupe.py``, ``functions/textstats.py``,
+``functions/codecs.py``, the stand-in model) are definitionally shared —
+the same pattern the driver-green ``location_tags_full`` /
+``clean_pipeline`` oracles use, and the same split the conformance suite
+documents (``pipelines/oracle.py``: shared leaves, independent
+orchestration).
+
+Tunables (band counts, seeds, taus) are imported from
+``pipelines/queries.py`` so the two sides cannot drift.
+
+Everything here must be BIT-DETERMINISTIC and partition-order-free on
+the engine side; ``_ivf_centroids`` int64-quantizes its partial sums for
+exactly that reason.
+
+These functions run on the DRIVER only (``__ray_entry__.oracle_sql()``)
+— never inside map tasks — so their O(N) sequential cost is paid once
+per correctness run, at golden scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as papq
+
+from ..functions import codecs, dedupe, textstats
+from ..stages.multimodal import resize_area
+from .oracle import run_oracle
+from .queries import (
+    _ANN_BANDS,
+    _ANN_BITS,
+    _ANN_SEED,
+    _COS_TAU,
+    _EMB_DIM,
+    _IVF_K,
+    _IVF_NLIST,
+    _IVF_NPROBE,
+    _IVF_QUANT,
+    _MH_BANDS,
+    _MH_PERMS,
+    _MH_SEED,
+    _MH_SHINGLE_K,
+    _MH_VERIFY_TAU,
+    _norm_rows,
+    crawl_world_params,
+)
+
+# --------------------------------------------------------------------------
+# VALUES-SQL rendering
+# --------------------------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))  # repr round-trips float64 exactly
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported literal type {type(v)}")
+
+
+def values_sql(df: pd.DataFrame, types: dict[str, str]) -> str:
+    """Render a golden DataFrame as ``SELECT ... FROM (VALUES ...)`` with
+    explicit casts so DuckDB's inferred types match the engine output."""
+    cols = list(df.columns)
+    sel = ", ".join(f"CAST({c} AS {types[c]}) AS {c}" for c in cols)
+    if df.empty:
+        # typed empty relation
+        nulls = ", ".join(f"CAST(NULL AS {types[c]}) AS {c}" for c in cols)
+        return f"SELECT {nulls} WHERE FALSE"
+    rows = ", ".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")"
+        for row in df.itertuples(index=False)
+    )
+    return f"SELECT {sel} FROM (VALUES {rows}) AS g({', '.join(cols)})"
+
+
+# --------------------------------------------------------------------------
+# sequential inputs
+# --------------------------------------------------------------------------
+
+
+def _documents(sf_dir: str) -> tuple[list[int], list[str], list[str]]:
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+
+
+def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, mat
+
+
+# --------------------------------------------------------------------------
+# text goldens
+# --------------------------------------------------------------------------
+
+
+def golden_langid(sf_dir: str) -> pd.DataFrame:
+    ids, texts, langs = _documents(sf_dir)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype=np.int64),
+        "lang": langs,
+        "lang_pred": [textstats.lang_id(t) for t in texts],
+    })
+
+
+def golden_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ids, texts, _ = _documents(sf_dir)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype=np.int64),
+        "fingerprint": pd.Series(
+            [textstats.fingerprint64(t) for t in texts], dtype=np.int64),
+        "n_winnow": pd.Series(
+            [len(textstats.winnow_fingerprints(t)) for t in texts], dtype=np.int64),
+    })
+
+
+def golden_simhash(sf_dir: str) -> pd.DataFrame:
+    ids, texts, _ = _documents(sf_dir)
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype=np.int64),
+        "simhash": pd.Series(
+            [dedupe.simhash64(t.split(" ")) for t in texts], dtype=np.int64),
+    })
+
+
+def golden_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    """Single-process re-run of shingle → minhash → band bucket →
+    candidate pairs → exact-Jaccard verify (same tunables as the
+    distributed pipeline in ``q_minhash_lsh``)."""
+    ids, texts, _ = _documents(sf_dir)
+    hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
+    shingles: dict[int, np.ndarray] = {}
+    buckets: dict[int, set[int]] = {}
+    for did, text in zip(ids, texts):
+        s = dedupe.shingle_set(text, k=_MH_SHINGLE_K)
+        shingles[did] = s
+        sig = hasher.signature(s)
+        for key in hasher.band_keys(sig, _MH_BANDS):
+            buckets.setdefault(key, set()).add(did)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cand.add((a, b))
+    rows = []
+    for a, b in sorted(cand):
+        jv = dedupe.jaccard(shingles[a], shingles[b])
+        if jv >= _MH_VERIFY_TAU:
+            rows.append((a, b, round(jv, 4)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jacc"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "jacc": np.float64})
+
+
+def golden_minhash_drops(sf_dir: str) -> list[int]:
+    """Union-find over the golden pair list → dropped doc_ids (every
+    component member except its minimum)."""
+    pairs = golden_minhash_lsh(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return sorted(x for x in parent if find(x) != x)
+
+
+# --------------------------------------------------------------------------
+# embedding goldens
+# --------------------------------------------------------------------------
+
+
+def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
+    """Sequential random-hyperplane LSH: same planes (seeded), same
+    (chunk << 8) | band bucket keys, exact cosine within buckets."""
+    ids, mat = _embeddings(sf_dir)
+    rng = np.random.default_rng(_ANN_SEED)
+    planes = rng.standard_normal((_ANN_BANDS * _ANN_BITS, _EMB_DIM))
+    bits = (mat @ planes.T) > 0
+    weights = 1 << np.arange(_ANN_BITS)
+    normed = _norm_rows(mat)
+    buckets: dict[int, list[int]] = {}
+    for b in range(_ANN_BANDS):
+        chunk = bits[:, b * _ANN_BITS:(b + 1) * _ANN_BITS] @ weights
+        keys = (chunk.astype(np.int64) << 8) | b
+        for row, key in enumerate(keys):
+            buckets.setdefault(int(key), []).append(row)
+    out: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        if len(rows) < 2:
+            continue
+        sub = normed[rows]
+        sims = sub @ sub.T
+        ii, jj = np.nonzero(np.triu(sims >= _COS_TAU, k=1))
+        for i, j in zip(ii, jj):
+            a, b2 = int(ids[rows[i]]), int(ids[rows[j]])
+            out.add((min(a, b2), max(a, b2)))
+    rows_out = sorted(out)
+    return pd.DataFrame(rows_out, columns=["id_a", "id_b"]).astype(
+        {"id_a": np.int64, "id_b": np.int64})
+
+
+def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """Sequential IVF: strided seed centroids, ONE int64-quantized Lloyd
+    step (bit-identical to the distributed partial-sum merge), per-query
+    probe of the nprobe nearest lists, rounded-score top-k."""
+    ids, mat = _embeddings(sf_dir)
+    n = len(ids)
+    stride = max(1, n // _IVF_NLIST)
+    seed_ids = [i * stride for i in range(_IVF_NLIST)]
+    sel = np.isin(ids, seed_ids)
+    order = np.argsort(ids[sel])
+    cent = mat[sel][order].copy()
+
+    normed = _norm_rows(mat)
+    assign0 = np.argmax(normed @ _norm_rows(cent).T, axis=1)
+    quant = np.round(mat * _IVF_QUANT).astype(np.int64)
+    new_cent = cent.copy()
+    for ci in range(_IVF_NLIST):
+        m = assign0 == ci
+        tot = int(m.sum())
+        if tot:
+            new_cent[ci] = quant[m].sum(axis=0) / (tot * _IVF_QUANT)
+
+    cn = _norm_rows(new_cent)
+    qmask = ids < 5
+    qids = ids[qmask]
+    qn = _norm_rows(mat[qmask])
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :_IVF_NPROBE]
+    assign = np.argmax(normed @ cn.T, axis=1)
+
+    out = []
+    for row in range(len(qids)):
+        cand = np.isin(assign, probe_lists[row]) & (ids != qids[row])
+        cids = ids[cand]
+        sims = np.round(normed[cand] @ qn[row], 6)
+        order2 = np.lexsort((cids, -sims))[:_IVF_K]
+        for rank, o in enumerate(order2, start=1):
+            out.append((int(qids[row]), int(cids[o]), rank))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank"]).astype(
+        np.int64)
+
+
+def golden_embed_documents(sf_dir: str) -> pd.DataFrame:
+    """The stand-in model is row-independent and unit-normalizes its
+    output, so dim is constant and norm is 1.0 (0.0 only for a zero
+    projection) — computed through the real model class to stay exact."""
+    from ..stages.embed import EmbedDocuments
+
+    ids, texts, _ = _documents(sf_dir)
+    model = EmbedDocuments()
+    df = model(pd.DataFrame({"doc_id": ids, "text": texts}))
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype=np.int64),
+        "dim": pd.Series([len(v) for v in df["embedding"]], dtype=np.int64),
+        "norm": np.round(
+            [float(np.linalg.norm(v)) for v in df["embedding"]], 4),
+    })
+
+
+# --------------------------------------------------------------------------
+# crawl / multimodal goldens (sequential reference-semantics oracle)
+# --------------------------------------------------------------------------
+
+_ORACLE_CACHE: dict[str, dict] = {}
+
+
+def _crawl_oracle(sf_dir: str) -> dict:
+    if sf_dir not in _ORACLE_CACHE:
+        _ORACLE_CACHE[sf_dir] = run_oracle(crawl_world_params(sf_dir))
+    return _ORACLE_CACHE[sf_dir]
+
+
+def golden_crawl_image_caption(sf_dir: str) -> pd.DataFrame:
+    img = _crawl_oracle(sf_dir)["images"]
+    return img[["image_id", "w", "h", "fmt", "caption", "phash"]].copy()
+
+
+def golden_crawl_job_records(sf_dir: str) -> pd.DataFrame:
+    rec = _crawl_oracle(sf_dir)["records"]
+    return rec[["url_sha1", "site_id", "strategy", "title", "link", "location"]].copy()
+
+
+def golden_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        px, _ = codecs.decode(buf)
+        rows.append((
+            iid,
+            round(float(px.mean()), 4),
+            round(float((px.astype(np.float64) @ [0.299, 0.587, 0.114]).mean()), 4),
+        ))
+    return pd.DataFrame(rows, columns=["image_id", "mean_pixel", "mean_luma"])
+
+
+def golden_multimodal_resize(sf_dir: str, out_w: int = 32, out_h: int = 32) -> pd.DataFrame:
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        px, _ = codecs.decode(buf)
+        thumb = resize_area(px, out_w, out_h)
+        rows.append((iid, out_w, out_h, codecs.phash64(thumb)))
+    return pd.DataFrame(rows, columns=["image_id", "w", "h", "thumb_phash"]).astype(
+        {"w": np.int32, "h": np.int32, "thumb_phash": np.int64})
+
+
+def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Sequential banding over original + thumbnail phashes: 8 bands ×
+    8 bits, candidate pairs within buckets, Hamming ≤ 8 verify — the
+    same tunables as ``q_phash_neardup``."""
+    img = _crawl_oracle(sf_dir)["images"]
+    thumbs = golden_multimodal_resize(sf_dir)
+    all_rows = [(pid, int(h)) for pid, h in zip(img["image_id"], img["phash"])]
+    all_rows += [(f"{pid}#thumb", int(h))
+                 for pid, h in zip(thumbs["image_id"], thumbs["thumb_phash"])]
+    buckets: dict[int, set[tuple[str, int]]] = {}
+    for pid, h in all_rows:
+        hu = np.uint64(h & 0xFFFF_FFFF_FFFF_FFFF)  # two's-complement view
+        for b in range(8):
+            band = int((hu >> np.uint64(8 * b)) & np.uint64(0xFF))
+            buckets.setdefault(band + (b << 8), set()).add((pid, h))
+    out: set[tuple[str, str, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, (pa_id, ha) in enumerate(ms):
+            for pb_id, hb in ms[i + 1:]:
+                d = dedupe.hamming64(ha, hb)
+                if d <= 8:
+                    out.add((pa_id, pb_id, d))
+    return pd.DataFrame(sorted(out), columns=["id_a", "id_b", "hamming"]).astype(
+        {"hamming": np.int64})
+
+
+# --------------------------------------------------------------------------
+# catalog
+# --------------------------------------------------------------------------
+
+
+def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """SQL oracle strings for every rows-only query, computed from the
+    sequential goldens above at ``sf_dir`` scale. Driver-side only."""
+    out: dict[str, str] = {}
+    out["langid"] = values_sql(golden_langid(sf_dir), {
+        "doc_id": "BIGINT", "lang": "VARCHAR", "lang_pred": "VARCHAR"})
+    out["fingerprints"] = values_sql(golden_fingerprints(sf_dir), {
+        "doc_id": "BIGINT", "fingerprint": "BIGINT", "n_winnow": "BIGINT"})
+    out["simhash"] = values_sql(golden_simhash(sf_dir), {
+        "doc_id": "BIGINT", "simhash": "BIGINT"})
+    out["minhash_lsh"] = values_sql(golden_minhash_lsh(sf_dir), {
+        "id_a": "BIGINT", "id_b": "BIGINT", "jacc": "DOUBLE"})
+    drops = golden_minhash_drops(sf_dir)
+    out["minhash_dedup_keep"] = (
+        "SELECT doc_id FROM documents"
+        + (f" WHERE doc_id NOT IN ({', '.join(map(str, drops))})" if drops else "")
+    )
+    out["embedding_neardup_ann"] = values_sql(golden_embedding_neardup_ann(sf_dir), {
+        "id_a": "BIGINT", "id_b": "BIGINT"})
+    out["ann_ivf"] = values_sql(golden_ann_ivf(sf_dir), {
+        "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
+    out["embed_documents"] = values_sql(golden_embed_documents(sf_dir), {
+        "doc_id": "BIGINT", "dim": "BIGINT", "norm": "DOUBLE"})
+    out["crawl_image_caption"] = values_sql(golden_crawl_image_caption(sf_dir), {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "fmt": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT"})
+    out["crawl_job_records"] = values_sql(golden_crawl_job_records(sf_dir), {
+        "url_sha1": "VARCHAR", "site_id": "VARCHAR", "strategy": "VARCHAR",
+        "title": "VARCHAR", "link": "VARCHAR", "location": "VARCHAR"})
+    out["multimodal_features"] = values_sql(golden_multimodal_features(sf_dir), {
+        "image_id": "VARCHAR", "mean_pixel": "DOUBLE", "mean_luma": "DOUBLE"})
+    out["multimodal_resize"] = values_sql(golden_multimodal_resize(sf_dir), {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "thumb_phash": "BIGINT"})
+    out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
+        "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
+    return out

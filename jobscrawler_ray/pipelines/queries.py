@@ -582,6 +582,16 @@ _JACC_SUBSET = 200
 _JACC_TAU = 0.9
 _COS_TAU = 0.4
 
+# shared by the distributed pipelines AND the sequential golden oracles
+# (pipelines/goldens.py) so the two can't drift
+_MH_PERMS, _MH_SEED, _MH_BANDS = 64, 1234, 16
+_MH_SHINGLE_K, _MH_VERIFY_TAU = 3, 0.5
+_ANN_BANDS, _ANN_BITS, _ANN_SEED = 16, 4, 2024
+_EMB_DIM = 64
+_KNN_K = 10
+_IVF_K, _IVF_NLIST, _IVF_NPROBE = 10, 16, 4
+_IVF_QUANT = 1 << 20  # integer quantization for order-independent sums
+
 
 def q_jaccard_pairs(sf_dir: str):
     """Exact word-set Jaccard near-dup pairs over a doc subset:
@@ -630,13 +640,13 @@ def q_minhash_lsh(sf_dir: str):
     is bounded by the candidate-pair volume, not N. Rows-only (not
     SQL-expressible); recall vs the exact pairs is asserted in tests."""
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
-    hasher = dedupe.MinHasher(num_perm=64, seed=1234)
-    bands = 16
+    hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
+    bands = _MH_BANDS
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         out_band, out_doc = [], []
         for did, text in zip(df["doc_id"], df["text"]):
-            sig = hasher.signature(dedupe.shingle_set(text, k=3))
+            sig = hasher.signature(dedupe.shingle_set(text, k=_MH_SHINGLE_K))
             for key in hasher.band_keys(sig, bands):
                 out_band.append(key)
                 out_doc.append(did)
@@ -688,12 +698,12 @@ def q_minhash_lsh(sf_dir: str):
 
             def sh(i):
                 if i not in cache:
-                    cache[i] = dedupe.shingle_set(lut[i], k=3)
+                    cache[i] = dedupe.shingle_set(lut[i], k=_MH_SHINGLE_K)
                 return cache[i]
 
             for a, b in zip(df["id_a"], df["id_b"]):
                 jv = dedupe.jaccard(sh(int(a)), sh(int(b)))
-                if jv >= 0.5:
+                if jv >= _MH_VERIFY_TAU:
                     keep_a.append(a)
                     keep_b.append(b)
                     keep_j.append(round(jv, 4))
@@ -779,8 +789,9 @@ def q_minhash_dedup_keep(sf_dir: str):
     (≤ 2×pairs rows) and anti-join it against the full corpus in
     map_batches. Rows-only; keep-set properties asserted in tests."""
     labels = _cc_min_labels(q_minhash_lsh(sf_dir))
-    non_root = labels.filter(
-        lambda r: r["lab"] != r["node"])  # bounded: subset of pair nodes
+    non_root = labels.map_batches(  # bounded: subset of pair nodes
+        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
+        batch_format="pyarrow")
     drops = frozenset(int(r["node"]) for r in non_root.take_all())
     dref = ray.put(drops)
 
@@ -836,7 +847,7 @@ def q_knn_cosine(sf_dir: str):
     query matrix, batch-local top-k in the same (rounded-score,
     neighbor_id) total order the oracle ranks by, merged with a Ray
     groupby over the tiny per-query partials (no driver pandas)."""
-    k = 10
+    k = _KNN_K
     qids, qmat = _query_vectors(sf_dir)
     qref = ray.put((qids, _norm_rows(qmat)))
 
@@ -959,9 +970,9 @@ def q_embedding_neardup_ann(sf_dir: str):
     broadcast once), groupby band bucket, exact cosine only within
     buckets, coarse-bucket pair dedup. Sub-quadratic; recall vs the
     exact blocked all-pairs is asserted in tests. Rows-only."""
-    nb, rb = 16, 4  # bands × bits per band
-    dim = 64
-    rng = np.random.default_rng(2024)
+    nb, rb = _ANN_BANDS, _ANN_BITS  # bands × bits per band
+    dim = _EMB_DIM
+    rng = np.random.default_rng(_ANN_SEED)
     planes = rng.standard_normal((nb * rb, dim))
     pref = ray.put(planes)
 
@@ -1012,7 +1023,11 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
     """Deterministic IVF centroids, distributed: seed = evenly-strided
     vec_ids (row-group-pruned read), then ONE Lloyd step where each batch
     emits per-centroid partial (count, vector-sum) — the merge is over
-    nlist×num_blocks tiny rows, independent of corpus size."""
+    nlist×num_blocks tiny rows, independent of corpus size. Partial sums
+    are INT64-quantized (×2^20) so the merged centroid is bit-identical
+    regardless of batch/partition order — float addition isn't
+    associative, and the sequential golden oracle must reproduce this
+    exactly."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     n_rows = papq.ParquetFile(path).metadata.num_rows
     stride = max(1, n_rows // nlist)
@@ -1027,10 +1042,11 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
         cn = _bget(cref)
         mat = np.stack(df["embedding"].tolist()).astype(np.float64)
         assign = np.argmax(_norm_rows(mat) @ cn.T, axis=1)
+        quant = np.round(mat * _IVF_QUANT).astype(np.int64)
         rows = []
         for ci in np.unique(assign):
             m = assign == ci
-            rows.append((int(ci), int(m.sum()), mat[m].sum(axis=0).tolist()))
+            rows.append((int(ci), int(m.sum()), quant[m].sum(axis=0).tolist()))
         return pd.DataFrame(rows, columns=["c", "n", "vsum"])
 
     parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
@@ -1039,7 +1055,8 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
     for ci, g in parts.groupby("c"):
         tot = int(g["n"].sum())
         if tot:
-            new_cent[int(ci)] = np.sum(np.stack(g["vsum"].tolist()), axis=0) / tot
+            s = np.sum(np.stack(g["vsum"].tolist()).astype(np.int64), axis=0)
+            new_cent[int(ci)] = s / (tot * _IVF_QUANT)
     return new_cent
 
 
@@ -1051,7 +1068,7 @@ def q_ann_ivf(sf_dir: str):
     ``groupby(list_id).map_groups``, final per-query merge over the
     ≤ nprobe·k partial rows. Rows-only; recall vs brute force asserted
     in tests."""
-    k, nlist, nprobe = 10, 16, 4
+    k, nlist, nprobe = _IVF_K, _IVF_NLIST, _IVF_NPROBE
     ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent = _ivf_centroids(sf_dir, ds, nlist)
     cn = _norm_rows(cent)
@@ -1112,6 +1129,16 @@ def q_ann_ivf(sf_dir: str):
 _CRAWL_CACHE: dict[str, str] = {}
 
 
+def crawl_world_params(sf_dir: str):
+    """t1-scale deterministic crawl world — shared by the crawl-backed
+    queries and the sequential golden oracle (pipelines/goldens.py) so
+    the two sides always describe the same world."""
+    from ..synth.world import WorldParams
+
+    n_sites = 6 if "0.001" in sf_dir else 10
+    return WorldParams(seed=42, n_sites=n_sites, pages_per_site=2, jobs_per_page=5)
+
+
 def _crawl_out(sf_dir: str) -> str:
     """One cached t1-scale crawl per process (deterministic world —
     sf_dir only scales the world size)."""
@@ -1120,9 +1147,7 @@ def _crawl_out(sf_dir: str) -> str:
         import hashlib
 
         from .crawl import CrawlConfig, run_crawl
-        from ..synth.world import WorldParams
 
-        n_sites = 6 if "0.001" in sf_dir else 10
         # stable digest (hash() is PYTHONHASHSEED-randomized per process
         # and would leak a fresh crawl copy into /tmp per driver process)
         tag = hashlib.blake2b(key.encode(), digest_size=4).hexdigest()
@@ -1131,7 +1156,7 @@ def _crawl_out(sf_dir: str) -> str:
 
         shutil.rmtree(out, ignore_errors=True)
         run_crawl(
-            WorldParams(seed=42, n_sites=n_sites, pages_per_site=2, jobs_per_page=5),
+            crawl_world_params(sf_dir),
             out,
             CrawlConfig(num_seen_shards=4, num_pol_shards=2, exact_sidecar=False),
         )

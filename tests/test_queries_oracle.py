@@ -73,6 +73,43 @@ def test_query_vs_oracle(name, con, ray_session):
     _compare(name, ray_df, sql_df)
 
 
+# the 13 previously rows-only queries, now backed by VALUES-rendered
+# golden tables computed by an independent sequential implementation
+# (jobscrawler_ray/pipelines/goldens.py)
+GOLDEN_NAMES = [
+    "langid", "fingerprints", "simhash", "minhash_lsh",
+    "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
+    "embed_documents", "crawl_image_caption", "crawl_job_records",
+    "multimodal_features", "multimodal_resize", "phash_neardup",
+]
+
+
+@pytest.fixture(scope="module")
+def gsql():
+    from jobscrawler_ray.pipelines.goldens import golden_oracle_sql
+
+    return golden_oracle_sql(SF_DIR)
+
+
+@pytest.mark.parametrize("name", GOLDEN_NAMES)
+def test_query_vs_golden_oracle(name, con, gsql, ray_session):
+    from jobscrawler_ray.pipelines.queries import QUERIES
+
+    ray_df = _to_pandas(QUERIES[name](SF_DIR))
+    sql_df = con.sql(gsql[name]).df()
+    _compare(name, ray_df, sql_df)
+
+
+def test_oracle_sql_covers_every_query():
+    """Driver contract: every queries() entry now has an oracle_sql()
+    entry (hand-written ANSI SQL or a sequential golden)."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    sql = e.oracle_sql()
+    assert set(sql) == set(q), sorted(set(q) - set(sql))
+
+
 class TestRowsOnly:
     def test_langid_runs(self, ray_session):
         from jobscrawler_ray.pipelines.queries import QUERIES
