@@ -94,21 +94,30 @@ class ParquetRecordSink:
         return len(self._seen)
 
 
-class PostgresRecordSink:  # pragma: no cover - needs psycopg2 + a DB
+class PostgresRecordSink:
     """Batched ``INSERT ... ON CONFLICT (key) DO NOTHING`` (the
     reference inserts row-by-row, ``src/crawler.py:200-219``; batching
-    is the only change)."""
+    is the only change).
 
-    def __init__(self, dsn: str, table: str, columns: list[str],
-                 key_col: str = "url"):
-        if not HAVE_PSYCOPG2:
+    ``conn`` injects any DB-API connection (cursor context manager +
+    commit/rollback + ``%s`` placeholders) — the pytest suite drives the
+    REAL ``write_batch`` path through a sqlite-backed twin; without it
+    the sink connects via psycopg2 (import-guarded in this sandbox)."""
+
+    def __init__(self, dsn: str | None = None, table: str = "records",
+                 columns: list[str] | None = None, key_col: str = "url",
+                 conn=None):
+        if conn is not None:
+            self.conn = conn
+        elif HAVE_PSYCOPG2:  # pragma: no cover - needs a DB
+            self.conn = psycopg2.connect(dsn)
+        else:
             raise ImportError(
                 "psycopg2 is not installed — use ParquetRecordSink (same "
                 "write_batch contract) or install psycopg2-binary"
             )
-        self.conn = psycopg2.connect(dsn)
         self.table = table
-        self.columns = columns
+        self.columns = list(columns or [])
         self.key_col = key_col
 
     def write_batch(self, table: pa.Table) -> int:
@@ -134,18 +143,23 @@ class PostgresRecordSink:  # pragma: no cover - needs psycopg2 + a DB
         return retry(_do)
 
 
-class PgVectorEmbeddingSink:  # pragma: no cover - needs psycopg2 + pgvector
+class PgVectorEmbeddingSink:
     """Embedding sink (``e5_base_v2_utils.py:105-180``): id + vector
-    upsert with the reference's retry policy."""
+    upsert with the reference's retry policy. ``conn`` injection as in
+    ``PostgresRecordSink`` (the twin stores the vector as the adapter
+    chooses — pgvector binds it natively)."""
 
-    def __init__(self, dsn: str, table: str, id_col: str = "id",
-                 vec_col: str = "embedding"):
-        if not HAVE_PSYCOPG2:
+    def __init__(self, dsn: str | None = None, table: str = "embeddings",
+                 id_col: str = "id", vec_col: str = "embedding", conn=None):
+        if conn is not None:
+            self.conn = conn
+        elif HAVE_PSYCOPG2:  # pragma: no cover - needs a DB + pgvector
+            self.conn = psycopg2.connect(dsn)
+        else:
             raise ImportError(
                 "psycopg2 is not installed — land embeddings in parquet "
                 "via the storage seam instead (sources/storage.py)"
             )
-        self.conn = psycopg2.connect(dsn)
         self.table = table
         self.id_col = id_col
         self.vec_col = vec_col

@@ -85,3 +85,140 @@ class TestParquetRecordSink:
         with pytest.raises(OSError):
             retry(lambda: (_ for _ in ()).throw(OSError("always")),
                   attempts=3, sleep=lambda s: None)
+
+
+class TestHttpFetcherLoopback:
+    """Drive HttpFetcher's REAL fetch path against a loopback HTTP
+    server (no external network): UA rotation is observable in the
+    request headers, non-200 bodies pass through, connection failures
+    return (0, b'')."""
+
+    @pytest.fixture()
+    def server(self):
+        import http.server
+        import threading
+
+        seen_uas = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen_uas.append(self.headers.get("User-Agent"))
+                if self.path == "/missing":
+                    body = b"custom 404 body"
+                    self.send_response(404)
+                else:
+                    body = f"hello {self.path}".encode()
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv.server_address[1], seen_uas
+        srv.shutdown()
+
+    def test_fetch_rotation_and_passthrough(self, server):
+        port, seen_uas = server
+        f = HttpFetcher(allow_network=True, agents=["ua-one", "ua-two"],
+                        timeout=5.0)
+        status, body = f.fetch(f"http://127.0.0.1:{port}/a")
+        assert (status, body) == (200, b"hello /a")
+        # reference behavior: non-200 body passes through, no raise
+        status, body = f.fetch(f"http://127.0.0.1:{port}/missing")
+        assert (status, body) == (404, b"custom 404 body")
+        assert seen_uas == ["ua-one", "ua-two"]  # rotation per request
+
+    def test_fetch_connection_failure(self, server):
+        port, _ = server
+        f = HttpFetcher(allow_network=True, timeout=1.0)
+        # a port with no listener → URLError → (0, b'')
+        assert f.fetch("http://127.0.0.1:1/x") == (0, b"")
+
+
+class TestPostgresSinksViaSqliteTwin:
+    """Execute the REAL PostgresRecordSink / PgVectorEmbeddingSink
+    write_batch paths (SQL build, executemany, commit,
+    rollback-on-error, retry) through the sqlite DB-API twin — the
+    upsert grammar is shared, only placeholders/vector binding differ."""
+
+    def _twin(self):
+        from jobscrawler_ray.sources.sqlite_twin import SqliteTwin
+
+        twin = SqliteTwin()
+        with twin.cursor() as cur:
+            cur.execute("CREATE TABLE records (url TEXT UNIQUE, title TEXT)")
+            cur.execute(
+                "CREATE TABLE embeddings (id INTEGER PRIMARY KEY, embedding TEXT)")
+        twin.commit()
+        return twin
+
+    def test_record_sink_conflict_do_nothing(self):
+        from jobscrawler_ray.sources.db_sink import PostgresRecordSink
+
+        twin = self._twin()
+        sink = PostgresRecordSink(table="records", columns=["url", "title"],
+                                  key_col="url", conn=twin)
+        sink.write_batch(pa.table({"url": ["u1", "u2"], "title": ["a", "b"]}))
+        # conflicting re-insert: DO NOTHING keeps the first write
+        sink.write_batch(pa.table({"url": ["u2", "u3"], "title": ["X", "c"]}))
+        with twin.cursor() as cur:
+            cur.execute("SELECT url, title FROM records ORDER BY url")
+            assert cur.fetchall() == [("u1", "a"), ("u2", "b"), ("u3", "c")]
+
+    def test_record_sink_rollback_then_retry_succeeds(self):
+        from jobscrawler_ray.sources.db_sink import PostgresRecordSink
+
+        twin = self._twin()
+        # target a table that doesn't exist YET: attempt 1 fails (and
+        # must roll back), the "DBA" creates it, attempt 2 succeeds
+        sink = PostgresRecordSink(table="pending", columns=["url", "title"],
+                                  key_col="url", conn=twin)
+        orig_cursor = twin.cursor
+        calls = {"n": 0}
+
+        def healing_cursor():
+            calls["n"] += 1
+            if calls["n"] == 2:
+                with orig_cursor() as cur:
+                    cur.execute(
+                        "CREATE TABLE pending (url TEXT UNIQUE, title TEXT)")
+                twin.commit()
+            return orig_cursor()
+
+        twin.cursor = healing_cursor
+        import jobscrawler_ray.sources.db_sink as db_sink
+        orig_retry = db_sink.retry
+        db_sink.retry = lambda fn, **kw: orig_retry(fn, sleep=lambda s: None)
+        try:
+            n = sink.write_batch(pa.table({"url": ["u9"], "title": ["z"]}))
+        finally:
+            db_sink.retry = orig_retry
+            twin.cursor = orig_cursor
+        assert n == 1
+        assert twin.rollbacks >= 1  # aborted txn rolled back before retry
+        with twin.cursor() as cur:
+            cur.execute("SELECT title FROM pending WHERE url='u9'")
+            assert cur.fetchone() == ("z",)
+
+    def test_pgvector_sink_upsert(self):
+        import json
+
+        from jobscrawler_ray.sources.db_sink import PgVectorEmbeddingSink
+
+        twin = self._twin()
+        sink = PgVectorEmbeddingSink(table="embeddings", id_col="id",
+                                     vec_col="embedding", conn=twin)
+        sink.write_batch(pa.table({"id": [1, 2],
+                                   "embedding": [[1.0, 2.0], [3.0, 4.0]]}))
+        # conflicting id → DO UPDATE overwrites with the new vector
+        sink.write_batch(pa.table({"id": [1], "embedding": [[9.0, 9.0]]}))
+        with twin.cursor() as cur:
+            cur.execute("SELECT embedding FROM embeddings WHERE id=1")
+            assert json.loads(cur.fetchone()[0]) == [9.0, 9.0]
+            cur.execute("SELECT count(*) FROM embeddings")
+            assert cur.fetchone() == (2,)
