@@ -1110,6 +1110,10 @@ def run_crawl(
     if prior is None:
         os.makedirs(seed_dir, exist_ok=True)
         seed_tbl = seed_frontier_table(world, cfg)
+        # fire-and-forget robots prefetch: fills each politeness shard's
+        # robots cache (and forces its process spawn) while the driver
+        # writes the seed files — off wave-0's critical path
+        pol.warm_robots(seed_tbl["host"].to_pylist())
         # split the seed across wave_blocks FILES: a single parquet file
         # reads as ONE task whose SplitBlocks generator paces all
         # downstream task launches (measured ~1.6× effective concurrency

@@ -82,6 +82,15 @@ class _PolitenessShard:
             self.robots_blocked[host] = status == 200 and _robots_disallows_all(payload)
         return self.robots_blocked[host]
 
+    def warm_robots(self, hosts: list[str]) -> int:
+        """Pre-fill the robots cache (fire-and-forget from the driver
+        right after the seed is built) so wave-0 finalize doesn't pay
+        the per-host robots fetches on the critical path; also forces
+        the actor process to spawn while the driver writes seed files."""
+        for h in hosts:
+            self._robots(h)
+        return len(hosts)
+
     def offer(self, wave: int, demand: dict[str, tuple[int, list[int], float]],
               offer_id: int | None = None) -> bool:
         """demand: host -> (count, smallest cap+1 priorities, rate).
@@ -171,6 +180,18 @@ class PolitenessPool:
 
     def handles(self) -> list:
         return list(self.shards)
+
+    def warm_robots(self, hosts) -> None:
+        """Async robots prefetch, routed by the same host-hash the
+        offers use; NOT waited on — the per-caller actor queue orders it
+        before the next finalize."""
+        from ..functions.urlnorm import hash64
+
+        by_shard: dict[int, list[str]] = {}
+        for h in set(hosts):
+            by_shard.setdefault(hash64(h) % self.num_shards, []).append(h)
+        for s, hs in by_shard.items():
+            self.shards[s].warm_robots.remote(hs)
 
     def finalize(self, wave: int) -> None:
         ray.get([s.finalize.remote(wave) for s in self.shards])
