@@ -142,6 +142,11 @@ class TestCheckpointCadence:
 
         assert latest_manifest(part_dir).wave == 0  # wave 1 skipped
         run_crawl(wp, part_dir, cfg2, resume=True)
+        # the replayed wave must start from a CLEAN output dir: the
+        # non-deduped fetch log would otherwise double wave 1's rows
+        from jobscrawler_ray.pipelines.crawl import fetch_log
+
+        assert len(fetch_log(part_dir)) == len(fetch_log(full_dir))
         for sub in ("job_records", "image_caption"):
             a = _read_dir(os.path.join(full_dir, sub))
             b = _read_dir(os.path.join(part_dir, sub))
