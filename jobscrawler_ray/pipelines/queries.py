@@ -1338,6 +1338,148 @@ def q_session_windows(sf_dir: str):
     )
 
 
+def q_asof_join_events(sf_dir: str):
+    """AS-OF join — the time-series operator Ray Data lacks natively:
+    for every 'purchase' event, the latest 'click' by the same user at
+    or before it. Both sides co-partition on a coarse user bucket (the
+    session_windows partitioning), then a per-user numpy searchsorted
+    merge inside map_groups — no per-row Python in the match step, no
+    all-to-all beyond the single bucket groupby. Tie semantics match
+    DuckDB ASOF (greatest click_ts ≤ purchase ts, equality included)."""
+
+    def split(df: pd.DataFrame):
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["bucket"] = (df["user_id"] % 64).astype(np.int64)
+        return _arrow_out(df.drop(columns=["event_type"]).assign(
+            is_purchase=(df["event_type"] == "purchase")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, u in g.groupby("user_id", sort=False):
+            p = u[u["is_purchase"]].sort_values("ts", kind="stable")
+            c = u[~u["is_purchase"]].sort_values("ts", kind="stable")
+            if p.empty or c.empty:
+                continue
+            cts = c["ts"].to_numpy()
+            idx = np.searchsorted(cts, p["ts"].to_numpy(), side="right") - 1
+            keep = idx >= 0
+            out.append(pd.DataFrame({
+                "event_id": p["event_id"].to_numpy()[keep],
+                "ts": p["ts"].to_numpy()[keep],
+                "click_ts": cts[idx[keep]],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "click_ts": pd.Series([], dtype="datetime64[us]"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(split, batch_format="pandas")
+        .groupby("bucket", num_partitions=16)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_grouped_topk_parts(sf_dir: str):
+    """Grouped top-k (the window-function shape): top 3 parts per brand
+    by (retailprice desc, partkey asc). Per-batch partial top-3 per
+    brand pre-combines before the small groupby — the shuffle moves at
+    most 3×brands×blocks rows, never the table."""
+    k = 3
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_retailprice", "p_partkey"],
+                            ascending=[False, True], kind="stable")
+        return _arrow_out(df.groupby("p_brand", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True], kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["p_brand", "p_partkey", "p_retailprice", "rank"]]
+
+    return (
+        _tbl(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_quantiles_lineitem(sf_dir: str):
+    """EXACT distributed quantiles without a global sort: per-batch
+    value-count partials → groupby(value) count-sum (cardinality = the
+    distinct-value count, not the row count) → one coalesced task sorts
+    the histogram and reads off discrete quantiles (1-based rank
+    ceil(q·N), DuckDB's quantile_disc). For a truly continuous column
+    this becomes iterative histogram refinement; l_quantity's domain is
+    discrete so one pass is exact."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["l_quantity"].value_counts()
+        return _arrow_out(pd.DataFrame({
+            "q": vc.index.to_numpy(np.float64),
+            "c": vc.to_numpy(np.int64),
+        }))
+
+    hist = (
+        _tbl(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("q")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("q", kind="stable")
+        cum = df["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = df["q"].to_numpy()
+        out = {}
+        for tag, q in zip(("p50", "p90", "p99"), _QUANTILES):
+            rank = max(1, int(np.ceil(q * n)))
+            out[tag] = [float(vals[np.searchsorted(cum, rank)])]
+        return pd.DataFrame(out)
+
+    return hist.map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) — per-batch partial
+    counts at the finest level; ONE coalesced task derives the coarser
+    levels from the (tiny) fine aggregate. 'ALL' stands in for the
+    rollup NULL on both sides."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("l_returnflag", "size"))
+        return _arrow_out(g)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("n", "sum"))
+        mid = fine.groupby("l_returnflag", as_index=False).agg(n=("n", "sum"))
+        mid["l_linestatus"] = "ALL"
+        top = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                            "n": [fine["n"].sum()]})
+        out = pd.concat([fine, mid, top], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out.rename(columns={"l_returnflag": "rf", "l_linestatus": "ls"})[
+            ["rf", "ls", "n"]]
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 def q_embed_documents(sf_dir: str):
     """T1/T2: the embedding actor-pool stage (model load once per
     actor, batched inference; deterministic stand-in model — see
@@ -1472,6 +1614,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
     "multimodal_features": q_multimodal_features,
+    "asof_join_events": q_asof_join_events,
+    "grouped_topk_parts": q_grouped_topk_parts,
+    "quantiles_lineitem": q_quantiles_lineitem,
+    "rollup_lineitem": q_rollup_lineitem,
     "session_windows": q_session_windows,
     "distinct_users": q_distinct_users,
     "supplier_regions": q_supplier_regions,
@@ -1618,6 +1764,29 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_custkey, c_name, round(sum(o_totalprice), 2) AS spend "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY o_custkey, c_name ORDER BY spend DESC, o_custkey LIMIT 10"
+    ),
+    "asof_join_events": (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT p.event_id, p.ts, c.ts AS click_ts "
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "grouped_topk_parts": (
+        "SELECT p_brand, p_partkey, p_retailprice, rank FROM ("
+        "SELECT p_brand, p_partkey, p_retailprice, row_number() OVER "
+        "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank "
+        "FROM part) WHERE rank <= 3"
+    ),
+    "quantiles_lineitem": (
+        "SELECT quantile_disc(l_quantity, 0.5) AS p50, "
+        "quantile_disc(l_quantity, 0.9) AS p90, "
+        "quantile_disc(l_quantity, 0.99) AS p99 FROM lineitem"
+    ),
+    "rollup_lineitem": (
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+        "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     ),
     "session_windows": (
         "WITH o AS (SELECT user_id, event_id, ts, "
