@@ -90,7 +90,7 @@ class TestQueries:
 
         th = QUERIES["multimodal_resize"](SF).to_pandas()
         assert len(th) > 0 and (th["w"] == 32).all()
-        pairs = QUERIES["phash_neardup"](SF)
+        pairs = QUERIES["phash_neardup"](SF).to_pandas()  # Dataset since r3
         assert len(pairs) > 0
         # the guaranteed positives: original ↔ its thumbnail
         self_pairs = [
