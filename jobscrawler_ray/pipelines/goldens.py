@@ -230,20 +230,17 @@ def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
         {"id_a": np.int64, "id_b": np.int64})
 
 
-def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """Sequential IVF: strided seed centroids, ONE int64-quantized Lloyd
-    step (bit-identical to the distributed partial-sum merge), per-query
-    probe of the nprobe nearest lists, rounded-score top-k."""
-    ids, mat = _embeddings(sf_dir)
+def _golden_ivf_centroids(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Strided seed centroids + ONE int64-quantized Lloyd step —
+    bit-identical to the distributed partial-sum merge in
+    ``queries._ivf_centroids`` (integer sums are associative)."""
     n = len(ids)
     stride = max(1, n // _IVF_NLIST)
     seed_ids = [i * stride for i in range(_IVF_NLIST)]
     sel = np.isin(ids, seed_ids)
     order = np.argsort(ids[sel])
     cent = mat[sel][order].copy()
-
-    normed = _norm_rows(mat)
-    assign0 = np.argmax(normed @ _norm_rows(cent).T, axis=1)
+    assign0 = np.argmax(_norm_rows(mat) @ _norm_rows(cent).T, axis=1)
     quant = np.round(mat * _IVF_QUANT).astype(np.int64)
     new_cent = cent.copy()
     for ci in range(_IVF_NLIST):
@@ -251,8 +248,24 @@ def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
         tot = int(m.sum())
         if tot:
             new_cent[ci] = quant[m].sum(axis=0) / (tot * _IVF_QUANT)
+    return new_cent
 
-    cn = _norm_rows(new_cent)
+
+def golden_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    ids, mat = _embeddings(sf_dir)
+    cn = _norm_rows(_golden_ivf_centroids(ids, mat))
+    assign = np.argmax(_norm_rows(mat) @ cn.T, axis=1)
+    return pd.DataFrame({"vec_id": pd.Series(ids, dtype=np.int64),
+                         "cluster": pd.Series(assign, dtype=np.int64)})
+
+
+def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """Sequential IVF: strided seed centroids, ONE int64-quantized Lloyd
+    step (bit-identical to the distributed partial-sum merge), per-query
+    probe of the nprobe nearest lists, rounded-score top-k."""
+    ids, mat = _embeddings(sf_dir)
+    normed = _norm_rows(mat)
+    cn = _norm_rows(_golden_ivf_centroids(ids, mat))
     qmask = ids < 5
     qids = ids[qmask]
     qn = _norm_rows(mat[qmask])
@@ -388,6 +401,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "id_a": "BIGINT", "id_b": "BIGINT"})
     out["ann_ivf"] = values_sql(golden_ann_ivf(sf_dir), {
         "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
+    out["kmeans_assign"] = values_sql(golden_kmeans_assign(sf_dir), {
+        "vec_id": "BIGINT", "cluster": "BIGINT"})
     out["embed_documents"] = values_sql(golden_embed_documents(sf_dir), {
         "doc_id": "BIGINT", "dim": "BIGINT", "norm": "DOUBLE"})
     out["crawl_image_caption"] = values_sql(golden_crawl_image_caption(sf_dir), {

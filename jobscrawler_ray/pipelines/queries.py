@@ -1338,6 +1338,53 @@ def q_session_windows(sf_dir: str):
     )
 
 
+def q_vocab_top_terms(sf_dir: str):
+    """Vocabulary building (the DF side of TF-IDF): document frequency
+    per term, top-100. Per-batch partial DF counts (set-of-terms per
+    doc) pre-combine before the term groupby — the shuffle moves
+    (term, count) partials, never the corpus text."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(set(t.split(" ")))
+        return _arrow_out(pd.DataFrame({
+            "term": list(c.keys()),
+            "doc_freq": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+        }))
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("doc_freq", alias_name="doc_freq"))
+        .sort(["doc_freq", "term"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Document clustering: one int64-quantized Lloyd step over strided
+    seed centroids (the IVF coarse quantizer as a first-class op), then
+    assignment in map_batches — centroids broadcast once, the corpus
+    never leaves the workers. Output (vec_id, cluster)."""
+    nlist = _IVF_NLIST
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cn = _norm_rows(_ivf_centroids(sf_dir, ds, nlist))
+    cref = ray.put(cn)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = _bget(cref)
+        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "cluster": np.argmax(_norm_rows(mat) @ c.T, axis=1).astype(np.int64),
+        })
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=512)
+
+
 def q_asof_join_events(sf_dir: str):
     """AS-OF join — the time-series operator Ray Data lacks natively:
     for every 'purchase' event, the latest 'click' by the same user at
@@ -1614,6 +1661,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
     "multimodal_features": q_multimodal_features,
+    "vocab_top_terms": q_vocab_top_terms,
+    "kmeans_assign": q_kmeans_assign,
     "asof_join_events": q_asof_join_events,
     "grouped_topk_parts": q_grouped_topk_parts,
     "quantiles_lineitem": q_quantiles_lineitem,
@@ -1764,6 +1813,11 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_custkey, c_name, round(sum(o_totalprice), 2) AS spend "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY o_custkey, c_name ORDER BY spend DESC, o_custkey LIMIT 10"
+    ),
+    "vocab_top_terms": (
+        "SELECT term, count(*)::BIGINT AS doc_freq FROM ("
+        "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents) GROUP BY term ORDER BY doc_freq DESC, term LIMIT 100"
     ),
     "asof_join_events": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events "

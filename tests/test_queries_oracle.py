@@ -79,8 +79,9 @@ def test_query_vs_oracle(name, con, ray_session):
 GOLDEN_NAMES = [
     "langid", "fingerprints", "simhash", "minhash_lsh",
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
-    "embed_documents", "crawl_image_caption", "crawl_job_records",
-    "multimodal_features", "multimodal_resize", "phash_neardup",
+    "kmeans_assign", "embed_documents", "crawl_image_caption",
+    "crawl_job_records", "multimodal_features", "multimodal_resize",
+    "phash_neardup",
 ]
 
 
