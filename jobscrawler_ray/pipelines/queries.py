@@ -123,6 +123,34 @@ def q_source_counts(sf_dir: str):
     )
 
 
+def q_source_counts_salted(sf_dir: str):
+    """The hot-key (skew) pattern: `source` has few distinct values, so
+    a plain groupby lands each hot key on ONE reducer. Salting splits
+    every key across 8 reducers — groupby (source, salt) → partial
+    sums → tiny re-aggregate — bounding any single reducer's input at
+    1/8 of the hottest key. Same result as ``source_counts``."""
+    salts = 8
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # deterministic spread: row position within the batch mod salts
+        salt = pc.cast(pa.array(np.arange(n, dtype=np.int64) % salts), pa.int64())
+        return pa.table({"source": t["source"], "salt": salt})
+
+    partial = (
+        _tbl(sf_dir, "documents", ["source"])
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["source", "salt"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return (
+        partial.groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
 def q_lang_frequency(sf_dir: str):
     """A6: tag-frequency analysis (notebook Counter → groupby/count)."""
     return (
@@ -1628,6 +1656,7 @@ def q_phash_neardup(sf_dir: str):
 
 QUERIES: dict[str, Callable[[str], Any]] = {
     "source_counts": q_source_counts,
+    "source_counts_salted": q_source_counts_salted,
     "lang_frequency": q_lang_frequency,
     "watermark_max_ts": q_watermark_max_ts,
     "latest_events": q_latest_events,
@@ -1680,6 +1709,9 @@ _STOP_SQL = "('a','the','of','and','to','in')"
 
 ORACLE_SQL: dict[str, str] = {
     "source_counts": "SELECT source, count(*) AS n FROM documents GROUP BY source",
+    "source_counts_salted": (
+        "SELECT source, count(*) AS n FROM documents GROUP BY source"
+    ),
     "lang_frequency": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "watermark_max_ts": "SELECT max(ts) AS max_ts FROM events",
     "latest_events": (
