@@ -43,19 +43,22 @@ from ..synth.locations import WORLD_LOCATIONS
 _SCHEMA_CACHE: dict[str, pa.Schema] = {}
 
 
-def _tbl(sf_dir: str, name: str, columns: list[str] | None = None):
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None,
+         filter: Any = None):
     """Pruned read with an explicit metadata-FREE schema: pandas-written
     parquet embeds a ``pandas`` metadata dict that makes ``pa.Schema``
     unhashable, defeating Ray's schema dedup ('Failed to hash the
     schemas' spam at every downstream unify). Passing the stripped
-    schema keeps every read block clean at the source."""
+    schema keeps every read block clean at the source. ``filter`` is a
+    pyarrow.dataset expression pushed down to the row-group scan."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     full = _SCHEMA_CACHE.get(path)
     if full is None:
         full = papq.ParquetFile(path).schema_arrow.remove_metadata()
         _SCHEMA_CACHE[path] = full
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    kw = {"filter": filter} if filter is not None else {}
+    return rd.read_parquet(path, columns=columns, schema=schema, **kw)
 
 
 
@@ -1413,6 +1416,164 @@ def q_kmeans_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas", batch_size=512)
 
 
+# Knuth multiplicative hash over doc_id: deterministic, RNG-free, and
+# expressible in ANSI SQL ((doc_id * 2654435761) % 2^32) so split/sample
+# decisions are identical on any engine and any cluster size.
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) by multiplicative
+    doc_id hash — the assignment every training pipeline needs: stable
+    across runs and cluster sizes, no RNG state to coordinate. Per-batch
+    count partials pre-combine before the 3-row groupby, so the shuffle
+    moves 3 rows per block regardless of corpus size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy() * _HASH_MULT) % _HASH_MOD % 100
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        u, c = np.unique(split, return_counts=True)
+        return pa.table({"split": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: the 10 docs per source with
+    the smallest doc_id hash — uniform-at-random in distribution yet
+    reproducible bit-for-bit. Map-side partial top-10 per stratum
+    bounds the shuffle at 10 × |strata| rows per block; the corpus
+    text never moves (only keys are read)."""
+    k = 10
+
+    def partial(df: pd.DataFrame):
+        df = df.copy()
+        df["hkey"] = (df["doc_id"].to_numpy() * _HASH_MULT) % _HASH_MOD
+        df = df.sort_values(["hkey", "doc_id"], kind="stable")
+        return _arrow_out(df.groupby("source", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", "doc_id"], kind="stable").head(k)
+        return g[["source", "doc_id"]]
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_bigram_counts(sf_dir: str):
+    """N-gram statistics: top-100 word bigrams with deterministic
+    boundary tie-break (count desc, bigram asc). Per-batch Counter
+    partials pre-combine; the shuffle moves (bigram, count) partials,
+    never the corpus text."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame):
+        c: Counter = Counter()
+        for t in df["text"]:
+            w = t.split(" ")
+            c.update(map(" ".join, zip(w, w[1:])))
+        return _arrow_out(pd.DataFrame({
+            "bigram": list(c.keys()),
+            "n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+        }))
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(100)
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF relevance: each document's top term under a ratio-idf
+    score (tf × N / df). The ratio variant is deliberate: one exact
+    int multiply + one IEEE division is bit-identical across engines,
+    where log-idf would rank identically but hash-differently. DF comes
+    from a distributed partial-count groupby; the DF table is
+    vocabulary-sized (words, not documents — bounded ~1M even at 100 TB)
+    so it broadcasts via ray.put. Scoring is pure map-side; output is
+    restricted to doc_id < 50 by a pruned predicate read."""
+    from collections import Counter
+
+    def df_partial(df: pd.DataFrame):
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(set(t.split(" ")))
+        return _arrow_out(pd.DataFrame({
+            "term": list(c.keys()),
+            "df": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+        }))
+
+    docfreq = (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    dfmap = {r["term"]: int(r["df"]) for r in docfreq.take_all()}
+    n_docs = papq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ref = ray.put(dfmap)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = _bget(ref)
+        ids, terms, scores = [], [], []
+        for did, txt in zip(df["doc_id"], df["text"]):
+            best_t, best_s = None, -1.0
+            for term, tf in Counter(txt.split(" ")).items():
+                s = (tf * n_docs) / dmap[term]
+                if s > best_s or (s == best_s and term < best_t):
+                    best_t, best_s = term, s
+            ids.append(int(did)); terms.append(best_t); scores.append(best_s)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "term": pd.Series(terms, dtype=object),
+            "score": pd.Series(scores, dtype=np.float64),
+        })
+
+    import pyarrow.dataset as pads
+    sub = _tbl(sf_dir, "documents", ["doc_id", "text"],
+               filter=pads.field("doc_id") < 50)
+    return sub.map_batches(score, batch_format="pandas")
+
+
+def q_length_histogram(sf_dir: str):
+    """Distribution profiling: histogram of document length (200-char
+    buckets, capped at bucket 9). Per-batch bincount partials → a
+    ≤10-row groupby — the canonical partial-combine aggregation."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.minimum(t["n_chars"].to_numpy() // 200, 9).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    return (
+        _tbl(sf_dir, "documents", ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
 def q_asof_join_events(sf_dir: str):
     """AS-OF join — the time-series operator Ray Data lacks natively:
     for every 'purchase' event, the latest 'click' by the same user at
@@ -1692,6 +1853,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_features": q_multimodal_features,
     "vocab_top_terms": q_vocab_top_terms,
     "kmeans_assign": q_kmeans_assign,
+    "train_split": q_train_split,
+    "stratified_sample": q_stratified_sample,
+    "bigram_counts": q_bigram_counts,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "length_histogram": q_length_histogram,
     "asof_join_events": q_asof_join_events,
     "grouped_topk_parts": q_grouped_topk_parts,
     "quantiles_lineitem": q_quantiles_lineitem,
@@ -1850,6 +2016,40 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT term, count(*)::BIGINT AS doc_freq FROM ("
         "SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term "
         "FROM documents) GROUP BY term ORDER BY doc_freq DESC, term LIMIT 100"
+    ),
+    "train_split": (
+        "SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+        "ELSE 'test' END AS split, count(*) AS n FROM ("
+        "SELECT (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents) "
+        "GROUP BY 1"
+    ),
+    "stratified_sample": (
+        "SELECT source, doc_id FROM ("
+        "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+        "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10"
+    ),
+    "bigram_counts": (
+        "WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents), "
+        "pairs AS (SELECT l[i] AS w1, l[i+1] AS w2 "
+        "FROM toks, unnest(range(1, len(l))) AS t(i)) "
+        "SELECT w1 || ' ' || w2 AS bigram, count(*) AS n "
+        "FROM pairs GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100"
+    ),
+    "tfidf_top_terms": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents) "
+        "SELECT doc_id, term, (tf * n) / df AS score "
+        "FROM tf JOIN df USING (term), n WHERE doc_id < 50 "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY (tf * n) / df DESC, term) = 1"
+    ),
+    "length_histogram": (
+        "SELECT least(n_chars // 200, 9) AS bucket, count(*) AS n "
+        "FROM documents GROUP BY 1"
     ),
     "asof_join_events": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events "
