@@ -1620,6 +1620,102 @@ def q_asof_join_events(sf_dir: str):
     )
 
 
+_PACK_BUDGET = 512  # context-window token budget
+_PACK_RANGE = 1024  # doc_ids per prefix-sum bucket
+
+
+def q_pack_offsets(sf_dir: str):
+    """Sequence packing (concat-and-chunk — how training corpora become
+    fixed-length context windows): every document's [start, end) token
+    offset in the doc_id-ordered concatenated token stream, plus the
+    first/last context-window bin it lands in at budget 512. The
+    distributed prefix-sum shape: (1) per-bucket token sums via a tiny
+    groupby (buckets = doc_id // 1024, so the driver-side cumsum table
+    is N/1024 rows — metadata-scale), (2) broadcast bucket base
+    offsets, (3) per-bucket map_groups cumsums doc order within its
+    bucket and adds the base. One bounded shuffle, no global sort."""
+    budget, rng = _PACK_BUDGET, _PACK_RANGE
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        bucket = pc.cast(pc.divide(t["doc_id"], rng), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n": n, "bucket": bucket})
+
+    toks = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    # pass 1: bucket totals -> driver cumsum (N/1024 rows: bounded)
+    sums = (
+        toks.groupby("bucket").aggregate(Sum("n", alias_name="tot")).to_pandas()
+    ).sort_values("bucket")
+    base = dict(zip(
+        sums["bucket"].to_numpy(np.int64),
+        np.concatenate([[0], sums["tot"].to_numpy(np.int64).cumsum()[:-1]]),
+    ))
+    bref = ray.put(base)
+
+    # pass 2: within-bucket exclusive cumsum + broadcast base offset
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        b0 = int(_bget(bref)[int(g["bucket"].iloc[0])])
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n"].to_numpy(np.int64)
+        start = b0 + np.concatenate([[0], n.cumsum()[:-1]])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "start_off": start,
+            "end_off": start + n,
+            "bin_start": start // budget,
+            "bin_end": (start + n - 1) // budget,
+        })
+
+    return toks.groupby("bucket", num_partitions=16).map_groups(
+        offsets, batch_format="pandas"
+    )
+
+
+def q_range_join_events(sf_dir: str):
+    """Interval (range) join — the band-join operator equi-join engines
+    lack: for every purchase, the number of clicks by the same user in
+    the preceding hour (exclusive lower bound, inclusive upper). Same
+    co-partitioning as the as-of join (coarse user buckets), then a
+    two-searchsorted count per user — no per-row Python in the match
+    step, no all-to-all beyond the single bucket groupby."""
+
+    def split(df: pd.DataFrame):
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["bucket"] = (df["user_id"] % 64).astype(np.int64)
+        return _arrow_out(df.drop(columns=["event_type"]).assign(
+            is_purchase=(df["event_type"] == "purchase")))
+
+    def count_clicks(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, u in g.groupby("user_id", sort=False):
+            p = u[u["is_purchase"]]
+            if p.empty:
+                continue
+            cts = np.sort(u.loc[~u["is_purchase"], "ts"].to_numpy())
+            pts = p["ts"].to_numpy()
+            hi = np.searchsorted(cts, pts, side="right")
+            lo = np.searchsorted(cts, pts - np.timedelta64(1, "h"), side="right")
+            out.append(pd.DataFrame({
+                "event_id": p["event_id"].to_numpy(np.int64),
+                "n_clicks": (hi - lo).astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "n_clicks": pd.Series([], dtype=np.int64),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(split, batch_format="pandas")
+        .groupby("bucket", num_partitions=16)
+        .map_groups(count_clicks, batch_format="pandas")
+    )
+
+
 def q_grouped_topk_parts(sf_dir: str):
     """Grouped top-k (the window-function shape): top 3 parts per brand
     by (retailprice desc, partkey asc). Per-batch partial top-3 per
@@ -1858,6 +1954,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_counts": q_bigram_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "length_histogram": q_length_histogram,
+    "pack_offsets": q_pack_offsets,
+    "range_join_events": q_range_join_events,
     "asof_join_events": q_asof_join_events,
     "grouped_topk_parts": q_grouped_topk_parts,
     "quantiles_lineitem": q_quantiles_lineitem,
@@ -2050,6 +2148,21 @@ ORACLE_SQL: dict[str, str] = {
     "length_histogram": (
         "SELECT least(n_chars // 200, 9) AS bucket, count(*) AS n "
         "FROM documents GROUP BY 1"
+    ),
+    "pack_offsets": (
+        "WITH c AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n "
+        "FROM documents), o AS (SELECT doc_id, n, coalesce(SUM(n) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0"
+        ")::BIGINT AS s FROM c) SELECT doc_id, s AS start_off, s + n AS end_off, "
+        "s // 512 AS bin_start, (s + n - 1) // 512 AS bin_end FROM o"
+    ),
+    "range_join_events": (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT p.event_id, count(c.ts) AS n_clicks FROM p LEFT JOIN c "
+        "ON p.user_id = c.user_id AND c.ts > p.ts - INTERVAL 1 HOUR "
+        "AND c.ts <= p.ts GROUP BY p.event_id"
     ),
     "asof_join_events": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events "
