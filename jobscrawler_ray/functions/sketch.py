@@ -1,0 +1,58 @@
+"""Sketch kernels: HyperLogLog distinct-count (leaf functions shared by
+the Ray query and its sequential golden oracle — the same shared-leaf /
+independent-orchestration split ``pipelines/goldens.py`` documents).
+
+Everything here is bit-deterministic and merge-order-free: registers
+combine by elementwise max, so any partitioning of the input produces
+the identical register table, and the estimator sums registers in index
+order so the float result is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 12  # 4096 registers; standard error ~1.04/sqrt(4096) = 1.6%
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # alpha_m for m >= 128
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (public-domain constants from Vigna's splitmix64)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_registers(keys: np.ndarray) -> np.ndarray:
+    """Register table (length 4096, dtype int64) for a batch of integer
+    keys: register index = top 12 hash bits, value = 1 + count of
+    leading zeros in the remaining 52 bits (capped at 53)."""
+    h = splitmix64(np.asarray(keys))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # remaining 52 bits, MSB-aligned
+    # leading-zero count of the 52-bit remainder: scan bit-by-bit is
+    # O(64) vectorized passes; use float64 log2 trick instead — exact
+    # for the top bit position because the mantissa holds >52 bits only
+    # for values < 2^53, so shift down to 53 significant bits first.
+    top = (rest >> np.uint64(11)).astype(np.float64)  # 53-bit value
+    with np.errstate(divide="ignore"):
+        msb = np.floor(np.log2(top, where=top > 0,
+                               out=np.full_like(top, -1.0))).astype(np.int64)
+    rank = np.where(top > 0, 53 - msb, 53).astype(np.int64)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction. Registers are summed in index order — deterministic."""
+    regs = np.asarray(regs, dtype=np.int64)
+    raw = _ALPHA * HLL_M * HLL_M / float(np.sum(2.0 ** (-regs.astype(np.float64))))
+    zeros = int(np.sum(regs == 0))
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return int(round(HLL_M * np.log(HLL_M / float(zeros))))
+    return int(round(raw))

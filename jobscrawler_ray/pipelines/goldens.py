@@ -118,6 +118,20 @@ def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 # --------------------------------------------------------------------------
 
 
+def golden_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Sequential HLL over the full user_id column in one pass — the
+    Ray side merges per-batch register tables by max; elementwise max is
+    order-free so both produce the identical 4096-register table."""
+    from ..functions import sketch
+
+    uid = papq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )["user_id"].to_numpy()
+    regs = sketch.hll_registers(uid)
+    return pd.DataFrame({"n_approx": pd.Series(
+        [sketch.hll_estimate(regs)], dtype=np.int64)})
+
+
 def golden_langid(sf_dir: str) -> pd.DataFrame:
     ids, texts, langs = _documents(sf_dir)
     return pd.DataFrame({
@@ -418,4 +432,6 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "thumb_phash": "BIGINT"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
+    out["approx_distinct_users"] = values_sql(
+        golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
     return out

@@ -81,7 +81,7 @@ GOLDEN_NAMES = [
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
     "kmeans_assign", "embed_documents", "crawl_image_caption",
     "crawl_job_records", "multimodal_features", "multimodal_resize",
-    "phash_neardup",
+    "phash_neardup", "approx_distinct_users",
 ]
 
 
@@ -127,6 +127,18 @@ class TestRowsOnly:
         b = _to_pandas(QUERIES["fingerprints"](SF_DIR)).sort_values("doc_id")
         assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
         assert a["fingerprint"].nunique() == len(a)  # all docs distinct
+
+    def test_hll_estimate_accuracy(self, ray_session):
+        """The sketch's point is a bounded-error estimate: within 5%
+        (3 standard errors at p=12) of the exact distinct count, and
+        identical across two runs (order-free merge)."""
+        from jobscrawler_ray.pipelines.queries import QUERIES
+
+        exact = int(_to_pandas(QUERIES["distinct_users"](SF_DIR))["n"].iloc[0])
+        a = int(_to_pandas(QUERIES["approx_distinct_users"](SF_DIR))["n_approx"].iloc[0])
+        b = int(_to_pandas(QUERIES["approx_distinct_users"](SF_DIR))["n_approx"].iloc[0])
+        assert a == b
+        assert abs(a - exact) <= 0.05 * exact, (a, exact)
 
     def test_simhash_neardup_property(self, ray_session):
         from jobscrawler_ray.functions.dedupe import hamming64, simhash64
