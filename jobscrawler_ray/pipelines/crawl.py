@@ -87,7 +87,7 @@ import ray.data as rd
 
 from ..functions import codecs
 from ..functions.arrowio import arrow_out as _arrow_out
-from ..functions.priority import pack_priority
+from ..functions.priority import AGE_MASK, pack_priority
 from ..functions.urlnorm import canonicalize, hash64, host_of, sha1_hex
 from ..stages.parse import parse_apply_link, parse_detail, parse_listing, whole_page_text
 from ..state.checkpoint import WaveManifest, ckpt_dir, latest_manifest, write_manifest
@@ -311,9 +311,18 @@ def get_fetch_backend(name: str, world_params: WorldParams):
 # --------------------------------------------------------------------------
 
 
-def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
+def seed_frontier_table(world: World, cfg: CrawlConfig,
+                        ages: dict[str, int] | None = None) -> pa.Table:
     """Wave-0 frontier: every site's listing-page URLs (S3 pagination,
-    ``async_bs4.py:349-350``) with order-conformant seq keys."""
+    ``async_bs4.py:349-350``) with order-conformant seq keys.
+
+    ``ages`` (recrawl mode): url_sha1 → generations since last fetch.
+    The age field packs as ``AGE_MASK - age`` so STALER pages sort
+    earlier (smaller key = higher priority) — the standard freshness
+    ordering for recrawl scheduling. Listings absent from ``ages``
+    (brand-new pages) default to maximum staleness, i.e. top priority.
+    A fresh crawl (``ages=None``) packs a uniform 0, leaving the
+    (depth, seq) order untouched."""
     em = _Emitter(FRONTIER_FIELDS)
     span = world.site_span()
     for rank, site in enumerate(world.sites):
@@ -325,10 +334,14 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
             canon = canonicalize(url)
             host = host_of(canon)
             seq = idx * stride
+            sha = sha1_hex(canon)
+            age_key = 0 if ages is None else (
+                AGE_MASK - min(int(ages.get(sha, AGE_MASK)), AGE_MASK)
+            )
             em.emit(
                 url=url,
                 canon_url=canon,
-                url_sha1=sha1_hex(canon),
+                url_sha1=sha,
                 host=host,
                 host_hash=hash64(host),
                 shard=hash64(host) % cfg.num_seen_shards,
@@ -336,7 +349,7 @@ def seed_frontier_table(world: World, cfg: CrawlConfig) -> pa.Table:
                 depth=0,
                 seq=seq,
                 gseq=rank * span + seq,
-                priority=int(pack_priority(0, 0, 0, seq)),
+                priority=int(pack_priority(0, 0, age_key, seq)),
                 site_id=site.site_id,
                 strategy=site.strategy,
                 kind="listing",
@@ -1071,6 +1084,42 @@ def _normalize(schema_fields):
 # --------------------------------------------------------------------------
 
 
+def _write_seed_and_demand(seed_tbl: pa.Table, seed_dir: str,
+                           pol: PolitenessPool, cfg: CrawlConfig,
+                           start_wave: int) -> None:
+    """Write the wave-0 seed frontier and file its politeness demand.
+
+    - robots prefetch is fire-and-forget: fills each politeness shard's
+      robots cache (and forces its process spawn) while the driver
+      writes the seed files — off wave-0's critical path.
+    - the seed splits across ``wave_blocks`` FILES: a single parquet
+      file reads as ONE task whose SplitBlocks generator paces all
+      downstream task launches (measured ~1.6× effective concurrency
+      regardless of CPUs); separate files read as independent tasks.
+    - wave-0 politeness demand is offered straight from the in-memory
+      seed table — running a whole Ray execution just to scan the seed
+      built one line ago paid a full worker-pool spin-up before the
+      first wave. (Resume still uses the frontier-scan cold start: its
+      frontier is parquet on disk, not in memory.)"""
+    os.makedirs(seed_dir, exist_ok=True)
+    pol.warm_robots(seed_tbl["host"].to_pylist())
+    per = max(1, (seed_tbl.num_rows + cfg.wave_blocks - 1) // cfg.wave_blocks)
+    for i in range(0, cfg.wave_blocks):
+        sl = seed_tbl.slice(i * per, per)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(seed_dir, f"seed_{i:04d}.parquet"))
+    if seed_tbl.num_rows:
+        _offer_pol_demand(
+            pol.handles(), start_wave,
+            seed_tbl["host"].to_pylist(),
+            seed_tbl["pol_shard"].to_pylist(),
+            seed_tbl["priority"].to_pylist(),
+            seed_tbl["politeness_rps"].to_pylist(),
+            seed_tbl["url_sha1"].to_pylist(),
+            wait=False,  # driver-side: actor queue orders offer < finalize
+        )
+
+
 def run_crawl(
     world_params: WorldParams,
     out_dir: str,
@@ -1108,38 +1157,25 @@ def run_crawl(
         frontier_spec = prior.frontier_path
     seed_tbl: pa.Table | None = None
     if prior is None:
-        os.makedirs(seed_dir, exist_ok=True)
         seed_tbl = seed_frontier_table(world, cfg)
-        # fire-and-forget robots prefetch: fills each politeness shard's
-        # robots cache (and forces its process spawn) while the driver
-        # writes the seed files — off wave-0's critical path
-        pol.warm_robots(seed_tbl["host"].to_pylist())
-        # split the seed across wave_blocks FILES: a single parquet file
-        # reads as ONE task whose SplitBlocks generator paces all
-        # downstream task launches (measured ~1.6× effective concurrency
-        # regardless of CPUs); separate files read as independent tasks
-        per = max(1, (seed_tbl.num_rows + cfg.wave_blocks - 1) // cfg.wave_blocks)
-        for i in range(0, cfg.wave_blocks):
-            sl = seed_tbl.slice(i * per, per)
-            if sl.num_rows:
-                pq.write_table(sl, os.path.join(seed_dir, f"seed_{i:04d}.parquet"))
+        _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, start_wave)
 
-    # Wave-0 politeness demand straight from the in-memory seed table —
-    # running a whole Ray execution just to scan the seed we built one
-    # line ago paid a full worker-pool spin-up before the first wave.
-    # (Resume still uses the frontier-scan cold start: its frontier is
-    # parquet on disk, not in memory.)
-    if seed_tbl is not None and seed_tbl.num_rows:
-        _offer_pol_demand(
-            pol.handles(), start_wave,
-            seed_tbl["host"].to_pylist(),
-            seed_tbl["pol_shard"].to_pylist(),
-            seed_tbl["priority"].to_pylist(),
-            seed_tbl["politeness_rps"].to_pylist(),
-            seed_tbl["url_sha1"].to_pylist(),
-            wait=False,  # driver-side: actor queue orders offer < finalize
-        )
+    return _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
+                  start_wave, seed_in_memory=seed_tbl is not None)
 
+
+def _drive(
+    world_params: WorldParams,
+    out_dir: str,
+    cfg: CrawlConfig,
+    seen: SeenSet,
+    pol: PolitenessPool,
+    frontier_spec: dict | None,
+    start_wave: int,
+    seed_in_memory: bool,
+) -> dict:
+    """Shared wave loop + assembly + summary (run_crawl / run_recrawl).
+    Owns the seen/politeness pools: shuts them down before returning."""
     wave = start_wave
     while wave < cfg.max_waves and frontier_spec is not None:
         # checkpoint cadence: snapshot + manifest every k-th wave (and
@@ -1148,7 +1184,7 @@ def run_crawl(
         # politeness offers dedup by key/offer-id).
         want_ckpt = (wave - start_wave) % cfg.checkpoint_every == 0
         m = _run_wave(out_dir, wave, frontier_spec, seen, pol, world_params, cfg,
-                      cold_start=(wave == start_wave and seed_tbl is None),
+                      cold_start=(wave == start_wave and not seed_in_memory),
                       do_checkpoint=want_ckpt)
         if m.metrics.get("checkpointed", True):
             write_manifest(out_dir, m)
@@ -1174,6 +1210,109 @@ def run_crawl(
         summary["seen_membership"] = seen.membership()
     seen.shutdown()
     pol.shutdown()
+    return summary
+
+
+RECRAWL_META = "recrawl_meta.json"
+
+
+def _load_recrawl_meta(out_dir: str) -> dict:
+    p = os.path.join(out_dir, RECRAWL_META)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    # a plain crawl output: everything it fetched belongs to generation 0
+    return {"generation": 0, "last_fetch": {}}
+
+
+def run_recrawl(
+    world_params: WorldParams,
+    prior_out_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    budget: int | None = None,
+) -> dict:
+    """Incremental recrawl: re-fetch listing pages against a PRIOR
+    crawl's seen state, discovering only the delta.
+
+    The reference has no true incremental crawl — a re-run fetches
+    everything and relies on DB conflict-skip to no-op known rows
+    (``src/crawler.py:172-244``); its only incremental surface is the
+    embedding watermark (``src/embeddings/embed_latest_crawled_data.py:
+    135-177``). Here the recrawl IS incremental end-to-end:
+
+    - wave-0 re-seeds every listing page with an age-packed priority
+      (generations since last refetch → stalest-first; see
+      ``seed_frontier_table``). Listings never seen before rank first.
+    - ``budget`` caps how many listing pages this generation refetches
+      (a real recrawl scheduler's per-cycle fetch budget). Deferred
+      listings accumulate age and win later generations, so coverage
+      rotates without any per-site scheduling state.
+    - discovered child URLs flow through the normal seen gate against
+      the IMPORTED seen snapshot: an unchanged site costs exactly its
+      listing fetches (zero detail/image fetches); a changed site
+      yields exactly its new jobs. Assembly over ``out_dir`` is
+      therefore a delta-only job/image table.
+
+    Generation bookkeeping lives in ``<out_dir>/recrawl_meta.json``
+    (per-listing last-refetched generation), so recrawls chain:
+    ``crawl → recrawl → recrawl`` each reading the previous run's
+    out_dir as ``prior_out_dir``.
+    """
+    cfg = cfg or CrawlConfig()
+    world = World(world_params)
+    prior = latest_manifest(prior_out_dir)
+    if prior is None:
+        raise ValueError(
+            f"run_recrawl needs a completed prior crawl; no checkpoint "
+            f"manifests under {prior_out_dir!r}"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    meta = _load_recrawl_meta(prior_out_dir)
+    gen = int(meta["generation"]) + 1
+    last_fetch = {k: int(v) for k, v in meta["last_fetch"].items()}
+    ages = {sha: gen - g for sha, g in last_fetch.items()}
+    seed_all = seed_frontier_table(world, cfg, ages=ages)
+    if budget is not None and seed_all.num_rows > budget:
+        # stalest-first within the fetch budget: the packed priority key
+        # already orders by (age desc, seq) for depth-0 listing rows
+        order = pc.sort_indices(
+            seed_all,
+            sort_keys=[("priority", "ascending"), ("gseq", "ascending")],
+        )
+        seed_tbl = seed_all.take(order.slice(0, budget))
+    else:
+        seed_tbl = seed_all
+
+    seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard,
+                   seed=world_params.seed, exact_sidecar=cfg.exact_sidecar)
+    seen.restore(prior.seen_paths)
+    pol = PolitenessPool(cfg.num_pol_shards, world_params)
+
+    seed_dir = os.path.join(out_dir, "waves", "w0000", "frontier")
+    frontier_spec: dict | None = {
+        "seed": [seed_dir], "defer": [], "detail": [], "image": []}
+    if seed_tbl.num_rows:
+        _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, 0)
+    else:
+        frontier_spec = None  # budget=0: nothing to refetch this cycle
+
+    summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
+                     start_wave=0, seed_in_memory=True)
+
+    refetched = set(seed_tbl["url_sha1"].to_pylist())
+    current = set(seed_all["url_sha1"].to_pylist())
+    new_last = {sha: (gen if sha in refetched else last_fetch.get(sha, 0))
+                for sha in current}  # prune listings gone from the world
+    tmp = os.path.join(out_dir, RECRAWL_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen, "last_fetch": new_last}, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, RECRAWL_META))
+
+    summary["recrawl_generation"] = gen
+    summary["listings_refetched"] = seed_tbl.num_rows
+    summary["listings_deferred"] = seed_all.num_rows - seed_tbl.num_rows
     return summary
 
 

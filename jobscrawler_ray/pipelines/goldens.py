@@ -338,6 +338,21 @@ def golden_crawl_job_records(sf_dir: str) -> pd.DataFrame:
     return rec[["url_sha1", "site_id", "strategy", "title", "link", "location"]].copy()
 
 
+def golden_recrawl_delta(sf_dir: str) -> pd.DataFrame:
+    """Sequential recrawl-delta oracle: full-crawl(evolved world) minus
+    full-crawl(prior world) by url_sha1. The deterministic world keeps
+    every existing job URL when ``jobs_per_page`` grows (slot-indexed
+    job ids), so the set difference IS the incremental delta
+    ``run_recrawl`` must discover."""
+    from dataclasses import replace
+
+    wp = crawl_world_params(sf_dir)
+    prior = run_oracle(replace(wp, jobs_per_page=wp.jobs_per_page - 1))["records"]
+    cur = _crawl_oracle(sf_dir)["records"]
+    delta = cur[~cur["url_sha1"].isin(set(prior["url_sha1"]))]
+    return delta[["url_sha1", "site_id", "strategy", "title", "link", "location"]].copy()
+
+
 def golden_multimodal_features(sf_dir: str) -> pd.DataFrame:
     img = _crawl_oracle(sf_dir)["images"]
     rows = []
@@ -423,6 +438,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "fmt": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT"})
     out["crawl_job_records"] = values_sql(golden_crawl_job_records(sf_dir), {
+        "url_sha1": "VARCHAR", "site_id": "VARCHAR", "strategy": "VARCHAR",
+        "title": "VARCHAR", "link": "VARCHAR", "location": "VARCHAR"})
+    out["recrawl_delta"] = values_sql(golden_recrawl_delta(sf_dir), {
         "url_sha1": "VARCHAR", "site_id": "VARCHAR", "strategy": "VARCHAR",
         "title": "VARCHAR", "link": "VARCHAR", "location": "VARCHAR"})
     out["multimodal_features"] = values_sql(golden_multimodal_features(sf_dir), {

@@ -1215,6 +1215,50 @@ def q_crawl_job_records(sf_dir: str):
     )
 
 
+_RECRAWL_CACHE: dict[str, str] = {}
+
+
+def _recrawl_out(sf_dir: str) -> str:
+    """Cached incremental recrawl: full crawl of the world at
+    jobs_per_page−1, then ``run_recrawl`` with the standard world —
+    the evolved world adds one job slot per listing page while keeping
+    every existing job URL, so the recrawl output is exactly the new
+    slots' records (minus deterministic fail_pct failures)."""
+    key = sf_dir
+    if key not in _RECRAWL_CACHE:
+        import hashlib
+        import shutil
+        from dataclasses import replace
+
+        from .crawl import CrawlConfig, run_crawl, run_recrawl
+
+        wp = crawl_world_params(sf_dir)
+        tag = hashlib.blake2b(key.encode(), digest_size=4).hexdigest()
+        prior = f"/tmp/jcr_recrawl_prior_{tag}"
+        out = f"/tmp/jcr_recrawl_delta_{tag}"
+        shutil.rmtree(prior, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(num_seen_shards=4, num_pol_shards=2, exact_sidecar=False)
+        run_crawl(replace(wp, jobs_per_page=wp.jobs_per_page - 1), prior, cfg)
+        run_recrawl(wp, prior, out, cfg)
+        _RECRAWL_CACHE[key] = out
+    return _RECRAWL_CACHE[key]
+
+
+def q_recrawl_delta(sf_dir: str):
+    """Incremental recrawl: re-seed listing pages (stalest-first
+    age-packed priorities) against the prior crawl's seen snapshot and
+    fetch only never-seen child URLs — the delta-only job table. The
+    reference re-crawls everything and relies on DB conflict-skip
+    (src/crawler.py:172-244); here unchanged sites cost exactly their
+    listing fetches."""
+    out = _recrawl_out(sf_dir)
+    return rd.read_parquet(
+        os.path.join(out, "job_records"),
+        columns=["url_sha1", "site_id", "strategy", "title", "link", "location"],
+    )
+
+
 class _ImageFeatures:
     """Actor-pool multimodal stage: decode binary image column, emit
     per-image features. Real Ray-side plumbing (binary batches, actor
@@ -1980,6 +2024,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
+    "recrawl_delta": q_recrawl_delta,
     "multimodal_features": q_multimodal_features,
     "vocab_top_terms": q_vocab_top_terms,
     "kmeans_assign": q_kmeans_assign,
