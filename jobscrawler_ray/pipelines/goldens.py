@@ -377,6 +377,40 @@ def golden_multimodal_resize(sf_dir: str, out_w: int = 32, out_h: int = 32) -> p
         {"w": np.int32, "h": np.int32, "thumb_phash": np.int64})
 
 
+def golden_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Sequential audio path: same synthesis + codec round-trip +
+    feature kernels as the engine's leaves, orchestration-free loop."""
+    from ..functions import av_codecs
+    from ..stages.multimodal import audio_rms
+
+    ids, _, _ = _documents(sf_dir)
+    rows = []
+    for d in ids:
+        buf = av_codecs.encode_audio(av_codecs.gen_wave(int(d)), 16000)
+        wave, sr = av_codecs.decode_audio(buf)
+        rows.append((int(d), sr, round(len(wave) / sr, 6), audio_rms(wave)))
+    return pd.DataFrame(rows, columns=["clip_id", "sample_rate", "duration_s", "rms"])
+
+
+def golden_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Sequential video path: full decode (NOT the engine's
+    skip-by-offset sampler) then modulo selection — an independent
+    route to the same sampled frames."""
+    from ..functions import av_codecs
+
+    ids, _, _ = _documents(sf_dir)
+    rows = []
+    for d in ids:
+        if int(d) >= 64:
+            continue
+        buf = av_codecs.encode_video(av_codecs.gen_frames(int(d)))
+        for i, fr in enumerate(av_codecs.decode_video(buf)):
+            if i % 3 == 0:
+                rows.append((int(d), i, codecs.phash64(fr)))
+    return pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_phash"]).astype(
+        {"frame_phash": np.int64})
+
+
 def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
     """Sequential banding over original + thumbnail phashes: 8 bands ×
     8 bits, candidate pairs within buckets, Hamming ≤ 8 verify — the
@@ -450,6 +484,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "thumb_phash": "BIGINT"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
+    out["audio_features"] = values_sql(golden_audio_features(sf_dir), {
+        "clip_id": "BIGINT", "sample_rate": "BIGINT",
+        "duration_s": "DOUBLE", "rms": "DOUBLE"})
+    out["video_frames"] = values_sql(golden_video_frames(sf_dir), {
+        "video_id": "BIGINT", "frame_idx": "BIGINT", "frame_phash": "BIGINT"})
     out["approx_distinct_users"] = values_sql(
         golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
     return out

@@ -1924,6 +1924,71 @@ def q_multimodal_resize(sf_dir: str):
     return thumbs.select_columns(["image_id", "w", "h", "thumb_phash"])
 
 
+def _synth_audio(t: pa.Table) -> pa.Table:
+    """Deterministic binary audio column keyed by doc_id (the sandbox
+    has no media files; a real pipeline reads clip bytes from storage).
+    Stateless task stage — the per-clip cost is the synthesis itself."""
+    from ..functions import av_codecs
+
+    ids = t["doc_id"].to_pylist()
+    return pa.table({
+        "clip_id": pa.array(ids, type=pa.int64()),
+        "bytes": pa.array(
+            [av_codecs.encode_audio(av_codecs.gen_wave(int(d)), 16000)
+             for d in ids],
+            type=pa.binary()),
+    })
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction over an opaque binary column: decode
+    (this repo's own jaud delta-PCM codec — external formats keep a
+    NotImplementedError seam) → per-clip sample_rate / duration / RMS.
+    Actor-pool map_batches with small batches (wide binary rows) —
+    the reference has no audio path; this is the training-data
+    multimodal extension."""
+    from ..stages.multimodal import AudioFeatures
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _synth_audio, batch_format="pyarrow")
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=1)
+
+
+def _synth_video(t: pa.Table) -> pa.Table:
+    """Deterministic binary video column (jvid container) keyed by
+    doc_id — 8-16 procedurally drifting frames per clip."""
+    from ..functions import av_codecs
+
+    ids = t["doc_id"].to_pylist()
+    return pa.table({
+        "video_id": pa.array(ids, type=pa.int64()),
+        "bytes": pa.array(
+            [av_codecs.encode_video(av_codecs.gen_frames(int(d))) for d in ids],
+            type=pa.binary()),
+    })
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling over an opaque binary column: the jvid
+    container is length-prefixed, so every 3rd frame decodes WITHOUT
+    decompressing the dropped ones (``av_codecs.sample_video``) —
+    the property a real PyAV sampler has via keyframe seeks. Pruned to
+    doc_id<64 at the row-group scan (videos are the widest rows)."""
+    import pyarrow.dataset as _pads
+
+    from ..stages.multimodal import FrameSample
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"],
+              filter=_pads.field("doc_id") < 64).map_batches(
+        _synth_video, batch_format="pyarrow")
+    frames = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 3},
+        batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1)
+    return frames.select_columns(["video_id", "frame_idx", "frame_phash"])
+
+
 def q_phash_neardup(sf_dir: str):
     """SURVEY §2.7 D5: perceptual-hash near-dup over images — LSH-style
     banding on 16-bit phash bands → groupby band → candidate pairs →
@@ -2047,6 +2112,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embed_documents": q_embed_documents,
     "multimodal_resize": q_multimodal_resize,
     "phash_neardup": q_phash_neardup,
+    "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

@@ -6,12 +6,14 @@ codecs (functions/codecs.py — raw/pngz/qjpg), and resize is a numpy
 nearest-neighbor kernel, so the decode→resize→re-encode path runs for
 real with no Pillow/cv2.
 
-Audio decode and video frame-sampling are STUBS: the media libraries
-are absent in this sandbox, so the stages define the real Ray-side
-contract (schema in/out, actor signature, small batch sizes for wide
-binary rows) and raise ``NotImplementedError`` at the codec call —
-swap ``_decode_audio`` / ``_decode_video`` for soundfile/PyAV in a
-real deployment. The plumbing is tested (tests/test_multimodal.py).
+Audio and video are real too, over this repo's own container formats
+(``functions/av_codecs.py``: ``jaud`` delta-PCM, ``jvid`` per-frame
+image container) — decode, RMS/duration features, and frame-sampling
+all run on actual bytes. ``_decode_audio`` / ``_decode_video`` keep a
+magic-dispatch seam: buffers in an EXTERNAL format (wav/mp4/...) raise
+``NotImplementedError`` until soundfile/PyAV is plugged in there — the
+one seam a real deployment swaps, same pattern as the fetch backend
+registry. The plumbing and codecs are tested (tests/test_multimodal_embed.py).
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions import codecs
+from ..functions import av_codecs, codecs
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -103,50 +105,82 @@ class ResizeImages:
         })
 
 
-def _decode_audio(buf: bytes) -> np.ndarray:
+def _decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Magic-dispatch decode seam → ``(int16 waveform, sample_rate)``.
+    External formats plug in here (soundfile/ffmpeg) in a real
+    deployment; this repo's own ``jaud`` decodes natively."""
+    if buf[:4] == av_codecs.AUDIO_MAGIC:
+        return av_codecs.decode_audio(buf)
     raise NotImplementedError(
-        "audio codec not available in this sandbox; plug soundfile/ffmpeg "
-        "here — the stage contract below is real and tested"
+        "external audio format (wav/flac/...): plug soundfile/ffmpeg here"
     )
 
 
-def _decode_video(buf: bytes):
+def _decode_video(buf: bytes) -> list[np.ndarray]:
+    """Magic-dispatch decode seam → list of ``(h, w, 3) uint8`` frames.
+    External formats plug in here (PyAV/ffmpeg); this repo's own
+    ``jvid`` decodes natively."""
+    if buf[:4] == av_codecs.VIDEO_MAGIC:
+        return av_codecs.decode_video(buf)
     raise NotImplementedError(
-        "video codec not available in this sandbox; plug PyAV/ffmpeg "
-        "here — the stage contract below is real and tested"
+        "external video format (mp4/webm/...): plug PyAV/ffmpeg here"
     )
+
+
+def audio_rms(wave: np.ndarray) -> float:
+    """RMS of an int16 waveform in [-1, 1] units, rounded for stable
+    cross-engine hashing (single sequential reduction per clip — no
+    partition-order dependence)."""
+    x = wave.astype(np.float64) / 32768.0
+    return round(float(np.sqrt(np.mean(x * x))), 6)
 
 
 class AudioFeatures:
-    """STUB stage (contract only): binary audio column →
-    (clip_id, sample_rate, duration_s, rms). Raises at the codec seam."""
+    """Actor-pool stage: binary audio column →
+    (clip_id, sample_rate, duration_s, rms). Small batches — wide
+    binary rows."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out = {"clip_id": [], "sample_rate": [], "duration_s": [], "rms": []}
         for cid, buf in zip(t["clip_id"].to_pylist(), t["bytes"].to_pylist()):
-            wave = _decode_audio(buf)  # NotImplementedError in sandbox
+            wave, sr = _decode_audio(buf)
             out["clip_id"].append(cid)
-            out["sample_rate"].append(16000)
-            out["duration_s"].append(len(wave) / 16000.0)
-            out["rms"].append(float(np.sqrt(np.mean(wave**2))))
-        return pa.table(out)
+            out["sample_rate"].append(sr)
+            out["duration_s"].append(round(len(wave) / sr, 6))
+            out["rms"].append(audio_rms(wave))
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], type=pa.int64()),
+            "duration_s": pa.array(out["duration_s"], type=pa.float64()),
+            "rms": pa.array(out["rms"], type=pa.float64()),
+        })
 
 
 class FrameSample:
-    """STUB stage (contract only): binary video column → one row per
-    sampled frame (video_id, frame_idx, frame_bytes). Raises at the
-    codec seam."""
+    """Actor-pool stage: binary video column → one row per sampled
+    frame (video_id, frame_idx, frame_bytes, frame_phash). The ``jvid``
+    container stores frames length-prefixed, so real sampling skips
+    undecoded frames."""
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = {"video_id": [], "frame_idx": [], "frame_bytes": []}
+        out = {"video_id": [], "frame_idx": [], "frame_bytes": [], "frame_phash": []}
         for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
-            frames = _decode_video(buf)  # NotImplementedError in sandbox
-            for i, fr in enumerate(frames):
-                if i % self.every_n == 0:
-                    out["video_id"].append(vid)
-                    out["frame_idx"].append(i)
-                    out["frame_bytes"].append(codecs.encode(fr, "pngz"))
-        return pa.table(out)
+            if buf[:4] == av_codecs.VIDEO_MAGIC:
+                sampled = av_codecs.sample_video(buf, self.every_n)
+            else:  # external formats decode fully at the seam
+                sampled = [(i, fr) for i, fr in enumerate(_decode_video(buf))
+                           if i % self.every_n == 0]
+            for i, fr in sampled:
+                out["video_id"].append(vid)
+                out["frame_idx"].append(i)
+                out["frame_bytes"].append(codecs.encode(fr, "pngz"))
+                out["frame_phash"].append(codecs.phash64(fr))
+        return pa.table({
+            "video_id": pa.array(out["video_id"], type=pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], type=pa.int64()),
+            "frame_bytes": pa.array(out["frame_bytes"], type=pa.binary()),
+            "frame_phash": pa.array(out["frame_phash"], type=pa.int64()),
+        })

@@ -50,11 +50,70 @@ class TestImages:
         for orig, thumb in zip(dec["phash"].to_pylist(), th["thumb_phash"].to_pylist()):
             assert hamming64(orig, thumb) <= 10  # avg-hash is resize-robust
 
-    def test_audio_video_stubs_raise(self):
+    def test_external_format_seam_raises(self):
+        # buffers NOT in this repo's jaud/jvid containers hit the
+        # NotImplementedError seam where soundfile/PyAV would plug in
         with pytest.raises(NotImplementedError):
-            AudioFeatures()(pa.table({"clip_id": ["a"], "bytes": [b"x"]}))
+            AudioFeatures()(pa.table({"clip_id": [1], "bytes": [b"RIFFxxxx"]}))
         with pytest.raises(NotImplementedError):
-            FrameSample()(pa.table({"video_id": ["v"], "bytes": [b"x"]}))
+            FrameSample(every_n=1)(pa.table({"video_id": [1], "bytes": [b"\x00\x00\x00 ftypmp4"]}))
+
+
+class TestAVCodecs:
+    def test_audio_roundtrip_bit_exact(self):
+        from jobscrawler_ray.functions import av_codecs
+
+        for seed in (0, 7, 123456789):
+            wave = av_codecs.gen_wave(seed)
+            buf = av_codecs.encode_audio(wave, 16000)
+            back, sr = av_codecs.decode_audio(buf)
+            assert sr == 16000
+            assert np.array_equal(back, wave)
+        # delta coding actually compresses the smooth waveform
+        assert len(buf) < 2 * wave.size
+
+    def test_video_roundtrip_and_skip_sampler(self):
+        from jobscrawler_ray.functions import av_codecs
+
+        frames = av_codecs.gen_frames(42)
+        buf = av_codecs.encode_video(frames, fmt="pngz")  # lossless
+        back = av_codecs.decode_video(buf)
+        assert len(back) == len(frames)
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+        # skip-by-offset sampler == modulo over a full decode
+        sampled = av_codecs.sample_video(buf, every_n=3)
+        assert [i for i, _ in sampled] == [i for i in range(len(frames)) if i % 3 == 0]
+        for i, fr in sampled:
+            assert np.array_equal(fr, frames[i])
+
+    def test_audio_features_stage_real(self):
+        from jobscrawler_ray.functions import av_codecs
+
+        t = pa.table({
+            "clip_id": pa.array([3, 4], type=pa.int64()),
+            "bytes": pa.array(
+                [av_codecs.encode_audio(av_codecs.gen_wave(s), 16000) for s in (3, 4)],
+                type=pa.binary()),
+        })
+        out = AudioFeatures()(t)
+        assert out["sample_rate"].to_pylist() == [16000, 16000]
+        for d, r in zip(out["duration_s"].to_pylist(), out["rms"].to_pylist()):
+            assert 0.2 < d < 1.3
+            assert 0.0 < r < 1.0
+
+    def test_frame_sample_stage_real(self):
+        from jobscrawler_ray.functions import av_codecs
+
+        frames = av_codecs.gen_frames(9)
+        t = pa.table({
+            "video_id": pa.array([9], type=pa.int64()),
+            "bytes": pa.array([av_codecs.encode_video(frames)], type=pa.binary()),
+        })
+        out = FrameSample(every_n=4)(t)
+        assert out["frame_idx"].to_pylist() == [i for i in range(len(frames)) if i % 4 == 0]
+        # sampled frames decode to real pixels: phash is discriminative
+        assert len(set(out["frame_phash"].to_pylist())) >= 1
 
 
 class TestEmbed:

@@ -81,7 +81,7 @@ GOLDEN_NAMES = [
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
     "kmeans_assign", "embed_documents", "crawl_image_caption",
     "crawl_job_records", "recrawl_delta", "multimodal_features", "multimodal_resize",
-    "phash_neardup", "approx_distinct_users",
+    "phash_neardup", "approx_distinct_users", "audio_features", "video_frames",
 ]
 
 
