@@ -47,6 +47,38 @@ def hll_registers(keys: np.ndarray) -> np.ndarray:
     return regs
 
 
+CM_D = 4  # count-min rows (independent hash seeds)
+CM_W = 4096  # columns per row
+_CM_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                      0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+                     dtype=np.uint64)  # pi digits — nothing up the sleeve
+
+
+def cm_table(keys: np.ndarray) -> np.ndarray:
+    """Count-min partial for a batch of integer keys: a (CM_D, CM_W)
+    int64 table where row r increments column splitmix64(key ^ seed_r)
+    mod CM_W. Partials merge by elementwise SUM — integer, associative,
+    partition-order-free."""
+    k = np.asarray(keys).astype(np.uint64)
+    tbl = np.zeros((CM_D, CM_W), dtype=np.int64)
+    for r in range(CM_D):
+        idx = (splitmix64(k ^ _CM_SEEDS[r]) % np.uint64(CM_W)).astype(np.int64)
+        np.add.at(tbl[r], idx, 1)
+    return tbl
+
+
+def cm_query(tbl: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-count estimates (min over rows) for integer keys against a
+    merged count-min table. Overestimates only; error ≤ 2N/CM_W with
+    probability 1 − 2^-CM_D."""
+    k = np.asarray(keys).astype(np.uint64)
+    est = np.full(k.shape, np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CM_D):
+        idx = (splitmix64(k ^ _CM_SEEDS[r]) % np.uint64(CM_W)).astype(np.int64)
+        est = np.minimum(est, tbl[r][idx])
+    return est
+
+
 def hll_estimate(regs: np.ndarray) -> int:
     """Standard HLL estimator with the small-range (linear counting)
     correction. Registers are summed in index order — deterministic."""

@@ -132,6 +132,22 @@ def golden_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
         [sketch.hll_estimate(regs)], dtype=np.int64)})
 
 
+def golden_cm_counts_users(sf_dir: str) -> pd.DataFrame:
+    """Sequential count-min over the full user_id column in one pass —
+    the Ray side merges per-batch cell tables by sum; integer addition
+    is order-free so both produce the identical (4×4096) table."""
+    from ..functions import sketch
+    from .queries import _CM_PROBE_KEYS
+
+    uid = papq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )["user_id"].to_numpy()
+    tbl = sketch.cm_table(uid)
+    keys = np.arange(_CM_PROBE_KEYS, dtype=np.int64)
+    return pd.DataFrame({"user_id": keys,
+                         "n_est": sketch.cm_query(tbl, keys).astype(np.int64)})
+
+
 def golden_langid(sf_dir: str) -> pd.DataFrame:
     ids, texts, langs = _documents(sf_dir)
     return pd.DataFrame({
@@ -491,4 +507,6 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "video_id": "BIGINT", "frame_idx": "BIGINT", "frame_phash": "BIGINT"})
     out["approx_distinct_users"] = values_sql(
         golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
+    out["cm_counts_users"] = values_sql(
+        golden_cm_counts_users(sf_dir), {"user_id": "BIGINT", "n_est": "BIGINT"})
     return out

@@ -1751,6 +1751,47 @@ def q_approx_distinct_users(sf_dir: str):
                               batch_size=1 << 30)
 
 
+_CM_PROBE_KEYS = 20  # fixed probe set: user_ids 0..19
+
+
+def q_cm_counts_users(sf_dir: str):
+    """Count-min point-count estimates — the companion sketch to the
+    HLL distinct count: per-batch (4×4096)-cell partial tables merge by
+    elementwise SUM (integer, order-free → bit-deterministic on any
+    partitioning), then a fixed probe-key set reads min-over-rows
+    estimates from the merged table. This is the shape for frequency
+    queries over a 100 TB stream where a per-key groupby would shuffle
+    every row: only sparse nonzero cells cross the network, the merged
+    sketch is 128 KB regardless of input size, and estimates
+    overestimate by ≤ 2N/4096 w.h.p. The oracle is the identical
+    sequential sketch (shared ``functions/sketch.py`` leaves,
+    independent orchestration)."""
+    from ..functions import sketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = sketch.cm_table(t["user_id"].to_numpy()).ravel()
+        nz = np.nonzero(tbl)[0]
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(tbl[nz], pa.int64())})
+
+    merged = (
+        _tbl(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = np.zeros(sketch.CM_D * sketch.CM_W, dtype=np.int64)
+        tbl[df["cell"].to_numpy(np.int64)] = df["cnt"].to_numpy(np.int64)
+        keys = np.arange(_CM_PROBE_KEYS, dtype=np.int64)
+        est = sketch.cm_query(tbl.reshape(sketch.CM_D, sketch.CM_W), keys)
+        return pd.DataFrame({"user_id": keys, "n_est": est.astype(np.int64)})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=1 << 30)
+
+
 def q_range_join_events(sf_dir: str):
     """Interval (range) join — the band-join operator equi-join engines
     lack: for every purchase, the number of clicks by the same user in
@@ -2101,6 +2142,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_offsets": q_pack_offsets,
     "range_join_events": q_range_join_events,
     "approx_distinct_users": q_approx_distinct_users,
+    "cm_counts_users": q_cm_counts_users,
     "asof_join_events": q_asof_join_events,
     "grouped_topk_parts": q_grouped_topk_parts,
     "quantiles_lineitem": q_quantiles_lineitem,

@@ -81,7 +81,7 @@ GOLDEN_NAMES = [
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
     "kmeans_assign", "embed_documents", "crawl_image_caption",
     "crawl_job_records", "recrawl_delta", "multimodal_features", "multimodal_resize",
-    "phash_neardup", "approx_distinct_users", "audio_features", "video_frames",
+    "phash_neardup", "approx_distinct_users", "cm_counts_users", "audio_features", "video_frames",
 ]
 
 
@@ -139,6 +139,26 @@ class TestRowsOnly:
         b = int(_to_pandas(QUERIES["approx_distinct_users"](SF_DIR))["n_approx"].iloc[0])
         assert a == b
         assert abs(a - exact) <= 0.05 * exact, (a, exact)
+
+    def test_cm_sketch_properties(self):
+        """Count-min invariants in the COLLISION regime (1M keys over a
+        domain of 50k >> 4096 columns): estimates never underestimate,
+        error stays within the 2N/W bound, and partial tables merged by
+        sum equal the one-pass table (order-free merge)."""
+        import numpy as np
+
+        from jobscrawler_ray.functions import sketch
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 50_000, size=1_000_000)
+        tbl = sketch.cm_table(keys)
+        parts = sum(sketch.cm_table(c) for c in np.array_split(keys, 13))
+        assert np.array_equal(tbl, parts)
+        probe = np.arange(100, dtype=np.int64)
+        est = sketch.cm_query(tbl, probe)
+        exact = np.bincount(keys[keys < 100], minlength=100)
+        assert (est >= exact).all()
+        assert (est - exact).max() <= 2 * keys.size / sketch.CM_W
 
     def test_simhash_neardup_property(self, ray_session):
         from jobscrawler_ray.functions.dedupe import hamming64, simhash64
