@@ -1231,6 +1231,7 @@ def run_recrawl(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     budget: int | None = None,
+    resume: bool = False,
 ) -> dict:
     """Incremental recrawl: re-fetch listing pages against a PRIOR
     crawl's seen state, discovering only the delta.
@@ -1258,6 +1259,13 @@ def run_recrawl(
     (per-listing last-refetched generation), so recrawls chain:
     ``crawl → recrawl → recrawl`` each reading the previous run's
     out_dir as ``prior_out_dir``.
+
+    ``resume=True`` continues an interrupted recrawl from ``out_dir``'s
+    own wave manifests (the snapshots already carry the imported seen
+    state), re-entering the wave loop exactly like ``run_crawl`` resume
+    — and rewrites ``recrawl_meta.json`` from the on-disk seed frontier,
+    so a crash after the waves but before the meta write is also
+    recovered.
     """
     cfg = cfg or CrawlConfig()
     world = World(world_params)
@@ -1274,34 +1282,47 @@ def run_recrawl(
     last_fetch = {k: int(v) for k, v in meta["last_fetch"].items()}
     ages = {sha: gen - g for sha, g in last_fetch.items()}
     seed_all = seed_frontier_table(world, cfg, ages=ages)
-    if budget is not None and seed_all.num_rows > budget:
-        # stalest-first within the fetch budget: the packed priority key
-        # already orders by (age desc, seq) for depth-0 listing rows
-        order = pc.sort_indices(
-            seed_all,
-            sort_keys=[("priority", "ascending"), ("gseq", "ascending")],
-        )
-        seed_tbl = seed_all.take(order.slice(0, budget))
-    else:
-        seed_tbl = seed_all
 
     seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard,
                    seed=world_params.seed, exact_sidecar=cfg.exact_sidecar)
-    seen.restore(prior.seen_paths)
     pol = PolitenessPool(cfg.num_pol_shards, world_params)
-
     seed_dir = os.path.join(out_dir, "waves", "w0000", "frontier")
-    frontier_spec: dict | None = {
-        "seed": [seed_dir], "defer": [], "detail": [], "image": []}
-    if seed_tbl.num_rows:
-        _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, 0)
+
+    mid = latest_manifest(out_dir) if resume else None
+    if mid is not None:
+        # resume this recrawl from its OWN manifests: snapshots already
+        # carry the imported seen state (no prior_out_dir restore)
+        seen.restore(mid.seen_paths)
+        frontier_spec: dict | None = mid.frontier_path
+        if frontier_spec is not None:
+            pol.load_states(mid.politeness_states)
+        summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
+                         start_wave=mid.wave + 1, seed_in_memory=False)
     else:
-        frontier_spec = None  # budget=0: nothing to refetch this cycle
+        if budget is not None and seed_all.num_rows > budget:
+            # stalest-first within the fetch budget: the packed priority
+            # key already orders by (age desc, seq) for depth-0 listings
+            order = pc.sort_indices(
+                seed_all,
+                sort_keys=[("priority", "ascending"), ("gseq", "ascending")],
+            )
+            seed_tbl = seed_all.take(order.slice(0, budget))
+        else:
+            seed_tbl = seed_all
+        seen.restore(prior.seen_paths)
+        frontier_spec = {"seed": [seed_dir], "defer": [], "detail": [], "image": []}
+        if seed_tbl.num_rows:
+            _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, 0)
+        else:
+            frontier_spec = None  # budget=0: nothing to refetch this cycle
+        summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
+                         start_wave=0, seed_in_memory=True)
 
-    summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
-                     start_wave=0, seed_in_memory=True)
-
-    refetched = set(seed_tbl["url_sha1"].to_pylist())
+    # rebuild the refetched set from the on-disk seed frontier (works
+    # for fresh, resumed, and crashed-before-meta runs alike)
+    refetched: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(seed_dir, "seed_*.parquet"))):
+        refetched.update(pq.read_table(f, columns=["url_sha1"])["url_sha1"].to_pylist())
     current = set(seed_all["url_sha1"].to_pylist())
     new_last = {sha: (gen if sha in refetched else last_fetch.get(sha, 0))
                 for sha in current}  # prune listings gone from the world
@@ -1311,8 +1332,8 @@ def run_recrawl(
     os.replace(tmp, os.path.join(out_dir, RECRAWL_META))
 
     summary["recrawl_generation"] = gen
-    summary["listings_refetched"] = seed_tbl.num_rows
-    summary["listings_deferred"] = seed_all.num_rows - seed_tbl.num_rows
+    summary["listings_refetched"] = len(refetched)
+    summary["listings_deferred"] = seed_all.num_rows - len(refetched)
     return summary
 
 

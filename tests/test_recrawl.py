@@ -100,3 +100,19 @@ class TestRecrawl:
     def test_requires_completed_prior(self, ray_session, tmp_path):
         with pytest.raises(ValueError):
             run_recrawl(A, str(tmp_path / "nope"), str(tmp_path / "out"), CFG)
+
+    def test_resume_interrupted_recrawl(self, crawl_a, ray_session, tmp_path):
+        """max_waves=1 recrawl (interrupted mid-flight) resumed with
+        resume=True equals a one-shot recrawl: same delta records, and
+        recrawl_meta.json is written on the resume leg."""
+        prior, _ = crawl_a
+        oneshot = str(tmp_path / "oneshot")
+        part = str(tmp_path / "part")
+        s_full = run_recrawl(B, prior, oneshot, CFG)
+        run_recrawl(B, prior, part, CrawlConfig(**{**CFG.__dict__, "max_waves": 1}))
+        s_res = run_recrawl(B, prior, part, CFG, resume=True)
+        assert _record_shas(part) == _record_shas(oneshot)
+        assert s_res["job_records"] == s_full["job_records"]
+        m_full = json.load(open(os.path.join(oneshot, "recrawl_meta.json")))
+        m_res = json.load(open(os.path.join(part, "recrawl_meta.json")))
+        assert m_full == m_res
