@@ -2092,6 +2092,234 @@ def q_phash_neardup(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# n-gram dedup, bloom-pruned anti-join, chunking, deterministic sampling
+# --------------------------------------------------------------------------
+
+_NGRAM_K = 5
+_NGRAM_TAU = 0.8
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Character n-gram Jaccard near-dup pairs (k=5 shingles, the
+    classic shingle family next to the word-gram ``jaccard_pairs``)
+    over the bounded doc subset: gram sets broadcast once, each batch
+    compares its rows against all higher-id docs. Pairwise work is
+    bounded by the subset by design — at corpus scale this kernel is
+    the verify stage behind ``minhash_lsh``, never a standalone
+    all-pairs."""
+    sub = _tbl(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr=f"doc_id < {_JACC_SUBSET}"
+    )
+    rows = sub.take_all()
+    grams = {
+        r["doc_id"]: {r["text"][i:i + _NGRAM_K]
+                      for i in range(len(r["text"]) - _NGRAM_K + 1)}
+        for r in rows
+    }
+    ref = ray.put(grams)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(ref)
+        ids = sorted(lut)
+        out_a, out_b, out_j = [], [], []
+        for a in df["doc_id"]:
+            ta = lut[a]
+            for b in ids:
+                if b <= a:
+                    continue
+                tb = lut[b]
+                inter = len(ta & tb)
+                union = len(ta) + len(tb) - inter
+                j = inter / union if union else 0.0
+                # threshold the ROUNDED value (SQL filters on round(j,4))
+                jr = float(_round_half_up(j, 4))
+                if jr >= _NGRAM_TAU:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(jr)
+        return _arrow_out(pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype=np.int64),
+             "id_b": pd.Series(out_b, dtype=np.int64),
+             "jacc": pd.Series(out_j, dtype=np.float64)}))
+
+    return sub.map_batches(pairs, batch_format="pandas")
+
+
+_BLOOM_BITS = 1 << 17  # 16 KiB bitmap
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, k) bit positions via double hashing (odd 64-bit multipliers,
+    uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        k = keys.astype(np.uint64)
+        h1 = k * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        j = np.arange(_BLOOM_K, dtype=np.uint64)
+        return (
+            (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(_BLOOM_BITS)
+        ).astype(np.int64)
+
+
+def _bloom_words(pos: np.ndarray) -> np.ndarray:
+    words = np.zeros(_BLOOM_BITS >> 6, dtype=np.uint64)
+    flat = pos.reshape(-1).astype(np.uint64)
+    np.bitwise_or.at(words, (flat >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (flat & np.uint64(63)))
+    return words
+
+
+def _bloom_test(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys).astype(np.uint64)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """J1 at 100 TB: the same "customers with no recent order"
+    anti-join as ``anti_join_customers``, but the big side's key set is
+    summarized as a 16 KiB Bloom bitmap instead of broadcasting every
+    distinct orderer key. Per-batch partial bitmaps OR-merge in one
+    coalesced task; bloom MISSES are definitive keeps (a Bloom filter
+    has no false negatives), and only the bloom-POSITIVE customers
+    re-scan orders (pruned to the candidate keys) for exact
+    verification — so what crosses the cluster is the bitmap plus the
+    candidate set (true matches + ~|misses|·2^-k false positives),
+    never the orderer key domain. Result is exactly the SQL anti-join."""
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cutoff = _max_ts(
+        _tbl(sf_dir, "orders", ["o_orderdate"]), "o_orderdate"
+    ) - pd.Timedelta(days=30)
+    sc = pa.scalar(cutoff.to_pydatetime(), type=pa.timestamp("us"))
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["o_orderdate"], sc))["o_custkey"].to_numpy()
+        if len(keys) == 0:
+            return pa.table({"word": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.int64())})
+        words = _bloom_words(_bloom_positions(keys))
+        nz = np.nonzero(words)[0]
+        return pa.table({"word": pa.array(nz, pa.int64()),
+                         "bits": pa.array(words[nz].view(np.int64), pa.int64())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        words = np.zeros(_BLOOM_BITS >> 6, dtype=np.uint64)
+        np.bitwise_or.at(words, t["word"].to_numpy(),
+                         t["bits"].to_numpy().view(np.uint64))
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    merged = (
+        orders.map_batches(partial_bloom, batch_format="pyarrow")
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=1 << 30)
+        .take_all()
+    )
+    bloom_ref = ray.put(np.frombuffer(merged[0]["bloom"], dtype=np.uint64))
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy()
+        if len(keys) == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64())})
+        hit = _bloom_test(_bget(bloom_ref), keys)
+        return pa.table({"c_custkey": pa.array(keys[hit], pa.int64())})
+
+    # bounded by |customers with a recent order| + the fp tail
+    cand = cust.map_batches(candidates, batch_format="pyarrow").take_all()
+    cand_ref = ray.put(np.array(sorted(r["c_custkey"] for r in cand),
+                                dtype=np.int64))
+
+    def matched(t: pa.Table) -> pa.Table:
+        ck = _bget(cand_ref)
+        keys = t.filter(pc.greater(t["o_orderdate"], sc))["o_custkey"].to_numpy()
+        return pa.table({"k": pa.array(np.unique(keys[np.isin(keys, ck)]),
+                                       pa.int64())})
+
+    confirmed = (
+        orders.map_batches(matched, batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({"k": pc.unique(t["k"])}),
+                     batch_format="pyarrow", batch_size=1 << 30)
+        .take_all()
+    )
+    drop_ref = ray.put(np.array(sorted(r["k"] for r in confirmed),
+                                dtype=np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _bget(drop_ref)
+        keys = t["c_custkey"].to_numpy()
+        return pa.table({"c_custkey": pa.array(keys[~np.isin(keys, d)],
+                                               pa.int64())})
+
+    return cust.map_batches(keep, batch_format="pyarrow")
+
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: every doc becomes 1 (if n≤W) else
+    ceil((n−W)/S)+1 overlapping token windows (W=64, stride S=48) — the
+    flat_map that turns a corpus into training sequences. Pure map-side:
+    token counts from an Arrow substring-count kernel, chunk rows via
+    vectorized repeat/arange; output is (doc_id, chunk_id, tok_start,
+    tok_end) offsets so the text itself never fans out or shuffles."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1).to_numpy().astype(np.int64)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        nch = np.where(
+            n <= _CHUNK_W,
+            np.int64(1),
+            np.ceil((n - _CHUNK_W) / _CHUNK_S).astype(np.int64) + 1,
+        )
+        doc = np.repeat(ids, nch)
+        nn = np.repeat(n, nch)
+        starts = np.concatenate(([0], np.cumsum(nch)[:-1]))
+        ci = np.arange(int(nch.sum()), dtype=np.int64) - np.repeat(starts, nch)
+        ts = ci * _CHUNK_S
+        te = np.minimum(ts + _CHUNK_W, nn)
+        return pa.table({"doc_id": pa.array(doc), "chunk_id": pa.array(ci),
+                         "tok_start": pa.array(ts), "tok_end": pa.array(te)})
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+_BK_K = 64
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Deterministic uniform corpus sample: the K=64 docs with the
+    smallest multiplicative doc_id hash — a cluster-size-independent
+    'ORDER BY random() LIMIT k' with no RNG state to coordinate (the
+    bottom-k sketch). Per-batch partial bottom-k bounds the merge input
+    at K × num_blocks rows; one coalesced task takes the global
+    bottom-k, so the corpus never sorts globally."""
+    docs = _tbl(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        h = (ids * _HASH_MULT) % _HASH_MOD
+        order = np.lexsort((ids, h))[:_BK_K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "h": pa.array(h[order])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = t["h"].to_numpy()
+        order = np.lexsort((ids, h))[:_BK_K]
+        return pa.table({"doc_id": pa.array(ids[order].astype(np.int64))})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -2107,6 +2335,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_parts": q_top_parts,
     "exact_dedup_events": q_exact_dedup_events,
     "anti_join_customers": q_anti_join_customers,
+    "bloom_anti_join": q_bloom_anti_join,
     "broadcast_join_region": q_broadcast_join_region,
     "join_orders_lineitem": q_join_orders_lineitem,
     "clean_pipeline": q_clean_pipeline,
@@ -2121,6 +2350,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "fingerprints": q_fingerprints,
     "jaccard_pairs": q_jaccard_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash": q_simhash,
@@ -2136,6 +2366,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_assign": q_kmeans_assign,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
+    "bottomk_sample": q_bottomk_sample,
+    "chunk_documents": q_chunk_documents,
     "bigram_counts": q_bigram_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "length_histogram": q_length_histogram,
@@ -2272,6 +2504,39 @@ ORACLE_SQL: dict[str, str] = {
         "len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jacc "
         "FROM t a, t b WHERE a.doc_id < b.doc_id) "
         f"WHERE jacc >= {_JACC_TAU}"
+    ),
+    "ngram_jaccard_pairs": (
+        "WITH sub AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id < {_JACC_SUBSET}), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        f"substr(text, CAST(t.i AS INT), {_NGRAM_K}) AS g "
+        f"FROM sub, unnest(range(1, length(text) - {_NGRAM_K - 2})) AS t(i)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jacc "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        f"WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= {_NGRAM_TAU}"
+    ),
+    "bloom_anti_join": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN ("
+        "SELECT o_custkey FROM orders WHERE o_orderdate > "
+        "(SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY)"
+    ),
+    "chunk_documents": (
+        "WITH c AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n, "
+        f"CASE WHEN len(string_split(text, ' ')) <= {_CHUNK_W} THEN 1 "
+        f"ELSE CAST(ceil((len(string_split(text, ' ')) - {_CHUNK_W}) "
+        f"/ {_CHUNK_S}.0) AS BIGINT) + 1 END AS nchunks FROM documents) "
+        f"SELECT doc_id, t.i AS chunk_id, t.i * {_CHUNK_S} AS tok_start, "
+        f"least(t.i * {_CHUNK_S} + {_CHUNK_W}, n) AS tok_end "
+        "FROM c, unnest(range(0, nchunks)) AS t(i)"
+    ),
+    "bottomk_sample": (
+        "SELECT doc_id FROM documents ORDER BY "
+        f"(doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id LIMIT {_BK_K}"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
