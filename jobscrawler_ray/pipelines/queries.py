@@ -2288,6 +2288,81 @@ def q_chunk_documents(sf_dir: str):
     return docs.map_batches(chunks, batch_format="pyarrow")
 
 
+_DECON_GRAM = 8   # word n-gram width for benchmark-overlap removal
+_DECON_BENCH = 10  # doc_id < this is the held-out "benchmark" set
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the pretraining hygiene step: drop
+    every corpus doc sharing ANY word 8-gram with the held-out
+    benchmark set (docs 0..9 stand in for an eval suite). The benchmark
+    side is read once (row-group-pruned), its gram set broadcast via
+    ``ray.put``; the corpus scan is pure map-side. At a benchmark too
+    big to broadcast exactly, the set becomes a Bloom bitmap (see
+    ``q_bloom_anti_join``) with exact re-check of bloom-positives."""
+    import pyarrow.dataset as pads
+
+    bench = _tbl(
+        sf_dir, "documents", ["doc_id", "text"],
+        filter=(pads.field("doc_id") < _DECON_BENCH),
+    ).take_all()
+
+    def grams(text: str):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i:i + _DECON_GRAM])
+            for i in range(len(toks) - _DECON_GRAM + 1)
+        }
+
+    bset = set().union(*(grams(r["text"]) for r in bench)) if bench else set()
+    ref = ray.put(bset)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        bs = _bget(ref)
+        mask = [
+            i >= _DECON_BENCH and not (grams(t) & bs)
+            for i, t in zip(df["doc_id"], df["text"])
+        ]
+        return _arrow_out(pd.DataFrame(
+            {"doc_id": df["doc_id"][mask].astype(np.int64)}))
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(keep, batch_format="pandas")
+    )
+
+
+_REP_TAU = 0.04  # max duplicate-bigram fraction (Gopher-style gate)
+
+
+def q_repetition_filter(sf_dir: str):
+    """Repetition quality gate (the Gopher-style dup-n-gram filter):
+    per doc, the fraction of repeated word bigrams; docs above the
+    threshold are boilerplate/spam-shaped and dropped. Pure map-side —
+    each doc's statistic needs only its own tokens, so nothing
+    shuffles. Docs with fewer than two tokens have no bigrams and are
+    excluded (mirrors the SQL, where they produce no bigram rows)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fracs = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            toks = t.split(" ")
+            nt = len(toks) - 1
+            if nt <= 0:
+                continue
+            nd = len({(a, b) for a, b in zip(toks, toks[1:])})
+            f = float(_round_half_up(1.0 - nd / nt, 4))
+            if f <= _REP_TAU:
+                ids.append(i)
+                fracs.append(f)
+        return _arrow_out(pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype=np.int64),
+             "dup_frac": pd.Series(fracs, dtype=np.float64)}))
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 _BK_K = 64
 
 
@@ -2346,6 +2421,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "quality_filter": q_quality_filter,
+    "repetition_filter": q_repetition_filter,
+    "decontaminate_docs": q_decontaminate_docs,
     "corpus_stats": q_corpus_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
@@ -2537,6 +2614,29 @@ ORACLE_SQL: dict[str, str] = {
     "bottomk_sample": (
         "SELECT doc_id FROM documents ORDER BY "
         f"(doc_id * {_HASH_MULT}) % {_HASH_MOD}, doc_id LIMIT {_BK_K}"
+    ),
+    "decontaminate_docs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "grams AS (SELECT doc_id, array_to_string("
+        f"l[CAST(t.i AS INT):CAST(t.i + {_DECON_GRAM - 1} AS INT)], ' ') AS g "
+        f"FROM toks, unnest(range(1, len(l) - {_DECON_GRAM - 2})) AS t(i)), "
+        f"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH}), "
+        "hit AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench b USING (g) "
+        f"WHERE c.doc_id >= {_DECON_BENCH}) "
+        f"SELECT doc_id FROM documents WHERE doc_id >= {_DECON_BENCH} "
+        "AND doc_id NOT IN (SELECT doc_id FROM hit)"
+    ),
+    "repetition_filter": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, l[CAST(t.i AS INT)] || ' ' || "
+        "l[CAST(t.i + 1 AS INT)] AS b "
+        "FROM toks, unnest(range(1, len(l))) AS t(i)), "
+        "st AS (SELECT doc_id, count(*) AS nt, count(DISTINCT b) AS nd "
+        "FROM bg GROUP BY doc_id) "
+        "SELECT doc_id, round(1.0 - nd * 1.0 / nt, 4) AS dup_frac FROM st "
+        f"WHERE round(1.0 - nd * 1.0 / nt, 4) <= {_REP_TAU}"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
