@@ -33,15 +33,17 @@ def hll_registers(keys: np.ndarray) -> np.ndarray:
     h = splitmix64(np.asarray(keys))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = h << np.uint64(HLL_P)  # remaining 52 bits, MSB-aligned
-    # leading-zero count of the 52-bit remainder: scan bit-by-bit is
-    # O(64) vectorized passes; use float64 log2 trick instead — exact
-    # for the top bit position because the mantissa holds >52 bits only
-    # for values < 2^53, so shift down to 53 significant bits first.
-    top = (rest >> np.uint64(11)).astype(np.float64)  # 53-bit value
-    with np.errstate(divide="ignore"):
-        msb = np.floor(np.log2(top, where=top > 0,
-                               out=np.full_like(top, -1.0))).astype(np.int64)
-    rank = np.where(top > 0, 53 - msb, 53).astype(np.int64)
+    # leading-zero count of the 52-bit remainder via branch-free binary
+    # MSB search — 6 vectorized passes, exact. (A float64 log2 rounds UP
+    # across integer boundaries for values just below a power of two,
+    # e.g. log2(2^52 - 1) -> 52.0, misranking ~2^-49 of keys.)
+    v = rest.copy()
+    msb = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        msb[big] += s
+        v[big] >>= np.uint64(s)
+    rank = np.where(rest > 0, np.int64(64) - msb, np.int64(53)).astype(np.int64)
     regs = np.zeros(HLL_M, dtype=np.int64)
     np.maximum.at(regs, idx, rank)
     return regs

@@ -1100,7 +1100,12 @@ def _write_seed_and_demand(seed_tbl: pa.Table, seed_dir: str,
       seed table — running a whole Ray execution just to scan the seed
       built one line ago paid a full worker-pool spin-up before the
       first wave. (Resume still uses the frontier-scan cold start: its
-      frontier is parquet on disk, not in memory.)"""
+      frontier is parquet on disk, not in memory.)
+    - the seed dir is cleared first: a reused out_dir (fresh run or a
+      later recrawl generation with a smaller budget) must not leave
+      stale higher-index seed files for wave 0 / the refetched-set
+      rebuild to glob."""
+    shutil.rmtree(seed_dir, ignore_errors=True)
     os.makedirs(seed_dir, exist_ok=True)
     pol.warm_robots(seed_tbl["host"].to_pylist())
     per = max(1, (seed_tbl.num_rows + cfg.wave_blocks - 1) // cfg.wave_blocks)
@@ -1177,6 +1182,14 @@ def _drive(
     """Shared wave loop + assembly + summary (run_crawl / run_recrawl).
     Owns the seen/politeness pools: shuts them down before returning."""
     wave = start_wave
+    if frontier_spec is None and latest_manifest(out_dir) is None:
+        # zero-seed run (e.g. recrawl with budget=0): the wave loop never
+        # executes, but the next generation still chains from this
+        # out_dir's manifests — checkpoint the imported state now
+        write_manifest(out_dir, WaveManifest(
+            wave=wave, frontier_path=None,
+            seen_paths=seen.snapshot(ckpt_dir(out_dir), wave),
+            politeness_states=pol.states()))
     while wave < cfg.max_waves and frontier_spec is not None:
         # checkpoint cadence: snapshot + manifest every k-th wave (and
         # always on the terminal wave). Skipped waves replay on resume —
@@ -1315,6 +1328,8 @@ def run_recrawl(
             _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, 0)
         else:
             frontier_spec = None  # budget=0: nothing to refetch this cycle
+            shutil.rmtree(seed_dir, ignore_errors=True)  # stale seeds from
+            # a prior generation in this out_dir must not count as refetched
         summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
                          start_wave=0, seed_in_memory=True)
 

@@ -791,10 +791,20 @@ def _cc_min_labels(pairs, num_partitions: int = 16):
         .materialize()
     )
     prev_sum = None
-    for _ in range(64):  # safety cap far above any real diameter
+    rounds = 0
+    while True:  # to fixpoint — the label sum is a strictly decreasing
+        # integer until convergence, so termination is guaranteed; the
+        # cap only guards against a propagation bug and FAILS LOUDLY
+        # (a silent cap would return a wrong keep-set for components
+        # with diameter above it)
         cur = labels.sum("lab")
         if cur == prev_sum:
             break
+        rounds += 1
+        if rounds > 100_000:
+            raise RuntimeError(
+                "connected-components label propagation did not converge"
+            )
         prev_sum = cur
         # propagate: each edge (src,dst) carries lab(dst) to src
         prop = edges.join(labels, "inner", num_partitions=num_partitions,
@@ -988,10 +998,14 @@ def q_embedding_neardup(sf_dir: str):
         return df_out.drop_duplicates().reset_index(drop=True)
 
     specs = [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
-    res = rd.from_items(specs).map_batches(
-        compare, batch_format="pandas", batch_size=1
-    ).materialize()  # bounded by the near-dup rate; lets the spill go away
-    shutil.rmtree(blk_dir, ignore_errors=True)
+    try:
+        res = rd.from_items(specs).map_batches(
+            compare, batch_format="pandas", batch_size=1
+        ).materialize()  # bounded by the near-dup rate; lets the spill go
+    finally:
+        # the dir is per-invocation (uuid), so a failed run would
+        # otherwise orphan a full corpus copy in the scratch root
+        shutil.rmtree(blk_dir, ignore_errors=True)
     return res
 
 
@@ -1413,11 +1427,11 @@ def q_session_windows(sf_dir: str):
     )
 
 
-def q_vocab_top_terms(sf_dir: str):
-    """Vocabulary building (the DF side of TF-IDF): document frequency
-    per term, top-100. Per-batch partial DF counts (set-of-terms per
-    doc) pre-combine before the term groupby — the shuffle moves
-    (term, count) partials, never the corpus text."""
+def _df_partial(count_col: str):
+    """Per-batch document-frequency partial (set-of-terms per doc),
+    parameterized by the output count column — ONE kernel shared by
+    ``vocab_top_terms`` and ``tfidf_top_terms`` so their tokenization
+    (single-space split, set semantics) can never drift apart."""
     from collections import Counter
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1426,12 +1440,20 @@ def q_vocab_top_terms(sf_dir: str):
             c.update(set(t.split(" ")))
         return _arrow_out(pd.DataFrame({
             "term": list(c.keys()),
-            "doc_freq": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            count_col: np.fromiter(c.values(), dtype=np.int64, count=len(c)),
         }))
 
+    return partial
+
+
+def q_vocab_top_terms(sf_dir: str):
+    """Vocabulary building (the DF side of TF-IDF): document frequency
+    per term, top-100. Per-batch partial DF counts (set-of-terms per
+    doc) pre-combine before the term groupby — the shuffle moves
+    (term, count) partials, never the corpus text."""
     return (
         _tbl(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(_df_partial("doc_freq"), batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("doc_freq", alias_name="doc_freq"))
         .sort(["doc_freq", "term"], descending=[True, False])
@@ -1556,18 +1578,9 @@ def q_tfidf_top_terms(sf_dir: str):
     restricted to doc_id < 50 by a pruned predicate read."""
     from collections import Counter
 
-    def df_partial(df: pd.DataFrame):
-        c: Counter = Counter()
-        for t in df["text"]:
-            c.update(set(t.split(" ")))
-        return _arrow_out(pd.DataFrame({
-            "term": list(c.keys()),
-            "df": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
-        }))
-
     docfreq = (
         _tbl(sf_dir, "documents", ["text"])
-        .map_batches(df_partial, batch_format="pandas")
+        .map_batches(_df_partial("df"), batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
     )
@@ -1618,6 +1631,17 @@ def q_length_histogram(sf_dir: str):
     )
 
 
+def _split_purchase_click(df: pd.DataFrame):
+    """Shared co-partitioning stage for the time joins (as-of + range):
+    filter to purchase/click, coarse user bucket, purchase flag. ONE
+    definition so the two joins' partitioning schemes can never
+    desynchronize."""
+    df = df[df["event_type"].isin(["purchase", "click"])].copy()
+    df["bucket"] = (df["user_id"] % 64).astype(np.int64)
+    return _arrow_out(df.drop(columns=["event_type"]).assign(
+        is_purchase=(df["event_type"] == "purchase")))
+
+
 def q_asof_join_events(sf_dir: str):
     """AS-OF join — the time-series operator Ray Data lacks natively:
     for every 'purchase' event, the latest 'click' by the same user at
@@ -1626,12 +1650,6 @@ def q_asof_join_events(sf_dir: str):
     merge inside map_groups — no per-row Python in the match step, no
     all-to-all beyond the single bucket groupby. Tie semantics match
     DuckDB ASOF (greatest click_ts ≤ purchase ts, equality included)."""
-
-    def split(df: pd.DataFrame):
-        df = df[df["event_type"].isin(["purchase", "click"])].copy()
-        df["bucket"] = (df["user_id"] % 64).astype(np.int64)
-        return _arrow_out(df.drop(columns=["event_type"]).assign(
-            is_purchase=(df["event_type"] == "purchase")))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -1658,7 +1676,7 @@ def q_asof_join_events(sf_dir: str):
 
     return (
         _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-        .map_batches(split, batch_format="pandas")
+        .map_batches(_split_purchase_click, batch_format="pandas")
         .groupby("bucket", num_partitions=16)
         .map_groups(merge, batch_format="pandas")
     )
@@ -1800,12 +1818,6 @@ def q_range_join_events(sf_dir: str):
     two-searchsorted count per user — no per-row Python in the match
     step, no all-to-all beyond the single bucket groupby."""
 
-    def split(df: pd.DataFrame):
-        df = df[df["event_type"].isin(["purchase", "click"])].copy()
-        df["bucket"] = (df["user_id"] % 64).astype(np.int64)
-        return _arrow_out(df.drop(columns=["event_type"]).assign(
-            is_purchase=(df["event_type"] == "purchase")))
-
     def count_clicks(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, u in g.groupby("user_id", sort=False):
@@ -1829,7 +1841,7 @@ def q_range_join_events(sf_dir: str):
 
     return (
         _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-        .map_batches(split, batch_format="pandas")
+        .map_batches(_split_purchase_click, batch_format="pandas")
         .groupby("bucket", num_partitions=16)
         .map_groups(count_clicks, batch_format="pandas")
     )

@@ -97,6 +97,35 @@ class TestRecrawl:
         assert s["listings_refetched"] == 0
         assert s["listings_deferred"] == 11
 
+    def test_budget_zero_chains(self, crawl_a, ray_session, tmp_path):
+        """A budget=0 generation still writes a checkpoint manifest, so
+        the next generation can chain from its out_dir (zero-seed runs
+        skip the wave loop entirely)."""
+        prior, _ = crawl_a
+        zero = str(tmp_path / "zero")
+        run_recrawl(A, prior, zero, CFG, budget=0)
+        nxt = str(tmp_path / "next")
+        s = run_recrawl(A, zero, nxt, CFG, budget=4)
+        assert s["recrawl_generation"] == 2
+        assert s["listings_refetched"] == 4
+
+    def test_out_dir_reuse_clears_stale_seeds(self, crawl_a, ray_session,
+                                              tmp_path):
+        """Reusing an out_dir for a smaller-budget generation must not
+        leave higher-index seed files behind: the stale seeds would both
+        exceed the budget in wave 0 and mark never-scheduled listings as
+        refetched in recrawl_meta.json."""
+        prior, _ = crawl_a
+        out = str(tmp_path / "reuse")
+        run_recrawl(A, prior, out, CFG)  # full: 11 seed files
+        s = run_recrawl(A, prior, out, CFG, budget=3)  # reuse, small budget
+        assert s["listings_refetched"] == 3
+        meta = json.load(open(os.path.join(out, "recrawl_meta.json")))
+        assert sum(1 for v in meta["last_fetch"].values() if v == 1) == 3
+        # budget=0 reuse clears the seed dir outright
+        s0 = run_recrawl(A, prior, out, CFG, budget=0)
+        assert s0["listings_refetched"] == 0
+
     def test_requires_completed_prior(self, ray_session, tmp_path):
         with pytest.raises(ValueError):
             run_recrawl(A, str(tmp_path / "nope"), str(tmp_path / "out"), CFG)
