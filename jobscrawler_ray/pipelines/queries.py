@@ -2304,12 +2304,17 @@ _DECON_GRAM = 8   # word n-gram width for benchmark-overlap removal
 _DECON_BENCH = 10  # doc_id < this is the held-out "benchmark" set
 
 
-def q_decontaminate_docs(sf_dir: str):
-    """Benchmark decontamination — the pretraining hygiene step: drop
-    every corpus doc sharing ANY word 8-gram with the held-out
-    benchmark set (docs 0..9 stand in for an eval suite). The benchmark
-    side is read once (row-group-pruned), its gram set broadcast via
-    ``ray.put``; the corpus scan is pure map-side. At a benchmark too
+def _word_grams(text: str, n: int) -> set:
+    """All word n-grams of a doc — ONE kernel shared by
+    ``decontaminate_docs`` and ``curate_corpus`` so their overlap
+    semantics can never drift."""
+    toks = text.split(" ")
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _decon_bench_ref(sf_dir: str):
+    """Benchmark gram set (docs < ``_DECON_BENCH``): read once
+    (row-group-pruned), broadcast via ``ray.put``. At a benchmark too
     big to broadcast exactly, the set becomes a Bloom bitmap (see
     ``q_bloom_anti_join``) with exact re-check of bloom-positives."""
     import pyarrow.dataset as pads
@@ -2318,21 +2323,23 @@ def q_decontaminate_docs(sf_dir: str):
         sf_dir, "documents", ["doc_id", "text"],
         filter=(pads.field("doc_id") < _DECON_BENCH),
     ).take_all()
+    bset = (set().union(*(_word_grams(r["text"], _DECON_GRAM) for r in bench))
+            if bench else set())
+    return ray.put(bset)
 
-    def grams(text: str):
-        toks = text.split(" ")
-        return {
-            " ".join(toks[i:i + _DECON_GRAM])
-            for i in range(len(toks) - _DECON_GRAM + 1)
-        }
 
-    bset = set().union(*(grams(r["text"]) for r in bench)) if bench else set()
-    ref = ray.put(bset)
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the pretraining hygiene step: drop
+    every corpus doc sharing ANY word 8-gram with the held-out
+    benchmark set (docs 0..9 stand in for an eval suite). The benchmark
+    side is read once and broadcast (``_decon_bench_ref``); the corpus
+    scan is pure map-side."""
+    ref = _decon_bench_ref(sf_dir)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         bs = _bget(ref)
         mask = [
-            i >= _DECON_BENCH and not (grams(t) & bs)
+            i >= _DECON_BENCH and not (_word_grams(t, _DECON_GRAM) & bs)
             for i, t in zip(df["doc_id"], df["text"])
         ]
         return _arrow_out(pd.DataFrame(
@@ -2373,6 +2380,121 @@ def q_repetition_filter(sf_dir: str):
              "dup_frac": pd.Series(fracs, dtype=np.float64)}))
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def q_curate_corpus(sf_dir: str):
+    """END-TO-END corpus curation — the composed manifest op a training
+    run actually consumes: language gate (en), the quality heuristics
+    of ``quality_filter``, the Gopher repetition gate, and benchmark
+    decontamination, ALL fused into ONE map pass over a single read.
+    Running the gates as separate pipeline stages would scan the corpus
+    once per gate; fused, each byte of text crosses the object store
+    exactly once and the only driver traffic is the broadcast benchmark
+    gram set. Cheap vectorized gates (token stats, lang) run first so
+    the per-doc Python gates (bigrams, 8-gram overlap) touch only
+    survivors. Output: the kept (doc_id, source, n_tokens) manifest."""
+    ref = _decon_bench_ref(sf_dir)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        bs = _bget(ref)
+        s = textstats.quality_scores(df["text"].tolist())
+        nt = np.asarray(s["n_tokens"])
+        cpt = np.asarray(_round_half_up(s["chars_per_token"], 4))
+        stop = np.asarray(_round_half_up(s["stopword_ratio"], 4))
+        ids = df["doc_id"].to_numpy()
+        fast = ((nt >= _QF_MIN_TOKENS) & (cpt <= _QF_MAX_CPT)
+                & (stop >= _QF_MIN_STOP)
+                & (df["lang"].to_numpy() == "en")
+                & (ids >= _DECON_BENCH))
+        keep_idx = []
+        for j in np.nonzero(fast)[0]:
+            t = df["text"].iloc[j]
+            toks = t.split(" ")
+            nd = len(set(zip(toks, toks[1:])))
+            frac = float(_round_half_up(1.0 - nd / (len(toks) - 1), 4))
+            if frac > _REP_TAU:  # n_tokens >= 30 gate ensures >= 1 bigram
+                continue
+            if _word_grams(t, _DECON_GRAM) & bs:
+                continue
+            keep_idx.append(j)
+        sub = df.iloc[keep_idx]
+        return _arrow_out(pd.DataFrame({
+            "doc_id": sub["doc_id"].astype(np.int64),
+            "source": sub["source"].astype(object),
+            "n_tokens": pd.Series(nt[keep_idx], dtype=np.int64,
+                                  index=sub.index),
+        }))
+
+    return _tbl(sf_dir, "documents",
+                ["doc_id", "text", "lang", "source"]).map_batches(
+        gate, batch_format="pandas")
+
+
+# per-source sampling rates (hash thresholds): even-numbered sources
+# keep 75%, odd 25% — the "mixture weights" of a data-mixing recipe
+_MIX_THR_EVEN = int(0.75 * _HASH_MOD)
+_MIX_THR_ODD = int(0.25 * _HASH_MOD)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data mixing — per-SOURCE sampling rates (upweight curated
+    sources, downsample bulk web), decided by a deterministic
+    multiplicative hash of doc_id against a per-source threshold.
+    Stateless and cluster-size-independent: no RNG state, no
+    coordination, any worker admits any row identically — the property
+    that makes the sample reproducible across runs AND resumable
+    mid-corpus. Pure map-side."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.int64) * _HASH_MULT) % _HASH_MOD
+        suffix = df["source"].str.slice(3).astype(np.int64).to_numpy()
+        thr = np.where(suffix % 2 == 0, _MIX_THR_EVEN, _MIX_THR_ODD)
+        sub = df[h < thr]
+        return _arrow_out(pd.DataFrame({
+            "doc_id": sub["doc_id"].astype(np.int64),
+            "source": sub["source"].astype(object),
+        }))
+
+    return _tbl(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        pick, batch_format="pandas")
+
+
+_SHUF_SHARDS = 8  # shard count (training output files per epoch)
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic corpus shuffle — the last step before training:
+    place every doc into one of S shard files in a seeded,
+    cluster-size-independent pseudorandom order. shard = TOP bits of a
+    multiplicative hash (the low bits are unmixed — h % 8 == doc_id % 8
+    because the multiplier is odd, so modulo would not shuffle at all);
+    pos = rank of (h, doc_id) within the shard. One groupby moves each
+    row exactly once; ranking is a local argsort per shard group, never
+    a global sort."""
+    width = _HASH_MOD // _SHUF_SHARDS
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.int64) * _HASH_MULT) % _HASH_MOD
+        return _arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "shard": (h // width).astype(np.int64),
+            "h": h,
+        }))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="stable").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "shard": g["shard"].astype(np.int64),
+            "pos": np.arange(len(g), dtype=np.int64),
+        })
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id"])
+        .map_batches(key, batch_format="pandas")
+        .groupby("shard", num_partitions=_SHUF_SHARDS)
+        .map_groups(rank, batch_format="pandas")
+    )
 
 
 _BK_K = 64
@@ -2435,6 +2557,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_filter": q_quality_filter,
     "repetition_filter": q_repetition_filter,
     "decontaminate_docs": q_decontaminate_docs,
+    "curate_corpus": q_curate_corpus,
+    "mixture_sample": q_mixture_sample,
+    "shuffle_shards": q_shuffle_shards,
     "corpus_stats": q_corpus_stats,
     "langid": q_langid,
     "fingerprints": q_fingerprints,
@@ -2649,6 +2774,44 @@ ORACLE_SQL: dict[str, str] = {
         "FROM bg GROUP BY doc_id) "
         "SELECT doc_id, round(1.0 - nd * 1.0 / nt, 4) AS dup_frac FROM st "
         f"WHERE round(1.0 - nd * 1.0 / nt, 4) <= {_REP_TAU}"
+    ),
+    "curate_corpus": (
+        "WITH s AS (SELECT doc_id, "
+        "len(string_split(text, ' '))::BIGINT AS n_tokens, "
+        "round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS cpt, "
+        f"round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))::DOUBLE "
+        "/ len(string_split(text, ' ')), 4) AS stop FROM documents), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+        "bg AS (SELECT doc_id, l[CAST(t.i AS INT)] || ' ' || "
+        "l[CAST(t.i + 1 AS INT)] AS b "
+        "FROM toks, unnest(range(1, len(l))) AS t(i)), "
+        "rep AS (SELECT doc_id, round(1.0 - count(DISTINCT b) * 1.0 / count(*), 4) "
+        "AS dup_frac FROM bg GROUP BY doc_id), "
+        "grams AS (SELECT doc_id, array_to_string("
+        f"l[CAST(t.i AS INT):CAST(t.i + {_DECON_GRAM - 1} AS INT)], ' ') AS g "
+        f"FROM toks, unnest(range(1, len(l) - {_DECON_GRAM - 2})) AS t(i)), "
+        f"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH}), "
+        "hit AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench b USING (g) "
+        f"WHERE c.doc_id >= {_DECON_BENCH}) "
+        "SELECT d.doc_id, d.source, s.n_tokens FROM documents d "
+        "JOIN s USING (doc_id) JOIN rep USING (doc_id) "
+        f"WHERE d.doc_id >= {_DECON_BENCH} AND d.lang = 'en' "
+        f"AND s.n_tokens >= {_QF_MIN_TOKENS} AND s.cpt <= {_QF_MAX_CPT} "
+        f"AND s.stop >= {_QF_MIN_STOP} AND rep.dup_frac <= {_REP_TAU} "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM hit)"
+    ),
+    "mixture_sample": (
+        "SELECT doc_id, source FROM documents "
+        f"WHERE (doc_id * {_HASH_MULT}) % {_HASH_MOD} < "
+        f"CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 "
+        f"THEN {_MIX_THR_EVEN} ELSE {_MIX_THR_ODD} END"
+    ),
+    "shuffle_shards": (
+        f"WITH k AS (SELECT doc_id, (doc_id * {_HASH_MULT}) % {_HASH_MOD} AS h "
+        "FROM documents) "
+        f"SELECT doc_id, h // {_HASH_MOD // _SHUF_SHARDS} AS shard, "
+        f"row_number() OVER (PARTITION BY h // {_HASH_MOD // _SHUF_SHARDS} "
+        "ORDER BY h, doc_id) - 1 AS pos FROM k"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
