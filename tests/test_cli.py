@@ -1,0 +1,61 @@
+"""CLI (`python -m jobscrawler_ray`) — the user surface mirroring the
+reference's main.sh → src/main.py workflow (crawl every strategy, then
+embed the latest rows, src/main.py:25-51). Runs main() in-process under
+the shared Ray session; _ensure_ray must not tear that session down."""
+
+import glob
+import os
+
+import duckdb
+import pytest
+import ray
+
+from jobscrawler_ray.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def cli_run(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "run1")
+    rc = main(["run", "--out", out, "--sites", "4", "--seed", "11"])
+    assert rc == 0
+    return out
+
+
+class TestCli:
+    def test_run_crawls_and_embeds(self, cli_run):
+        recs = glob.glob(os.path.join(cli_run, "job_records", "*", "*.parquet"))
+        assert recs
+        n_rec = duckdb.sql(
+            f"SELECT count(DISTINCT url_sha1) FROM read_parquet({recs!r}, "
+            "union_by_name=true)").fetchone()[0]
+        embs = glob.glob(os.path.join(cli_run, "embeddings", "*.parquet"))
+        assert embs
+        n_emb, dim = duckdb.sql(
+            f"SELECT count(DISTINCT url_sha1), min(len(embedding)) "
+            f"FROM read_parquet({embs!r})").fetchone()
+        # every (7-day-fresh == all, synthetic stamps are per-run) record
+        # is embedded exactly once at the model's output dim
+        assert n_emb == n_rec > 0
+        assert dim == 64
+
+    def test_recrawl_subcommand(self, cli_run, tmp_path):
+        out2 = str(tmp_path / "run2")
+        rc = main(["recrawl", "--prior", cli_run, "--out", out2,
+                   "--sites", "4", "--seed", "11", "--budget", "2"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out2, "recrawl_meta.json"))
+
+    def test_query_subcommand_writes_parquet(self, cli_run, tmp_path):
+        dst = str(tmp_path / "q.parquet")
+        rc = main(["query", "length_histogram",
+                   "--sf-dir", "/root/testdata/sf0.001", "--out", dst])
+        assert rc == 0
+        assert duckdb.sql(
+            f"SELECT sum(n) FROM read_parquet('{dst}')").fetchone()[0] == 500
+
+    def test_query_unknown_name_errors(self, cli_run, capsys):
+        assert main(["query", "not_a_query"]) == 2
+        assert "choices" in capsys.readouterr().err
+
+    def test_cli_leaves_shared_session_alive(self, cli_run):
+        assert ray.is_initialized()
