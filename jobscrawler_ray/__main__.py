@@ -93,22 +93,30 @@ def cmd_recrawl(args: argparse.Namespace) -> int:
 def _embed_records(crawl_out: str, out: str, since_days: int | None) -> int:
     """Embed the latest crawled job records — the Ray-Data twin of the
     reference's ``embed_data`` (``embed_latest_crawled_data.py:135-177``):
-    watermark filter (max timestamp − N days), the e5 passage format
-    ``passage: <title>…</title> <description>…</description>``
-    (``:58-81``), 1000-token truncation (``:87``), actor-pool batched
-    inference, ON-CONFLICT-update landing (parquet twin: last write
-    wins per url_sha1 — here each run writes its own partition dir)."""
+    watermark filter (max timestamp − N days), the shared e5 passage
+    format (``stages/embed.py:format_passage``), 1000-token truncation,
+    actor-pool batched inference. The landing dir is REPLACED per run
+    (the parquet twin of ON CONFLICT UPDATE: re-embedding the same ids
+    yields the same vectors, and stale rows never accumulate)."""
+    import glob as _glob
+    import shutil
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as papq
     import ray.data as rd
 
     from .pipelines.queries import _max_ts
-    from .stages.embed import EmbedDocuments
+    from .stages.embed import EmbedDocuments, format_passage
 
-    ds = rd.read_parquet(os.path.join(crawl_out, "job_records"),
-                         columns=["url_sha1", "title", "description",
-                                  "timestamp"])
+    files = sorted(_glob.glob(os.path.join(crawl_out, "job_records",
+                                           "**", "*.parquet"),
+                              recursive=True))
+    if not files:  # zero-delta recrawl output: nothing to embed
+        print(f"embeddings: 0 -> {out} (no job records under {crawl_out})")
+        return 0
+    ds = rd.read_parquet(files, columns=["url_sha1", "title",
+                                         "description", "timestamp"])
     if since_days is not None:
         wm = _max_ts(ds, "timestamp") - pd.Timedelta(days=since_days)
         cutoff = pa.scalar(wm.to_pydatetime(), type=pa.timestamp("us"))
@@ -116,28 +124,20 @@ def _embed_records(crawl_out: str, out: str, since_days: int | None) -> int:
             lambda t: t.filter(pc.greater(t["timestamp"], cutoff)),
             batch_format="pyarrow")
 
-    def fmt(t: pa.Table) -> pa.Table:
-        n = len(t)
-        passage = pc.binary_join_element_wise(
-            pa.array(["<title>"] * n), t["title"],
-            pa.array(["</title> <description>"] * n), t["description"],
-            pa.array(["</description>"] * n), "",
-        )
-        return pa.table({"url_sha1": t["url_sha1"], "passage": passage})
-
     class EmbedPassages(EmbedDocuments):
         """Same model actor, record passages instead of doc wraps."""
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vecs = self._embed(("passage: " + df["passage"]).tolist())
+            vecs = self._embed([
+                format_passage(ti, de)
+                for ti, de in zip(df["title"], df["description"])
+            ])
             return pd.DataFrame({"url_sha1": df["url_sha1"].to_numpy(),
                                  "embedding": list(vecs)})
 
-    emb = (
-        ds.map_batches(fmt, batch_format="pyarrow")
-        .map_batches(EmbedPassages, batch_format="pandas", batch_size=128,
-                     concurrency=2, num_cpus=1)
-    )
+    emb = ds.map_batches(EmbedPassages, batch_format="pandas",
+                         batch_size=128, concurrency=2, num_cpus=1)
+    shutil.rmtree(out, ignore_errors=True)
     emb.write_parquet(out)
     n = sum(
         papq.ParquetFile(os.path.join(out, f)).metadata.num_rows
@@ -164,10 +164,6 @@ def cmd_run(args: argparse.Namespace) -> int:
 def cmd_query(args: argparse.Namespace) -> int:
     from .pipelines.queries import QUERIES
 
-    if args.name not in QUERIES:
-        print(f"unknown query {args.name!r}; choices:\n  "
-              + "\n  ".join(sorted(QUERIES)), file=sys.stderr)
-        return 2
     res = QUERIES[args.name](args.sf_dir)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     if isinstance(df, np.ndarray):  # pragma: no cover - defensive
@@ -233,6 +229,13 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if getattr(args, "since_days", 0) == -1:
         args.since_days = None
+    if args.fn is cmd_query:  # validate before paying the Ray spin-up
+        from .pipelines.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; choices:\n  "
+                  + "\n  ".join(sorted(QUERIES)), file=sys.stderr)
+            return 2
     started = _ensure_ray()
     try:
         return args.fn(args)

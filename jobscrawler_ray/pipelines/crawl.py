@@ -1162,11 +1162,24 @@ def run_crawl(
         frontier_spec = prior.frontier_path
     seed_tbl: pa.Table | None = None
     if prior is None:
+        _clear_stale_state(out_dir)
         seed_tbl = seed_frontier_table(world, cfg)
         _write_seed_and_demand(seed_tbl, seed_dir, pol, cfg, start_wave)
 
     return _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
                   start_wave, seed_in_memory=seed_tbl is not None)
+
+
+def _clear_stale_state(out_dir: str) -> None:
+    """Fresh-run hygiene for a reused out_dir: drop prior checkpoint
+    manifests/snapshots and wave outputs. Without this, a prior run's
+    HIGHER-wave manifest outranks the new run's in ``latest_manifest``
+    (resume/chaining would restore the earlier run's seen/politeness
+    state), and stale ``waves/w*/parsed`` outputs from a prior world
+    with more waves would inflate assembly. Resume paths never call
+    this — they chain from the existing state on purpose."""
+    shutil.rmtree(os.path.join(out_dir, "ckpt"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "waves"), ignore_errors=True)
 
 
 def _drive(
@@ -1312,6 +1325,13 @@ def run_recrawl(
         summary = _drive(world_params, out_dir, cfg, seen, pol, frontier_spec,
                          start_wave=mid.wave + 1, seed_in_memory=False)
     else:
+        if os.path.realpath(out_dir) != os.path.realpath(prior_out_dir):
+            # reused out_dir from an EARLIER generation: its manifests
+            # would outrank this generation's (or, for budget=0, stand
+            # in for a checkpoint never written). In-place recrawl
+            # (out_dir == prior_out_dir) keeps them — they ARE the
+            # prior state being chained from.
+            _clear_stale_state(out_dir)
         if budget is not None and seed_all.num_rows > budget:
             # stalest-first within the fetch budget: the packed priority
             # key already orders by (age desc, seq) for depth-0 listings

@@ -2354,6 +2354,15 @@ def q_decontaminate_docs(sf_dir: str):
 _REP_TAU = 0.04  # max duplicate-bigram fraction (Gopher-style gate)
 
 
+def _dup_bigram_frac(toks: list) -> float:
+    """Duplicate-bigram fraction of a token list (rounded like the
+    SQL) — ONE kernel shared by ``repetition_filter`` and
+    ``curate_corpus`` so the gate statistic can never drift. Caller
+    guarantees >= 2 tokens (>= 1 bigram)."""
+    nd = len(set(zip(toks, toks[1:])))
+    return float(_round_half_up(1.0 - nd / (len(toks) - 1), 4))
+
+
 def q_repetition_filter(sf_dir: str):
     """Repetition quality gate (the Gopher-style dup-n-gram filter):
     per doc, the fraction of repeated word bigrams; docs above the
@@ -2367,11 +2376,9 @@ def q_repetition_filter(sf_dir: str):
         ids, fracs = [], []
         for i, t in zip(df["doc_id"], df["text"]):
             toks = t.split(" ")
-            nt = len(toks) - 1
-            if nt <= 0:
+            if len(toks) < 2:
                 continue
-            nd = len({(a, b) for a, b in zip(toks, toks[1:])})
-            f = float(_round_half_up(1.0 - nd / nt, 4))
+            f = _dup_bigram_frac(toks)
             if f <= _REP_TAU:
                 ids.append(i)
                 fracs.append(f)
@@ -2409,10 +2416,8 @@ def q_curate_corpus(sf_dir: str):
         keep_idx = []
         for j in np.nonzero(fast)[0]:
             t = df["text"].iloc[j]
-            toks = t.split(" ")
-            nd = len(set(zip(toks, toks[1:])))
-            frac = float(_round_half_up(1.0 - nd / (len(toks) - 1), 4))
-            if frac > _REP_TAU:  # n_tokens >= 30 gate ensures >= 1 bigram
+            # n_tokens >= 30 gate already ensures >= 1 bigram
+            if _dup_bigram_frac(t.split(" ")) > _REP_TAU:
                 continue
             if _word_grams(t, _DECON_GRAM) & bs:
                 continue

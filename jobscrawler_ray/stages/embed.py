@@ -26,6 +26,14 @@ EMBED_DIM = 64
 _VOCAB_BUCKETS = 2048
 
 
+def format_passage(title: str, description: str) -> str:
+    """The e5 passage wrap + prefix (M15/M17,
+    ``embed_latest_crawled_data.py:58-81``, ``e5_base_v2_utils.py:85-96``)
+    — the ONE definition of the format, shared by ``EmbedDocuments``
+    and the CLI's record-embedding path so the two can never drift."""
+    return f"passage: <title>{title}</title> <description>{description}</description>"
+
+
 class EmbedDocuments:
     """Actor-pool stage: text → (doc_id, embedding list<float>).
 
@@ -52,7 +60,7 @@ class EmbedDocuments:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         passages = [
-            f"passage: <title>doc-{d}</title> <description>{t}</description>"
+            format_passage(f"doc-{d}", t)
             for d, t in zip(df["doc_id"], df["text"])
         ]
         vecs = self._embed(passages)

@@ -45,6 +45,27 @@ class TestCli:
         assert rc == 0
         assert os.path.exists(os.path.join(out2, "recrawl_meta.json"))
 
+    def test_embed_rerun_replaces_not_accumulates(self, cli_run, tmp_path):
+        emb = str(tmp_path / "emb")
+        for _ in range(2):  # second run must REPLACE the landing dir
+            assert main(["embed", "--crawl-out", cli_run,
+                         "--out", emb]) == 0
+        files = glob.glob(os.path.join(emb, "*.parquet"))
+        n, d = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT url_sha1) "
+            f"FROM read_parquet({files!r})").fetchone()
+        assert n == d  # no duplicate rows per url_sha1
+
+    def test_embed_zero_delta_is_clean(self, cli_run, tmp_path, capsys):
+        """Recrawl of an unchanged world yields no job records; embed
+        over that output must report 0, not crash."""
+        out2 = str(tmp_path / "same")
+        assert main(["recrawl", "--prior", cli_run, "--out", out2,
+                     "--sites", "4", "--seed", "11"]) == 0
+        assert main(["embed", "--crawl-out", out2,
+                     "--out", str(tmp_path / "emb0")]) == 0
+        assert "embeddings: 0" in capsys.readouterr().out
+
     def test_query_subcommand_writes_parquet(self, cli_run, tmp_path):
         dst = str(tmp_path / "q.parquet")
         rc = main(["query", "length_histogram",

@@ -126,6 +126,26 @@ class TestRecrawl:
         s0 = run_recrawl(A, prior, out, CFG, budget=0)
         assert s0["listings_refetched"] == 0
 
+    def test_out_dir_reuse_clears_stale_manifests(self, crawl_a, ray_session,
+                                                  tmp_path):
+        """A reused out_dir must not keep the EARLIER generation's
+        checkpoint manifests: a budget=0 rerun into it writes its own
+        zero-seed checkpoint (wave 0) rather than leaving the prior
+        generation's higher-wave manifests to answer resume/chaining."""
+        from jobscrawler_ray.state.checkpoint import latest_manifest
+
+        prior, _ = crawl_a
+        out = str(tmp_path / "reuse_m")
+        run_recrawl(A, prior, out, CFG)  # full generation: waves 0..k
+        assert latest_manifest(out).wave > 0
+        run_recrawl(A, prior, out, CFG, budget=0)
+        m = latest_manifest(out)
+        assert m.wave == 0 and m.frontier_path is None
+        # and the zero-seed checkpoint chains: next generation == 2
+        nxt = str(tmp_path / "next_m")
+        s = run_recrawl(A, out, nxt, CFG, budget=4)
+        assert s["recrawl_generation"] == 2
+
     def test_requires_completed_prior(self, ray_session, tmp_path):
         with pytest.raises(ValueError):
             run_recrawl(A, str(tmp_path / "nope"), str(tmp_path / "out"), CFG)
