@@ -177,9 +177,87 @@ def scaling() -> None:
     }))
 
 
+def synth_docs(n: int, out_path: str, seed: int = 13) -> None:
+    """Deterministic documents table at stress scale (same schema as
+    testdata: doc_id, text, lang, source, n_chars). Every 100th doc is
+    a 2-token mutation of its predecessor → a planted ~1% near-dup rate
+    so minhash verify work is realistic, not degenerate. Row groups are
+    small enough that doc_id-pruned reads (decon bench set, LSH verify)
+    skip most of the file."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(480)]
+                     + ["the", "a", "of", "to", "and"] * 4)  # stopwords
+    lens = rng.integers(40, 120, size=n)
+    texts: list[str] = []
+    for i in range(n):
+        if i % 100 == 99 and texts:  # near-dup of predecessor
+            toks = texts[-1].split(" ")
+            for j in rng.integers(0, len(toks), size=2):
+                toks[j] = vocab[rng.integers(0, len(vocab))]
+            texts.append(" ".join(toks))
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab),
+                                                     size=lens[i])]))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(np.where(rng.random(n) < 0.6, "en", "de")),
+        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, size=n)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+    pq.write_table(tbl, out_path, row_group_size=8192)
+
+
+DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
+                     "decontaminate_docs", "shuffle_shards", "minhash_lsh",
+                     "minhash_dedup_keep"]
+
+
+def docstress() -> None:
+    """Text-pipeline stress: the curation/dedup family over a corpus
+    ~40× the sf0.1 documents table (GRAFT_DOCS_N, default 200k docs /
+    ~16M tokens). Reported docs/s per op → BASELINE.md."""
+    import ray
+    from ray.data import DataContext
+
+    from jobscrawler_ray.pipelines.queries import QUERIES
+
+    n = int(os.environ.get("GRAFT_DOCS_N", "200000"))
+    d = f"/tmp/bench_docs_{n}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(path):
+        synth_docs(n, path)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    times, rows = {}, {}
+    for name in DOCSTRESS_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](d)
+        rows[name] = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
+        times[name] = round(time.time() - t0, 2)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": f"text-pipeline stress ({n} docs)",
+        "num_cpus": NUM_CPUS, "n_docs": n,
+        "queries": times, "rows": rows,
+        "docs_per_sec": {k: round(n / v, 0) for k, v in times.items()},
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--docstress" in sys.argv:
+        docstress()
     elif os.environ.get("GRAFT_CRAWL_ONLY"):
         import ray
         from ray.data import DataContext

@@ -673,6 +673,7 @@ def q_minhash_lsh(sf_dir: str):
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
     bands = _MH_BANDS
+    parts = 16  # coarse shuffle key: hash partition of band_key
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         out_band, out_doc = [], []
@@ -681,19 +682,36 @@ def q_minhash_lsh(sf_dir: str):
             for key in hasher.band_keys(sig, bands):
                 out_band.append(key)
                 out_doc.append(did)
+        bk = pd.Series(out_band, dtype=np.int64)
         return _arrow_out(
-            pd.DataFrame({"band_key": pd.Series(out_band, dtype=np.int64),
+            pd.DataFrame({"band_key": bk,
+                          "part": (bk % parts).astype(np.int64),
                           "doc_id": pd.Series(out_doc, dtype=np.int64)})
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        arr = np.array(out, dtype=np.int64)
-        return pd.DataFrame({"id_a": arr[:, 0], "id_b": arr[:, 1]})
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Same-band pairs for one COARSE hash partition, via vectorized
+        run detection over the whole partition. Grouping on band_key
+        itself hands map_groups one pandas group per bucket — at 200k
+        docs that is ~3M mostly-singleton groups whose per-group
+        iteration alone cost ~100s; per-partition (16 groups) the same
+        work is one lexsort + a loop over only the multi-doc runs."""
+        bk = g["band_key"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], bk.size]
+        multi = (ends - starts) >= 2
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, e in zip(starts[multi], ends[multi]):
+            ids = np.unique(did[s:e])
+            for i in range(ids.size - 1):
+                out_a.extend([int(ids[i])] * (ids.size - 1 - i))
+                out_b.extend(ids[i + 1:].tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                             "id_b": pd.Series(out_b, dtype=np.int64)})
 
     # materialize the candidate PAIRS (not the corpus): the set is
     # bounded by the near-dup rate, and the checkpoint lets the
@@ -702,8 +720,8 @@ def q_minhash_lsh(sf_dir: str):
     # 7s at sf0.1 for the whole query)
     cand = (
         docs.map_batches(band_rows, batch_format="pandas")
-        .groupby("band_key", num_partitions=16)
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part", num_partitions=parts)
+        .map_groups(partition_pairs, batch_format="pandas")
     ).materialize()
 
     # global pair dedup in ONE coalesced worker task (pairs are tiny
