@@ -212,6 +212,76 @@ def synth_docs(n: int, out_path: str, seed: int = 13) -> None:
     pq.write_table(tbl, out_path, row_group_size=8192)
 
 
+def synth_vecs(n: int, out_path: str, dim: int = 64, seed: int = 17) -> None:
+    """Deterministic embeddings table at stress scale (same schema as
+    testdata: vec_id, embedding FLOAT[dim], label). Every 100th vector
+    is its predecessor plus 1% noise → a planted ~1% near-dup rate at
+    cosine ≈ 0.9999. Small row groups keep the vec_id-pruned query-side
+    reads (kNN, IVF probes) cheap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    dup = np.arange(99, n, 100)
+    mat[dup] = mat[dup - 1] + 0.01 * rng.standard_normal(
+        (dup.size, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, size=n).astype(np.int32)),
+    })
+    pq.write_table(tbl, out_path, row_group_size=8192)
+
+
+VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
+                     "kmeans_assign"]
+
+
+def vecstress() -> None:
+    """ANN-family stress: 100× the sf0.1 embeddings table
+    (GRAFT_VECS_N, default 200k) at 256-d. Dim matters: cosine
+    concentration for random vectors is ~1/sqrt(dim), so at the
+    catalog's tau=0.4 a 64-d corpus of 200k random vectors has ~1e5
+    chance cross-pairs (3.2 sigma), drowning the planted dups; at 256-d
+    (6.4 sigma) the expected random-pair count is ~0 and the pair set
+    is the planted near-dup rate. Reported vecs/s per op → BASELINE.md.
+    The exact O(N²) blocked all-pairs is deliberately NOT in the list —
+    ``embedding_neardup_ann`` is the scale path."""
+    import ray
+    from ray.data import DataContext
+
+    from jobscrawler_ray.pipelines.queries import QUERIES
+
+    n = int(os.environ.get("GRAFT_VECS_N", "200000"))
+    d = f"/tmp/bench_vecs_{n}"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(path):
+        synth_vecs(n, path, dim=256)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    times, rows = {}, {}
+    for name in VECSTRESS_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](d)
+        rows[name] = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
+        times[name] = round(time.time() - t0, 2)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": f"ANN-family stress ({n} vecs x 256d)",
+        "num_cpus": NUM_CPUS, "n_vecs": n,
+        "queries": times, "rows": rows,
+        "vecs_per_sec": {k: round(n / v, 0) for k, v in times.items()},
+    }))
+
+
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "shuffle_shards", "minhash_lsh",
                      "minhash_dedup_keep"]
@@ -258,6 +328,8 @@ if __name__ == "__main__":
         scaling()
     elif "--docstress" in sys.argv:
         docstress()
+    elif "--vecstress" in sys.argv:
+        vecstress()
     elif os.environ.get("GRAFT_CRAWL_ONLY"):
         import ray
         from ray.data import DataContext

@@ -42,10 +42,9 @@ from ..stages.multimodal import resize_area
 from .oracle import run_oracle
 from .queries import (
     _ANN_BANDS,
-    _ANN_BITS,
+    _ann_bits,
     _ANN_SEED,
     _COS_TAU,
-    _EMB_DIM,
     _IVF_K,
     _IVF_NLIST,
     _IVF_NPROBE,
@@ -232,17 +231,19 @@ def golden_minhash_drops(sf_dir: str) -> list[int]:
 
 def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
     """Sequential random-hyperplane LSH: same planes (seeded), same
-    (chunk << 8) | band bucket keys, exact cosine within buckets."""
+    corpus-scaled bits per band (``_ann_bits``), same chunk*nb+b bucket
+    keys, exact cosine within buckets."""
     ids, mat = _embeddings(sf_dir)
+    rb = _ann_bits(len(mat))
     rng = np.random.default_rng(_ANN_SEED)
-    planes = rng.standard_normal((_ANN_BANDS * _ANN_BITS, _EMB_DIM))
+    planes = rng.standard_normal((_ANN_BANDS * rb, mat.shape[1]))
     bits = (mat @ planes.T) > 0
-    weights = 1 << np.arange(_ANN_BITS)
+    weights = 1 << np.arange(rb)
     normed = _norm_rows(mat)
     buckets: dict[int, list[int]] = {}
     for b in range(_ANN_BANDS):
-        chunk = bits[:, b * _ANN_BITS:(b + 1) * _ANN_BITS] @ weights
-        keys = (chunk.astype(np.int64) << 8) | b
+        chunk = bits[:, b * rb:(b + 1) * rb] @ weights
+        keys = chunk.astype(np.int64) * _ANN_BANDS + b
         for row, key in enumerate(keys):
             buckets.setdefault(int(key), []).append(row)
     out: set[tuple[int, int]] = set()

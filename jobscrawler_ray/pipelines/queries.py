@@ -618,7 +618,16 @@ _COS_TAU = 0.4
 _MH_PERMS, _MH_SEED, _MH_BANDS = 64, 1234, 16
 _MH_SHINGLE_K, _MH_VERIFY_TAU = 3, 0.5
 _ANN_BANDS, _ANN_BITS, _ANN_SEED = 16, 4, 2024
-_EMB_DIM = 64
+_EMB_DIM = 64  # testdata default; ops derive the real dim via _emb_dim
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality read from the corpus (one-row metadata
+    read) — the LSH hyperplane projection must match the data, not a
+    constant (a 256-d stress corpus crashes a hardcoded 64)."""
+    pf = papq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch["embedding"][0])
 _KNN_K = 10
 _IVF_K, _IVF_NLIST, _IVF_NPROBE = 10, 16, 4
 _IVF_QUANT = 1 << 20  # integer quantization for order-independent sums
@@ -1027,59 +1036,105 @@ def q_embedding_neardup(sf_dir: str):
     return res
 
 
+def _ann_bits(n_rows: int) -> int:
+    """Bits per LSH band, scaled so a band bucket holds ~64 vectors:
+    fixed 4 bits means within-bucket exact cosine is O((n/2^4)²) per
+    band — quadratic again at stress scale. Floor at the catalog
+    constant so small-corpus behavior (and the recall tests) are
+    unchanged."""
+    return max(_ANN_BITS, int(np.ceil(np.log2(max(n_rows / 64, 2.0)))))
+
+
 def q_embedding_neardup_ann(sf_dir: str):
     """Approximate embedding near-dup (the 100 TB path): random-
-    hyperplane LSH — 16 bands × 4 bits per vector (seeded projection
-    broadcast once), groupby band bucket, exact cosine only within
-    buckets, coarse-bucket pair dedup. Sub-quadratic; recall vs the
-    exact blocked all-pairs is asserted in tests. Rows-only."""
-    nb, rb = _ANN_BANDS, _ANN_BITS  # bands × bits per band
-    dim = _EMB_DIM
+    hyperplane LSH — 16 bands × corpus-scaled bits per band (seeded
+    projection broadcast once), exact cosine only within band buckets.
+    The verify runs INLINE per coarse hash partition: a vectorized run
+    scan over bkey-sorted rows finds multi-member buckets and checks
+    each with one small matmul, so (a) map_groups sees 16 partition
+    groups, not one pandas group per mostly-singleton bucket, and
+    (b) LSH candidate pairs — which for weakly-similar corpora can be
+    ~bands × n × bucket_size/2, far more than the true near-dups —
+    are verified where the vectors already are, never materialized as
+    rows or re-fetched. The cost is shipping each vector once per band
+    through the shuffle (×16); the candidate-pair volume, not the
+    shuffle, is what kills the alternative shapes. Rows-only; recall
+    vs the exact blocked all-pairs is asserted in tests."""
+    nb = _ANN_BANDS
+    n_rows = papq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    rb = _ann_bits(n_rows)
+    dim = _emb_dim(sf_dir)
     rng = np.random.default_rng(_ANN_SEED)
     planes = rng.standard_normal((nb * rb, dim))
     pref = ray.put(planes)
+    parts = 64  # fine-grained reduce tasks: ~n*nb/64 rows each
 
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow end to end: the embedding ListArray's backing
+        # values buffer reshapes straight into the projection matmul,
+        # and the ×nb repetition concatenates ARRAYS, never Python lists
         pl = _bget(pref)
-        ids = df["vec_id"].to_numpy()
-        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        ids = t["vec_id"].to_numpy()
+        arr = t["embedding"].combine_chunks()
+        mat = np.asarray(arr.flatten()).reshape(t.num_rows, -1).astype(np.float64)
         bits = (mat @ pl.T) > 0  # (n, nb*rb)
-        out_key, out_id, out_emb = [], [], []
         weights = 1 << np.arange(rb)
-        for b in range(nb):
-            chunk = bits[:, b * rb:(b + 1) * rb] @ weights  # (n,)
-            key = (chunk.astype(np.int64) << 8) | b
-            out_key.extend(key.tolist())
-            out_id.extend(ids.tolist())
-            out_emb.extend(df["embedding"].tolist())
-        return pd.DataFrame({"bkey": pd.Series(out_key, dtype=np.int64),
-                             "vec_id": pd.Series(out_id, dtype=np.int64),
-                             "embedding": out_emb})
+        keys = np.concatenate([
+            (bits[:, b * rb:(b + 1) * rb] @ weights).astype(np.int64) * nb + b
+            for b in range(nb)
+        ])
+        return pa.table({
+            "bkey": pa.array(keys),
+            "part": pa.array(((keys * _HASH_MULT) % _HASH_MOD) % parts),
+            "vec_id": pa.array(np.tile(ids, nb)),
+            "embedding": pa.concat_arrays([arr] * nb),
+        })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset="vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        ids = g["vec_id"].to_numpy()
-        mat = _norm_rows(np.stack(g["embedding"].tolist()).astype(np.float64))
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(sims >= _COS_TAU, k=1))
-        lo = np.minimum(ids[ii], ids[jj])
-        hi = np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame({"id_a": lo.astype(np.int64),
-                             "id_b": hi.astype(np.int64)})
+    def partition_verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        bk = t["bkey"].to_numpy()
+        vid = t["vec_id"].to_numpy()
+        mat = np.asarray(t["embedding"].combine_chunks().flatten()).reshape(
+            t.num_rows, -1).astype(np.float64)
+        order = np.lexsort((vid, bk))
+        bk, vid, mat = bk[order], vid[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], bk.size]
+        multi = (ends - starts) >= 2
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, e in zip(starts[multi], ends[multi]):
+            ids = vid[s:e]
+            sub = _norm_rows(mat[s:e])
+            sims = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(sims >= _COS_TAU, k=1))
+            if ii.size:
+                lo = np.minimum(ids[ii], ids[jj])
+                hi = np.maximum(ids[ii], ids[jj])
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64())})
 
-    # pair dedup in one coalesced worker task (pairs are tiny next to
-    # the corpus; avoids a second all-to-all barrier — see q_minhash_lsh)
-    return (
+    # the materialize is load-bearing twice over: (a) verified pairs
+    # are tiny (near-dup-rate-bounded), (b) WITHOUT it the coalesced
+    # dedup's giant batch_size fuses into the map_groups stage and
+    # serializes every partition's verify matmuls into ONE task
+    # (measured: 39.6s single-task vs ~3s across 64 groups at 200k)
+    pairs = (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(band_rows, batch_format="pandas", batch_size=512)
-        .groupby("bkey", num_partitions=16)
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
-                     batch_format="pandas", batch_size=1 << 30)
-    )
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=512)
+        .groupby("part", num_partitions=parts)
+        .map_groups(partition_verify, batch_format="pyarrow")
+    ).materialize()
+    # final cross-band pair dedup in one coalesced worker task (avoids
+    # a second all-to-all — see q_minhash_lsh)
+    return pairs.map_batches(
+        lambda df: df.drop_duplicates().reset_index(drop=True),
+        batch_format="pandas", batch_size=1 << 30)
 
 
 def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
