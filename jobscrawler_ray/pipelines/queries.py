@@ -1123,13 +1123,25 @@ def q_embedding_neardup_ann(sf_dir: str):
     # are tiny (near-dup-rate-bounded), (b) WITHOUT it the coalesced
     # dedup's giant batch_size fuses into the map_groups stage and
     # serializes every partition's verify matmuls into ONE task
-    # (measured: 39.6s single-task vs ~3s across 64 groups at 200k)
-    pairs = (
-        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=512)
-        .groupby("part", num_partitions=parts)
-        .map_groups(partition_verify, batch_format="pyarrow")
-    ).materialize()
+    # (measured: 39.6s single-task vs ~3s across 64 groups at 200k).
+    # The band-row shuffle is this catalog's one LARGE exchange
+    # (corpus × bands): push-based sort shuffle moves it 76 → 48 s at
+    # 200k×256d (hash_shuffle: 88 s) — scoped here and restored, so
+    # the small-shuffle queries keep the default strategy.
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        pairs = (
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(band_rows, batch_format="pyarrow", batch_size=512)
+            .groupby("part", num_partitions=parts)
+            .map_groups(partition_verify, batch_format="pyarrow")
+        ).materialize()
+    finally:
+        ctx.shuffle_strategy = prev
     # final cross-band pair dedup in one coalesced worker task (avoids
     # a second all-to-all — see q_minhash_lsh)
     return pairs.map_batches(
