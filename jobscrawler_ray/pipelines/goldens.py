@@ -47,6 +47,7 @@ from .queries import (
     _COS_TAU,
     _IVF_K,
     _IVF_NLIST,
+    _ivf_params,
     _IVF_NPROBE,
     _IVF_QUANT,
     _MH_BANDS,
@@ -261,20 +262,21 @@ def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
         {"id_a": np.int64, "id_b": np.int64})
 
 
-def _golden_ivf_centroids(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+def _golden_ivf_centroids(ids: np.ndarray, mat: np.ndarray,
+                          nlist: int = _IVF_NLIST) -> np.ndarray:
     """Strided seed centroids + ONE int64-quantized Lloyd step —
     bit-identical to the distributed partial-sum merge in
     ``queries._ivf_centroids`` (integer sums are associative)."""
     n = len(ids)
-    stride = max(1, n // _IVF_NLIST)
-    seed_ids = [i * stride for i in range(_IVF_NLIST)]
+    stride = max(1, n // nlist)
+    seed_ids = [i * stride for i in range(nlist)]
     sel = np.isin(ids, seed_ids)
     order = np.argsort(ids[sel])
     cent = mat[sel][order].copy()
     assign0 = np.argmax(_norm_rows(mat) @ _norm_rows(cent).T, axis=1)
     quant = np.round(mat * _IVF_QUANT).astype(np.int64)
     new_cent = cent.copy()
-    for ci in range(_IVF_NLIST):
+    for ci in range(nlist):
         m = assign0 == ci
         tot = int(m.sum())
         if tot:
@@ -295,12 +297,13 @@ def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
     step (bit-identical to the distributed partial-sum merge), per-query
     probe of the nprobe nearest lists, rounded-score top-k."""
     ids, mat = _embeddings(sf_dir)
+    nlist, nprobe = _ivf_params(len(ids))
     normed = _norm_rows(mat)
-    cn = _norm_rows(_golden_ivf_centroids(ids, mat))
+    cn = _norm_rows(_golden_ivf_centroids(ids, mat, nlist))
     qmask = ids < 5
     qids = ids[qmask]
     qn = _norm_rows(mat[qmask])
-    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :_IVF_NPROBE]
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
     assign = np.argmax(normed @ cn.T, axis=1)
 
     out = []

@@ -630,6 +630,17 @@ def _emb_dim(sf_dir: str) -> int:
     return len(batch["embedding"][0])
 _KNN_K = 10
 _IVF_K, _IVF_NLIST, _IVF_NPROBE = 10, 16, 4
+
+
+def _ivf_params(n_rows: int) -> tuple[int, int]:
+    """IVF (nlist, nprobe) scaled to the corpus: ~sqrt(n)/2 lists with
+    a quarter probed — fixed 16 lists means each probe scans n/16
+    vectors, linear again at stress scale. Floored at the catalog
+    constants so testdata-scale behavior (golden + recall tests) is
+    unchanged. ``kmeans_assign`` keeps the constant: its cluster count
+    is a model hyperparameter, not an index tuning knob."""
+    nlist = max(_IVF_NLIST, int(round(np.sqrt(n_rows) / 2)))
+    return nlist, max(_IVF_NPROBE, nlist // 4)
 _IVF_QUANT = 1 << 20  # integer quantization for order-independent sums
 
 
@@ -1198,7 +1209,10 @@ def q_ann_ivf(sf_dir: str):
     ``groupby(list_id).map_groups``, final per-query merge over the
     ≤ nprobe·k partial rows. Rows-only; recall vs brute force asserted
     in tests."""
-    k, nlist, nprobe = _IVF_K, _IVF_NLIST, _IVF_NPROBE
+    k = _IVF_K
+    n_rows = papq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    nlist, nprobe = _ivf_params(n_rows)
     ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent = _ivf_centroids(sf_dir, ds, nlist)
     cn = _norm_rows(cent)
