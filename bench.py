@@ -236,6 +236,36 @@ def synth_vecs(n: int, out_path: str, dim: int = 64, seed: int = 17) -> None:
     pq.write_table(tbl, out_path, row_group_size=8192)
 
 
+def _stress(query_names: list[str], table_dir: str, metric: str,
+            n: int, unit: str) -> None:
+    """Shared stress-bench runner (one scaffold for the doc/vec
+    variants): a Ray session over a pre-synthesized /tmp table,
+    per-query wall time + row counts, one JSON line."""
+    import ray
+    from ray.data import DataContext
+
+    from jobscrawler_ray.pipelines.queries import QUERIES
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    times, rows = {}, {}
+    for name in query_names:
+        t0 = time.time()
+        res = QUERIES[name](table_dir)
+        rows[name] = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
+        times[name] = round(time.time() - t0, 2)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": metric, "num_cpus": NUM_CPUS, f"n_{unit}": n,
+        "queries": times, "rows": rows,
+        f"{unit}_per_sec": {k: round(n / v, 0) for k, v in times.items()},
+    }))
+
+
 VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
                      "kmeans_assign"]
 
@@ -250,36 +280,14 @@ def vecstress() -> None:
     is the planted near-dup rate. Reported vecs/s per op → BASELINE.md.
     The exact O(N²) blocked all-pairs is deliberately NOT in the list —
     ``embedding_neardup_ann`` is the scale path."""
-    import ray
-    from ray.data import DataContext
-
-    from jobscrawler_ray.pipelines.queries import QUERIES
-
     n = int(os.environ.get("GRAFT_VECS_N", "200000"))
     d = f"/tmp/bench_vecs_{n}"
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "embeddings.parquet")
     if not os.path.exists(path):
         synth_vecs(n, path, dim=256)
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-    times, rows = {}, {}
-    for name in VECSTRESS_QUERIES:
-        t0 = time.time()
-        res = QUERIES[name](d)
-        rows[name] = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
-        times[name] = round(time.time() - t0, 2)
-    ray.shutdown()
-    print(json.dumps({
-        "metric": f"ANN-family stress ({n} vecs x 256d)",
-        "num_cpus": NUM_CPUS, "n_vecs": n,
-        "queries": times, "rows": rows,
-        "vecs_per_sec": {k: round(n / v, 0) for k, v in times.items()},
-    }))
+    _stress(VECSTRESS_QUERIES, d, f"ANN-family stress ({n} vecs x 256d)",
+            n, "vecs")
 
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
@@ -291,36 +299,14 @@ def docstress() -> None:
     """Text-pipeline stress: the curation/dedup family over a corpus
     ~40× the sf0.1 documents table (GRAFT_DOCS_N, default 200k docs /
     ~16M tokens). Reported docs/s per op → BASELINE.md."""
-    import ray
-    from ray.data import DataContext
-
-    from jobscrawler_ray.pipelines.queries import QUERIES
-
     n = int(os.environ.get("GRAFT_DOCS_N", "200000"))
     d = f"/tmp/bench_docs_{n}"
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "documents.parquet")
     if not os.path.exists(path):
         synth_docs(n, path)
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-    times, rows = {}, {}
-    for name in DOCSTRESS_QUERIES:
-        t0 = time.time()
-        res = QUERIES[name](d)
-        rows[name] = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
-        times[name] = round(time.time() - t0, 2)
-    ray.shutdown()
-    print(json.dumps({
-        "metric": f"text-pipeline stress ({n} docs)",
-        "num_cpus": NUM_CPUS, "n_docs": n,
-        "queries": times, "rows": rows,
-        "docs_per_sec": {k: round(n / v, 0) for k, v in times.items()},
-    }))
+    _stress(DOCSTRESS_QUERIES, d, f"text-pipeline stress ({n} docs)",
+            n, "docs")
 
 
 if __name__ == "__main__":

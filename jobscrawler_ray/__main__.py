@@ -109,6 +109,9 @@ def _embed_records(crawl_out: str, out: str, since_days: int | None) -> int:
     from .pipelines.queries import _max_ts
     from .stages.embed import EmbedDocuments, format_passage
 
+    shutil.rmtree(out, ignore_errors=True)  # REPLACE semantics even on
+    # the zero-record path: stale rows from a prior embed must not
+    # survive a zero-delta re-run
     files = sorted(_glob.glob(os.path.join(crawl_out, "job_records",
                                            "**", "*.parquet"),
                               recursive=True))
@@ -137,7 +140,6 @@ def _embed_records(crawl_out: str, out: str, since_days: int | None) -> int:
 
     emb = ds.map_batches(EmbedPassages, batch_format="pandas",
                          batch_size=128, concurrency=2, num_cpus=1)
-    shutil.rmtree(out, ignore_errors=True)
     emb.write_parquet(out)
     n = sum(
         papq.ParquetFile(os.path.join(out, f)).metadata.num_rows

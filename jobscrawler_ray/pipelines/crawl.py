@@ -1176,10 +1176,17 @@ def _clear_stale_state(out_dir: str) -> None:
     HIGHER-wave manifest outranks the new run's in ``latest_manifest``
     (resume/chaining would restore the earlier run's seen/politeness
     state), and stale ``waves/w*/parsed`` outputs from a prior world
-    with more waves would inflate assembly. Resume paths never call
-    this — they chain from the existing state on purpose."""
+    with more waves would inflate assembly. The recrawl bookkeeping
+    goes too: a fresh run must not inherit an earlier generation's
+    ``recrawl_meta.json`` (its last_fetch map describes outputs this
+    clear just deleted). Resume paths never call this — they chain
+    from the existing state on purpose."""
     shutil.rmtree(os.path.join(out_dir, "ckpt"), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, "waves"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(out_dir, RECRAWL_META))
+    except FileNotFoundError:
+        pass
 
 
 def _drive(

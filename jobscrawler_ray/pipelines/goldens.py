@@ -48,7 +48,6 @@ from .queries import (
     _IVF_K,
     _IVF_NLIST,
     _ivf_params,
-    _IVF_NPROBE,
     _IVF_QUANT,
     _MH_BANDS,
     _MH_PERMS,
