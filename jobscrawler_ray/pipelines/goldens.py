@@ -457,6 +457,34 @@ def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_phash_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """Sequential union-find over the golden phash pairs + keep the
+    lexicographically-least member per component (originals sort
+    before their '#thumb' variants) — the independent check of the
+    distributed connected-components path in ``q_phash_dedup_keep``."""
+    pairs = golden_phash_neardup(sf_dir)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for node in set(pairs["id_a"]) | set(pairs["id_b"]):
+        comps.setdefault(find(node), []).append(node)
+    drops = {n for ms in comps.values() for n in ms if n != min(ms)}
+    img = _crawl_oracle(sf_dir)["images"]
+    all_ids = list(img["image_id"]) + [f"{p}#thumb" for p in img["image_id"]]
+    kept = [p for p in all_ids if p not in drops]
+    return pd.DataFrame({"pid": pd.Series(kept, dtype=object)})
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -503,6 +531,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "thumb_phash": "BIGINT"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
+    out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {
+        "pid": "VARCHAR"})
     out["audio_features"] = values_sql(golden_audio_features(sf_dir), {
         "clip_id": "BIGINT", "sample_rate": "BIGINT",
         "duration_s": "DOUBLE", "rms": "DOUBLE"})

@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import dedupe, textstats
+from ..functions.urlnorm import hash64
 from ..functions.arrowio import arrow_out as _arrow_out
 from ..stages.location import build_alias_map, tag_location
 from ..synth.locations import WORLD_LOCATIONS
@@ -810,6 +811,25 @@ def q_minhash_lsh(sf_dir: str):
     )
 
 
+def _lab_sum(labels) -> int:
+    """EXACT sum of the int64 ``lab`` column (the CC fixpoint metric):
+    a plain Sum aggregate overflows int64 when node ids are 63-bit
+    hashes (n × 2^63 ≫ int64), and a truncated sum could read a real
+    label decrease as 'unchanged' — a silent wrong-fixpoint exit. Low
+    and high 32-bit halves are summed separately (each bounded by
+    n × 2^32) and recombined in Python ints."""
+
+    def part(t: pa.Table) -> pa.Table:
+        lab = t["lab"].to_numpy()
+        return pa.table({
+            "lo": pa.array([int((lab & 0xFFFFFFFF).sum())], type=pa.int64()),
+            "hi": pa.array([int((lab >> 32).sum())], type=pa.int64()),
+        })
+
+    rows = labels.map_batches(part, batch_format="pyarrow").take_all()
+    return (sum(r["hi"] for r in rows) << 32) + sum(r["lo"] for r in rows)
+
+
 def _cc_min_labels(pairs, num_partitions: int = 16):
     """Distributed connected components over an (id_a, id_b) edge
     Dataset: iterated min-label propagation (hash-to-min, Rastogi et al.
@@ -850,7 +870,7 @@ def _cc_min_labels(pairs, num_partitions: int = 16):
         # cap only guards against a propagation bug and FAILS LOUDLY
         # (a silent cap would return a wrong keep-set for components
         # with diameter above it)
-        cur = labels.sum("lab")
+        cur = _lab_sum(labels)
         if cur == prev_sum:
             break
         rounds += 1
@@ -2225,6 +2245,65 @@ def q_phash_neardup(sf_dir: str):
     )
 
 
+def q_phash_dedup_keep(sf_dir: str):
+    """Image near-dup REMOVAL — completes the image-dedup story the
+    way ``minhash_dedup_keep`` does for text: phash LSH pairs →
+    DISTRIBUTED connected components → keep the lexicographically-
+    least member per component (originals sort before their
+    ``#thumb`` variants, so originals win) → broadcast drop-set
+    anti-join over the combined image-id set. The CC runs over
+    ``hash64``-mapped node ids (``_cc_min_labels`` needs an integer
+    label sum for its fixpoint test); the string representative is
+    then recovered with one Min-aggregate over the PAIR-GRAPH nodes —
+    every intermediate is bounded by the near-dup rate, never the
+    corpus. Rows-only; golden oracle in ``goldens.py``."""
+    pairs_str = q_phash_neardup(sf_dir)
+
+    def to_hashed(df: pd.DataFrame) -> pd.DataFrame:
+        return _arrow_out(pd.DataFrame({
+            "id_a": pd.Series([hash64(x) for x in df["id_a"]], dtype=np.int64),
+            "id_b": pd.Series([hash64(x) for x in df["id_b"]], dtype=np.int64),
+        }))
+
+    labels = _cc_min_labels(
+        pairs_str.map_batches(to_hashed, batch_format="pandas"))
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        pids = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
+        pids = pids.drop_duplicates()
+        return _arrow_out(pd.DataFrame({
+            "node": pd.Series([hash64(x) for x in pids], dtype=np.int64),
+            "pid": pids.reset_index(drop=True).astype(object),
+        }))
+
+    nodes = pairs_str.map_batches(node_rows, batch_format="pandas")
+    comp = nodes.join(labels, "inner", num_partitions=4, on=("node",))
+    reps = comp.groupby("lab").aggregate(Min("pid", alias_name="keep_pid"))
+    keep_set = frozenset(r["keep_pid"] for r in reps.take_all())
+    node_set = frozenset(r["pid"] for r in nodes.take_all())
+    drops = node_set - keep_set  # bounded by 2×pairs
+    dref = ray.put(drops)
+
+    out = _crawl_out(sf_dir)
+    ids = rd.read_parquet(os.path.join(out, "image_caption"),
+                          columns=["image_id"])
+
+    def all_ids(t: pa.Table) -> pa.Table:
+        orig = t["image_id"].combine_chunks()
+        thumb = pc.binary_join_element_wise(orig, "#thumb", "")
+        return pa.table({"pid": pa.concat_arrays([orig, thumb])})
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _bget(dref)
+        mask = pa.array([p not in d for p in t["pid"].to_pylist()])
+        return t.filter(mask)
+
+    return (
+        ids.map_batches(all_ids, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram dedup, bloom-pruned anti-join, chunking, deterministic sampling
 # --------------------------------------------------------------------------
@@ -2727,6 +2806,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embed_documents": q_embed_documents,
     "multimodal_resize": q_multimodal_resize,
     "phash_neardup": q_phash_neardup,
+    "phash_dedup_keep": q_phash_dedup_keep,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
 }

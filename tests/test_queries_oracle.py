@@ -81,7 +81,8 @@ GOLDEN_NAMES = [
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
     "kmeans_assign", "embed_documents", "crawl_image_caption",
     "crawl_job_records", "recrawl_delta", "multimodal_features", "multimodal_resize",
-    "phash_neardup", "approx_distinct_users", "cm_counts_users", "audio_features", "video_frames",
+    "phash_neardup", "phash_dedup_keep", "approx_distinct_users",
+    "cm_counts_users", "audio_features", "video_frames",
 ]
 
 
