@@ -34,8 +34,11 @@ def _ensure_ray() -> bool:
 
     started = not ray.is_initialized()
     if started:
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS so `ray job submit -- python -m
+        # jobscrawler_ray ...` joins the submitting cluster; standalone
+        # runs (no variable) stay a private local instance
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
