@@ -264,3 +264,46 @@ class TestRowsOnly:
         feats = _to_pandas(QUERIES["multimodal_features"](SF_DIR))
         assert len(feats) == len(imgs)
         assert (feats["mean_pixel"] > 0).all()
+
+
+class TestConnectedComponents:
+    def test_cc_min_labels_adversarial_graphs(self, ray_session):
+        """_cc_min_labels vs sequential union-find on adversarial edge
+        lists: a chain (max diameter per edge count), a star, two
+        disjoint components, and 63-bit hash-scale node ids — the last
+        one regression-tests the exact split-sum fixpoint metric (a
+        plain int64 Sum overflows and could silently misread a label
+        decrease as fixpoint)."""
+        import ray.data as rd
+
+        from jobscrawler_ray.pipelines.queries import _cc_min_labels
+
+        big = 0x7FFF_FFFF_FFFF_0000
+        graphs = [
+            [(i, i + 1) for i in range(9)],                      # chain
+            [(0, j) for j in range(1, 8)],                       # star
+            [(1, 2), (2, 3), (10, 11), (12, 11)],                # 2 comps
+            [(big + 5, big + 9), (big + 9, big + 2), (big + 40, big + 41)],
+        ]
+        for edges in graphs:
+            pairs = rd.from_items(
+                [{"id_a": a, "id_b": b} for a, b in edges])
+            got = {int(r["node"]): int(r["lab"])
+                   for r in _cc_min_labels(pairs, num_partitions=2).take_all()}
+            parent = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {n for e in edges for n in e}
+            comps = {}
+            for n in nodes:
+                comps.setdefault(find(n), []).append(n)
+            want = {n: min(ms) for ms in comps.values() for n in ms}
+            assert got == want, f"edges={edges}"
