@@ -942,6 +942,19 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an embedding column. Arrow list
+    arrays reshape straight from the backing values buffer (no
+    per-row Python lists — the difference between ~20 MB/s of
+    ``np.stack(to_pylist())`` and a memcpy); plain sequences fall back
+    to a stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return np.asarray(col.flatten()).reshape(len(col), -1).astype(np.float64)
+    return np.stack(list(col)).astype(np.float64)
+
+
 def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """QUERY-side load only: a row-group-pruned parquet read of the 5
     query vectors (vec_id < 5) — never the full embeddings table."""
@@ -951,8 +964,7 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         filters=[("vec_id", "<", 5)],
     )
     ids = t["vec_id"].to_numpy()
-    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    return ids, mat
+    return ids, _emb_matrix(t["embedding"])
 
 
 def q_knn_cosine(sf_dir: str):
@@ -965,10 +977,10 @@ def q_knn_cosine(sf_dir: str):
     qids, qmat = _query_vectors(sf_dir)
     qref = ray.put((qids, _norm_rows(qmat)))
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(t: pa.Table) -> pa.Table:
         qi, qn = _bget(qref)
-        cids = df["vec_id"].to_numpy()
-        cn = _norm_rows(np.stack(df["embedding"].tolist()).astype(np.float64))
+        cids = t["vec_id"].to_numpy()
+        cn = _norm_rows(_emb_matrix(t["embedding"]))
         sims = _round_half_up(qn @ cn.T, 6)  # SQL ROUND semantics
         out = []
         for row in range(len(qi)):
@@ -978,17 +990,15 @@ def q_knn_cosine(sf_dir: str):
             out.extend(
                 (int(qi[row]), int(ids_m[o]), float(s_m[o])) for o in order
             )
-        res = pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
-        if res.empty:  # typed empty frame — null-typed columns break
-            #            Ray's schema unification at the groupby
-            res = res.astype({"query_id": np.int64, "neighbor_id": np.int64,
-                              "score": np.float64})
-        return _arrow_out(res)
-
+        return pa.table({
+            "query_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in out], type=pa.int64()),
+            "score": pa.array([r[2] for r in out], type=pa.float64()),
+        })
 
     return (
         _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(partial_topk, batch_format="pandas", batch_size=512)
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=512)
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")
     )
@@ -1044,8 +1054,7 @@ def q_embedding_neardup(sf_dir: str):
         if t.num_rows == 0:
             return np.array([], dtype=np.int64), np.zeros((0, 1))
         ids = t["vec_id"].to_numpy()
-        mat = _norm_rows(np.stack(t["embedding"].to_pylist()).astype(np.float64))
-        return ids, mat
+        return ids, _norm_rows(_emb_matrix(t["embedding"]))
 
     def compare(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -1219,21 +1228,25 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
     t = papq.read_table(path, columns=["vec_id", "embedding"],
                         filters=[("vec_id", "in", seed_ids)])
     order = np.argsort(t["vec_id"].to_numpy())
-    cent = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
+    cent = _emb_matrix(t["embedding"])[order]
     cref = ray.put(_norm_rows(cent))
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
+    def partials(t: pa.Table) -> pa.Table:
         cn = _bget(cref)
-        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        mat = _emb_matrix(t["embedding"])
         assign = np.argmax(_norm_rows(mat) @ cn.T, axis=1)
         quant = np.round(mat * _IVF_QUANT).astype(np.int64)
-        rows = []
+        cs, ns, vs = [], [], []
         for ci in np.unique(assign):
             m = assign == ci
-            rows.append((int(ci), int(m.sum()), quant[m].sum(axis=0).tolist()))
-        return pd.DataFrame(rows, columns=["c", "n", "vsum"])
+            cs.append(int(ci))
+            ns.append(int(m.sum()))
+            vs.append(quant[m].sum(axis=0).tolist())
+        return pa.table({"c": pa.array(cs, type=pa.int64()),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "vsum": pa.array(vs, type=pa.list_(pa.int64()))})
 
-    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
     # tiny merge: ≤ nlist × num_blocks rows of (id, count, d-vector)
     new_cent = cent.copy()
     for ci, g in parts.groupby("c"):
@@ -1266,44 +1279,44 @@ def q_ann_ivf(sf_dir: str):
     probed = set(int(x) for x in probe_lists.ravel())
     bref = ray.put((cn, qids, qn, probe_lists))
 
-    def assign_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_filter(t: pa.Table) -> pa.Table:
         cnn, _, _, _ = _bget(bref)
-        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
+        mat = _emb_matrix(t["embedding"])
         assign = np.argmax(_norm_rows(mat) @ cnn.T, axis=1)
         keep = np.isin(assign, list(probed))
-        return pd.DataFrame({
-            "list_id": assign[keep].astype(np.int64),
-            "vec_id": df["vec_id"].to_numpy()[keep],
-            "embedding": [e for e, kp in zip(df["embedding"], keep) if kp],
+        idx = pa.array(np.nonzero(keep)[0])
+        return pa.table({
+            "list_id": pa.array(assign[keep].astype(np.int64)),
+            "vec_id": t["vec_id"].take(idx),
+            "embedding": t["embedding"].take(idx),
         })
 
-    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def list_topk(t: pa.Table) -> pa.Table:
         _, qi, qnn, plists = _bget(bref)
-        lid = int(g["list_id"].iloc[0])
-        ids = g["vec_id"].to_numpy()
-        mat = _norm_rows(np.stack(g["embedding"].tolist()).astype(np.float64))
-        out = []
-        for row in range(len(qi)):
-            if lid not in plists[row]:
-                continue
-            sims = np.round(mat @ qnn[row], 6)
-            mask = ids != qi[row]
-            ids_m, s_m = ids[mask], sims[mask]
-            order = np.lexsort((ids_m, -s_m))[:k]
-            out.extend((int(qi[row]), int(ids_m[o]), float(s_m[o]))
-                       for o in order)
-        res = pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
-        if res.empty:  # typed empty frame — null-typed columns break
-            #            Ray's schema unification at the groupby
-            res = res.astype({"query_id": np.int64, "neighbor_id": np.int64,
-                              "score": np.float64})
-        return _arrow_out(res)
-
+        out: list[tuple] = []
+        if t.num_rows:
+            lid = t["list_id"][0].as_py()
+            ids = t["vec_id"].to_numpy()
+            mat = _norm_rows(_emb_matrix(t["embedding"]))
+            for row in range(len(qi)):
+                if lid not in plists[row]:
+                    continue
+                sims = np.round(mat @ qnn[row], 6)
+                mask = ids != qi[row]
+                ids_m, s_m = ids[mask], sims[mask]
+                order = np.lexsort((ids_m, -s_m))[:k]
+                out.extend((int(qi[row]), int(ids_m[o]), float(s_m[o]))
+                           for o in order)
+        return pa.table({
+            "query_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in out], type=pa.int64()),
+            "score": pa.array([r[2] for r in out], type=pa.float64()),
+        })
 
     return (
-        ds.map_batches(assign_filter, batch_format="pandas", batch_size=512)
+        ds.map_batches(assign_filter, batch_format="pyarrow", batch_size=512)
         .groupby("list_id", num_partitions=8)
-        .map_groups(list_topk, batch_format="pandas")
+        .map_groups(list_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pandas")
     )
@@ -1613,15 +1626,16 @@ def q_kmeans_assign(sf_dir: str):
     cn = _norm_rows(_ivf_centroids(sf_dir, ds, nlist))
     cref = ray.put(cn)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         c = _bget(cref)
-        mat = np.stack(df["embedding"].tolist()).astype(np.float64)
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].to_numpy(),
-            "cluster": np.argmax(_norm_rows(mat) @ c.T, axis=1).astype(np.int64),
+        mat = _emb_matrix(t["embedding"])
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(
+                np.argmax(_norm_rows(mat) @ c.T, axis=1).astype(np.int64)),
         })
 
-    return ds.map_batches(assign, batch_format="pandas", batch_size=512)
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=512)
 
 
 # Knuth multiplicative hash over doc_id: deterministic, RNG-free, and
