@@ -950,6 +950,8 @@ def _emb_matrix(col) -> np.ndarray:
     to a stack."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:  # reshape(0, -1) raises; callers emit empty
+        return np.zeros((0, 0))  # outputs before touching the matrix
     if isinstance(col, pa.Array):
         return np.asarray(col.flatten()).reshape(len(col), -1).astype(np.float64)
     return np.stack(list(col)).astype(np.float64)
@@ -978,6 +980,10 @@ def q_knn_cosine(sf_dir: str):
     qref = ray.put((qids, _norm_rows(qmat)))
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         qi, qn = _bget(qref)
         cids = t["vec_id"].to_numpy()
         cn = _norm_rows(_emb_matrix(t["embedding"]))
@@ -1232,6 +1238,10 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
     cref = ray.put(_norm_rows(cent))
 
     def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "vsum": pa.array([], type=pa.list_(pa.int64()))})
         cn = _bget(cref)
         mat = _emb_matrix(t["embedding"])
         assign = np.argmax(_norm_rows(mat) @ cn.T, axis=1)
@@ -1280,6 +1290,10 @@ def q_ann_ivf(sf_dir: str):
     bref = ray.put((cn, qids, qn, probe_lists))
 
     def assign_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"list_id": pa.array([], type=pa.int64()),
+                             "vec_id": t["vec_id"],
+                             "embedding": t["embedding"]})
         cnn, _, _, _ = _bget(bref)
         mat = _emb_matrix(t["embedding"])
         assign = np.argmax(_norm_rows(mat) @ cnn.T, axis=1)
@@ -1627,6 +1641,9 @@ def q_kmeans_assign(sf_dir: str):
     cref = ray.put(cn)
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": t["vec_id"],
+                             "cluster": pa.array([], type=pa.int64())})
         c = _bget(cref)
         mat = _emb_matrix(t["embedding"])
         return pa.table({
@@ -2267,11 +2284,17 @@ def q_phash_dedup_keep(sf_dir: str):
     ``#thumb`` variants, so originals win) → broadcast drop-set
     anti-join over the combined image-id set. The CC runs over
     ``hash64``-mapped node ids (``_cc_min_labels`` needs an integer
-    label sum for its fixpoint test); the string representative is
-    then recovered with one Min-aggregate over the PAIR-GRAPH nodes —
-    every intermediate is bounded by the near-dup rate, never the
-    corpus. Rows-only; golden oracle in ``goldens.py``."""
-    pairs_str = q_phash_neardup(sf_dir)
+    label sum for its fixpoint test); every intermediate is bounded by
+    the near-dup rate, never the corpus. The pair set is materialized
+    ONCE (without it, the CC edge build, the node scan, and the label
+    recovery each re-executed the full crawl-read → resize-pool →
+    band-shuffle pipeline — measured 3× the query's dominant cost).
+    Representative recovery (min pid per component) runs on the driver
+    over the pair-graph node set — the same bound as the broadcast
+    drop-set it produces; at a pair volume too large for that, it
+    becomes a (node→pid) join + groupby(lab).Min. Rows-only; golden
+    oracle in ``goldens.py``."""
+    pairs_str = q_phash_neardup(sf_dir).materialize()  # bounded: pairs
 
     def to_hashed(df: pd.DataFrame) -> pd.DataFrame:
         return _arrow_out(pd.DataFrame({
@@ -2281,21 +2304,17 @@ def q_phash_dedup_keep(sf_dir: str):
 
     labels = _cc_min_labels(
         pairs_str.map_batches(to_hashed, batch_format="pandas"))
-
-    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        pids = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
-        pids = pids.drop_duplicates()
-        return _arrow_out(pd.DataFrame({
-            "node": pd.Series([hash64(x) for x in pids], dtype=np.int64),
-            "pid": pids.reset_index(drop=True).astype(object),
-        }))
-
-    nodes = pairs_str.map_batches(node_rows, batch_format="pandas")
-    comp = nodes.join(labels, "inner", num_partitions=4, on=("node",))
-    reps = comp.groupby("lab").aggregate(Min("pid", alias_name="keep_pid"))
-    keep_set = frozenset(r["keep_pid"] for r in reps.take_all())
-    node_set = frozenset(r["pid"] for r in nodes.take_all())
-    drops = node_set - keep_set  # bounded by 2×pairs
+    lab_of = {int(r["node"]): int(r["lab"]) for r in labels.take_all()}
+    pids: set[str] = set()
+    for row in pairs_str.take_all():  # bounded by the near-dup rate
+        pids.add(row["id_a"])
+        pids.add(row["id_b"])
+    rep: dict[int, str] = {}
+    for p in sorted(pids):  # sorted → min pid per component wins
+        c = lab_of[hash64(p)]
+        if c not in rep:
+            rep[c] = p
+    drops = frozenset(pids - set(rep.values()))
     dref = ray.put(drops)
 
     out = _crawl_out(sf_dir)

@@ -73,9 +73,9 @@ def test_query_vs_oracle(name, con, ray_session):
     _compare(name, ray_df, sql_df)
 
 
-# the 13 previously rows-only queries, now backed by VALUES-rendered
-# golden tables computed by an independent sequential implementation
-# (jobscrawler_ray/pipelines/goldens.py)
+# the previously rows-only queries (13 in round 2, 20 now), backed by
+# VALUES-rendered golden tables computed by an independent sequential
+# implementation (jobscrawler_ray/pipelines/goldens.py)
 GOLDEN_NAMES = [
     "langid", "fingerprints", "simhash", "minhash_lsh",
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
