@@ -93,6 +93,26 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_SWAR_M1 = np.uint64(0x5555_5555_5555_5555)
+_SWAR_M2 = np.uint64(0x3333_3333_3333_3333)
+_SWAR_M4 = np.uint64(0x0F0F_0F0F_0F0F_0F0F)
+_SWAR_H01 = np.uint64(0x0101_0101_0101_0101)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; Hacker's Delight 5-2) — this
+    numpy predates ``np.bitwise_count``. int64 inputs are reinterpreted
+    as their two's-complement bit patterns, matching DuckDB's
+    ``bit_count(BIGINT)``."""
+    if x.dtype == np.int64:
+        x = x.view(np.uint64)
+    x = x.astype(np.uint64) if x.dtype != np.uint64 else x.copy()
+    x -= (x >> np.uint64(1)) & _SWAR_M1
+    x = (x & _SWAR_M2) + ((x >> np.uint64(2)) & _SWAR_M2)
+    x = (x + (x >> np.uint64(4))) & _SWAR_M4
+    return ((x * _SWAR_H01) >> np.uint64(56)).astype(np.int64)
+
+
 def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int,
                 round_decimals: int = 6) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k: (Q,d)×(N,d) → (Q,k) ids + scores.

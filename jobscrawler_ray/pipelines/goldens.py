@@ -533,6 +533,46 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {
         "pid": "VARCHAR"})
+    # Image-table ops where only the INPUT is a golden (the sequential
+    # crawl); the gate/bucket/ranking logic itself is re-implemented in
+    # SQL, so engine and oracle compute the operator independently.
+    img_cte = values_sql(golden_crawl_image_caption(sf_dir), {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "fmt": "VARCHAR", "caption": "VARCHAR", "phash": "BIGINT"})
+    out["curate_image_corpus"] = (
+        f"WITH img AS ({img_cte}) "
+        "SELECT image_id, w, h, fmt, caption, phash FROM img "
+        "WHERE least(w, h) >= 24 AND greatest(w, h) <= 2 * least(w, h) "
+        "AND length(caption) BETWEEN 20 AND 256 "
+        "AND length(caption) - length(replace(caption, ' ', '')) + 1 >= 5"
+    )
+    out["aspect_buckets"] = (
+        f"WITH img AS ({img_cte}), b AS (SELECT image_id, w, h, "
+        # geometric-midpoint boundaries in exact integer arithmetic —
+        # mirrors _ASPECT_BUCKETS in pipelines/queries.py
+        "CASE WHEN 64*w*w < 27*h*h THEN '9:16' "
+        "WHEN 4*w*w < 3*h*h THEN '3:4' "
+        "WHEN 3*w*w < 4*h*h THEN '1:1' "
+        "WHEN 27*w*w < 64*h*h THEN '4:3' ELSE '16:9' END AS bucket "
+        "FROM img) "
+        "SELECT image_id, bucket, "
+        "CAST(CASE bucket WHEN '9:16' THEN 48 WHEN '3:4' THEN 56 "
+        "WHEN '1:1' THEN 64 WHEN '4:3' THEN 72 ELSE 80 END AS BIGINT) "
+        "AS target_w, "
+        "CAST(CASE bucket WHEN '9:16' THEN 80 WHEN '3:4' THEN 72 "
+        "WHEN '1:1' THEN 64 WHEN '4:3' THEN 56 ELSE 48 END AS BIGINT) "
+        "AS target_h FROM b"
+    )
+    out["phash_knn"] = (
+        f"WITH img AS ({img_cte}), "
+        "q AS (SELECT image_id AS qid, phash AS qh FROM img "
+        "ORDER BY image_id LIMIT 5) "
+        "SELECT qid AS query_id, image_id AS neighbor_id, "
+        "CAST(bit_count(xor(qh, phash)) AS BIGINT) AS hamming "
+        "FROM q, img WHERE image_id <> qid "
+        "QUALIFY row_number() OVER (PARTITION BY qid "
+        "ORDER BY bit_count(xor(qh, phash)), image_id) <= 5"
+    )
     out["audio_features"] = values_sql(golden_audio_features(sf_dir), {
         "clip_id": "BIGINT", "sample_rate": "BIGINT",
         "duration_s": "DOUBLE", "rms": "DOUBLE"})

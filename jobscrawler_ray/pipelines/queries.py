@@ -2337,6 +2337,152 @@ def q_phash_dedup_keep(sf_dir: str):
     )
 
 
+def q_curate_image_corpus(sf_dir: str):
+    """LAION-style image-caption curation: minimum-dimension, aspect-
+    ratio, caption-length and caption-word-count gates FUSED into one
+    vectorized map pass over a single pruned read (the image twin of
+    ``curate_corpus`` — separate filter stages would re-scan the corpus
+    once per gate). All gates are pure map-side: no shuffle, streams at
+    any corpus size. The aspect gate compares integers
+    (``max(w,h) <= 2*min(w,h)``) so the SQL oracle cannot drift on
+    float division."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(out, "image_caption"),
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"],
+    )
+
+    def gates(t: pa.Table) -> pa.Table:
+        w64 = pc.cast(t["w"], pa.int64())
+        h64 = pc.cast(t["h"], pa.int64())
+        mind = pc.min_element_wise(w64, h64)
+        maxd = pc.max_element_wise(w64, h64)
+        keep = pc.and_(
+            pc.greater_equal(mind, 24),
+            pc.less_equal(maxd, pc.multiply(mind, 2)),
+        )
+        cap_len = pc.utf8_length(t["caption"])
+        keep = pc.and_(keep, pc.and_(pc.greater_equal(cap_len, 20),
+                                     pc.less_equal(cap_len, 256)))
+        n_words = pc.add(pc.count_substring(t["caption"], " "), 1)
+        keep = pc.and_(keep, pc.greater_equal(n_words, 5))
+        return t.filter(keep)
+
+    return ds.map_batches(gates, batch_format="pyarrow")
+
+
+# SDXL-style aspect buckets ascending by ratio; target dims at a 64px
+# budget. Assignment boundaries are the geometric midpoints of adjacent
+# ratios, tested in EXACT integer arithmetic (w/h >= sqrt(a/b * c/d)
+# <=> w²·b·d >= h²·a·c) — float log-distance argmin could disagree with
+# SQL in the last ulp near a midpoint; the integer form cannot, and
+# exact midpoint hits are impossible (they would need an irrational
+# w/h).
+_ASPECT_BUCKETS = [("9:16", 48, 80), ("3:4", 56, 72), ("1:1", 64, 64),
+                   ("4:3", 72, 56), ("16:9", 80, 48)]
+
+
+def q_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing for image training (SDXL-style): each
+    image is assigned the bucket whose ratio is nearest in log space,
+    plus that bucket's fixed target dims. Pure map-side — the grouping
+    a trainer does afterwards is a groupby on the emitted bucket key."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "w", "h"])
+    names = np.array([b[0] for b in _ASPECT_BUCKETS])
+    tws = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    ths = np.array([b[2] for b in _ASPECT_BUCKETS], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        w2, h2 = w * w, h * h
+        # midpoints of (9:16,3:4), (3:4,1:1), (1:1,4:3), (4:3,16:9)
+        conds = [64 * w2 < 27 * h2, 4 * w2 < 3 * h2,
+                 3 * w2 < 4 * h2, 27 * w2 < 64 * h2]
+        idx = np.select(conds, [0, 1, 2, 3], default=4)
+        return pa.table({
+            "image_id": t["image_id"],
+            "bucket": pa.array(names[idx]),
+            "target_w": pa.array(tws[idx]),
+            "target_h": pa.array(ths[idx]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+_PHASH_KNN_K = 5
+
+
+def q_phash_knn(sf_dir: str):
+    """Image retrieval baseline: exact Hamming top-5 over the 64-bit
+    phash column for 5 probe images (the lexicographically-first
+    image_ids — a deterministic, cluster-size-independent probe set).
+    Probe selection is a bounded partial bottom-k (≤5 rows per block
+    reach the driver); the scan is one SWAR-popcount matrix per batch
+    against the broadcast probe hashes with batch-local top-k, merged
+    per probe by a tiny groupby — the same partial/merge shape as
+    ``knn_cosine``. Integer distances tie-break by neighbor_id, so
+    ranking is bit-identical to SQL."""
+    from ..functions.dedupe import popcount64
+
+    k = _PHASH_KNN_K
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "phash"])
+
+    def bottom5(df: pd.DataFrame) -> pd.DataFrame:
+        return _arrow_out(
+            df.sort_values("image_id", kind="stable").head(k))
+
+    probes = pd.concat(
+        [pd.DataFrame(b) for b in
+         ds.map_batches(bottom5, batch_format="pandas").iter_batches(
+             batch_format="pandas", batch_size=None)],
+        ignore_index=True,
+    ).sort_values("image_id", kind="stable").head(k)
+    qids = probes["image_id"].to_numpy()
+    qh = probes["phash"].to_numpy().astype(np.int64)
+    qref = ray.put((qids, qh))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.string()),
+                          "neighbor_id": pa.array([], type=pa.string()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        qi, qhash = _bget(qref)
+        cids = np.asarray(t["image_id"].to_pylist(), dtype=object)
+        ch = t["phash"].to_numpy().astype(np.int64)
+        out_rows = []
+        for row in range(len(qi)):
+            d = popcount64(np.bitwise_xor(qhash[row], ch))
+            mask = cids != qi[row]
+            ids_m, d_m = cids[mask], d[mask]
+            order = np.lexsort((ids_m, d_m))[:k]
+            out_rows.extend(
+                (qi[row], str(ids_m[o]), int(d_m[o])) for o in order)
+        if not out_rows:
+            return empty
+        return pa.table({
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.string()),
+            "neighbor_id": pa.array([r[1] for r in out_rows], type=pa.string()),
+            "hamming": pa.array([r[2] for r in out_rows], type=pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "neighbor_id"],
+                          kind="stable").head(k)
+        return g[["query_id", "neighbor_id", "hamming"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram dedup, bloom-pruned anti-join, chunking, deterministic sampling
 # --------------------------------------------------------------------------
@@ -2840,6 +2986,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_resize": q_multimodal_resize,
     "phash_neardup": q_phash_neardup,
     "phash_dedup_keep": q_phash_dedup_keep,
+    "curate_image_corpus": q_curate_image_corpus,
+    "aspect_buckets": q_aspect_buckets,
+    "phash_knn": q_phash_knn,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
 }

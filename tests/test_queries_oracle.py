@@ -75,7 +75,9 @@ def test_query_vs_oracle(name, con, ray_session):
 
 # the previously rows-only queries (13 in round 2, 20 now), backed by
 # VALUES-rendered golden tables computed by an independent sequential
-# implementation (jobscrawler_ray/pipelines/goldens.py)
+# implementation (jobscrawler_ray/pipelines/goldens.py) — plus the
+# image-table ops (curate/aspect/knn) whose INPUT is the golden crawl
+# table but whose gate/bucket/ranking logic is re-implemented in SQL
 GOLDEN_NAMES = [
     "langid", "fingerprints", "simhash", "minhash_lsh",
     "minhash_dedup_keep", "embedding_neardup_ann", "ann_ivf",
@@ -83,6 +85,7 @@ GOLDEN_NAMES = [
     "crawl_job_records", "recrawl_delta", "multimodal_features", "multimodal_resize",
     "phash_neardup", "phash_dedup_keep", "approx_distinct_users",
     "cm_counts_users", "audio_features", "video_frames",
+    "curate_image_corpus", "aspect_buckets", "phash_knn",
 ]
 
 
@@ -160,6 +163,19 @@ class TestRowsOnly:
         exact = np.bincount(keys[keys < 100], minlength=100)
         assert (est >= exact).all()
         assert (est - exact).max() <= 2 * keys.size / sketch.CM_W
+
+    def test_popcount64_matches_scalar(self, ray_session):
+        from jobscrawler_ray.functions.dedupe import hamming64, popcount64
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(-2**63, 2**63, size=2048, dtype=np.int64)
+        y = rng.integers(-2**63, 2**63, size=2048, dtype=np.int64)
+        got = popcount64(np.bitwise_xor(x, y))
+        exp = np.array([hamming64(int(a), int(b)) for a, b in zip(x, y)])
+        assert np.array_equal(got, exp)
+        # boundary patterns
+        edge = np.array([0, -1, 1, -2**63, 2**63 - 1], dtype=np.int64)
+        assert popcount64(edge).tolist() == [0, 64, 1, 1, 63]
 
     def test_simhash_neardup_property(self, ray_session):
         from jobscrawler_ray.functions.dedupe import hamming64, simhash64
