@@ -290,6 +290,88 @@ def vecstress() -> None:
             n, "vecs")
 
 
+def synth_images(n: int, out_dir: str, seed: int = 23) -> None:
+    """Deterministic image_caption table at stress scale (same columns
+    the crawl assembles: image_id, bytes, w, h, fmt, caption, phash).
+    Every 100th image re-renders its predecessor's structure seed at a
+    DIFFERENT size → a planted ~1% near-dup rate that exercises the
+    resize-robustness of phash, not byte equality. Written as many
+    4096-row files (a single parquet file reads as ONE task and paces
+    the whole downstream pipeline)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobscrawler_ray.functions import codecs
+
+    tbl_dir = os.path.join(out_dir, "image_caption")
+    os.makedirs(tbl_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    fmts = ["raw", "pngz", "qjpg"]
+    dims = rng.integers(16, 65, size=(n, 2))
+    chunk: list[tuple] = []
+    part = 0
+    prev_seed = 0
+    for i in range(n):
+        if i % 100 == 99:
+            s64 = prev_seed  # same structure, different size → near-dup
+            w, h = int(dims[i - 1][0] // 2 + 8), int(dims[i - 1][1] // 2 + 8)
+        else:
+            s64 = (seed << 32) ^ i
+            w, h = int(dims[i][0]), int(dims[i][1])
+            prev_seed = s64
+        px = codecs.gen_pixels(s64, w, h)
+        fmt = fmts[i % 3]
+        chunk.append((
+            hashlib.sha1(f"img{i}".encode()).hexdigest(),
+            codecs.encode(px, fmt), w, h, fmt,
+            f"synthetic scene {i} with {i % 7 + 2} objects rendered at "
+            f"quality {i % 5}",
+            codecs.phash64(px),
+        ))
+        if len(chunk) == 4096 or i == n - 1:
+            cols = list(zip(*chunk))
+            pq.write_table(pa.table({
+                "image_id": pa.array(cols[0], type=pa.string()),
+                "bytes": pa.array(cols[1], type=pa.binary()),
+                "w": pa.array(cols[2], type=pa.int32()),
+                "h": pa.array(cols[3], type=pa.int32()),
+                "fmt": pa.array(cols[4], type=pa.string()),
+                "caption": pa.array(cols[5], type=pa.string()),
+                "phash": pa.array(cols[6], type=pa.int64()),
+            }), os.path.join(tbl_dir, f"part-{part:05d}.parquet"))
+            part += 1
+            chunk = []
+
+
+IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets", "phash_knn",
+                     "phash_neardup", "phash_dedup_keep"]
+
+
+def imgstress() -> None:
+    """Image-pipeline stress (the graft cell's payload): curation,
+    bucketing, retrieval and near-dup removal over a synthetic
+    image_caption table ~1000× the sf0.1 crawl output (GRAFT_IMGS_N,
+    default 100k images). The image queries consume the crawl's output
+    table, so the pre-synthesized table is seeded into the query
+    layer's crawl cache — the queries themselves run unmodified."""
+    n = int(os.environ.get("GRAFT_IMGS_N", "100000"))
+    d = f"/tmp/bench_imgs_{n}"
+    out = os.path.join(d, "crawl")
+    if not os.path.isdir(os.path.join(out, "image_caption")):
+        t0 = time.time()
+        synth_images(n, out)
+        print(f"# synthesized {n} images in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    from jobscrawler_ray.pipelines import queries as q
+
+    q._CRAWL_CACHE[d] = out
+    _stress(IMGSTRESS_QUERIES, d, f"image-pipeline stress ({n} images)",
+            n, "images")
+
+
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "shuffle_shards", "minhash_lsh",
                      "minhash_dedup_keep"]
@@ -316,6 +398,8 @@ if __name__ == "__main__":
         docstress()
     elif "--vecstress" in sys.argv:
         vecstress()
+    elif "--imgstress" in sys.argv:
+        imgstress()
     elif os.environ.get("GRAFT_CRAWL_ONLY"):
         import ray
         from ray.data import DataContext

@@ -830,7 +830,7 @@ def _lab_sum(labels) -> int:
     return (sum(r["hi"] for r in rows) << 32) + sum(r["lo"] for r in rows)
 
 
-def _cc_min_labels(pairs, num_partitions: int = 16):
+def _cc_min_labels(pairs, num_partitions: int | None = None):
     """Distributed connected components over an (id_a, id_b) edge
     Dataset: iterated min-label propagation (hash-to-min, Rastogi et al.
     2013) — label(x) starts at min(x, neighbors) and each round takes
@@ -850,6 +850,11 @@ def _cc_min_labels(pairs, num_partitions: int = 16):
         return pa.table({"src": src, "dst": dst})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        # every round pays two AllToAll exchanges whose FIXED task cost
+        # dominates when the (bounded) edge set is small — size the
+        # shuffle to the data instead of a constant
+        num_partitions = int(min(64, max(4, edges.count() // 200_000 + 4)))
 
     def self_loop(t: pa.Table) -> pa.Table:  # label(x) ≥ considers x itself
         return pa.table({"node": t["src"], "lab": t["src"]})
@@ -859,7 +864,7 @@ def _cc_min_labels(pairs, num_partitions: int = 16):
         .union(edges.map_batches(
             lambda t: pa.table({"node": t["src"], "lab": t["dst"]}),
             batch_format="pyarrow"))
-        .groupby("node")
+        .groupby("node", num_partitions=num_partitions)
         .aggregate(Min("lab", alias_name="lab"))
         .materialize()
     )
@@ -886,7 +891,7 @@ def _cc_min_labels(pairs, num_partitions: int = 16):
             prop.map_batches(lambda t: pa.table({"node": t["src"], "lab": t["lab"]}),
                              batch_format="pyarrow")
             .union(labels)
-            .groupby("node")
+            .groupby("node", num_partitions=num_partitions)
             .aggregate(Min("lab", alias_name="lab"))
             .materialize()
         )
@@ -2220,15 +2225,16 @@ def q_phash_neardup(sf_dir: str):
     banding on 16-bit phash bands → groupby band → candidate pairs →
     verify Hamming ≤ 8. Originals vs their 32×32 thumbnails give true
     positives (avg-hash is resize-robust). Rows-only."""
-    from ..functions.dedupe import hamming64
+    from ..functions.dedupe import popcount64
     from ..stages.multimodal import ResizeImages
 
     out = _crawl_out(sf_dir)
     ds = rd.read_parquet(os.path.join(out, "image_caption"),
                          columns=["image_id", "bytes", "phash"])
     thumbs = ds.map_batches(
-        ResizeImages, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
-    )
+        ResizeImages, batch_format="pyarrow", batch_size=64,
+        concurrency=(2, 8), num_cpus=1  # autoscale: 2 covers crawl-scale
+    )                                   # corpora, 8 the stress bench
 
     def orig_rows(t: pa.Table) -> pa.Table:
         return pa.table({"pid": t["image_id"], "phash": t["phash"]})
@@ -2241,36 +2247,71 @@ def q_phash_neardup(sf_dir: str):
         thumbs.map_batches(thumb_rows, batch_format="pyarrow")
     )
 
+    parts = 16  # coarse shuffle key: hash partition of the band value
+
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         # 8 bands × 8 bits: ≤ 8 flipped bits leave at least one band
         # intact by pigeonhole at ≤7, and near-certainly at 8
         h = df["phash"].to_numpy().astype(np.uint64)
-        out_b, out_p, out_h = [], [], []
-        for b in range(8):
-            band = ((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
-            out_b.extend((band + (b << 8)).tolist())
-            out_p.extend(df["pid"].tolist())
-            out_h.extend(df["phash"].tolist())
-        return _arrow_out(pd.DataFrame({"band": out_b, "pid": out_p, "phash": out_h}))
+        bands = np.concatenate([
+            (((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+             + (b << 8))
+            for b in range(8)
+        ])
+        return _arrow_out(pd.DataFrame({
+            "band": bands,
+            "part": bands % parts,
+            "pid": np.tile(df["pid"].to_numpy(dtype=object), 8),
+            "phash": np.tile(df["phash"].to_numpy(), 8),
+        }))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["pid"], g["phash"])))
-        out_rows = []
-        for i, (pa_id, ha) in enumerate(rows):
-            for pb_id, hb in rows[i + 1:]:
-                if hamming64(int(ha), int(hb)) <= 8:
-                    out_rows.append((pa_id, pb_id, hamming64(int(ha), int(hb))))
-        return pd.DataFrame(out_rows, columns=["id_a", "id_b", "hamming"]).astype(
-            {"hamming": np.int64}
-        )
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Same-band verified pairs for one COARSE hash partition —
+        grouping on the band value itself hands map_groups thousands of
+        tiny pandas groups (the per-group cost dominated the stress
+        corpus; same lesson as minhash_lsh); per-partition it is one
+        lexsort + vectorized XOR/SWAR-popcount per band run."""
+        band = g["band"].to_numpy()
+        pid = g["pid"].to_numpy(dtype=object)
+        ph = g["phash"].to_numpy().astype(np.int64)
+        order = np.lexsort((ph, pid, band))
+        band, pid, ph = band[order], pid[order], ph[order]
+        starts, ends = _key_runs(band)
+        out_a: list = []
+        out_b: list = []
+        out_d: list = []
+        B = 2048  # bound the per-block distance matrix at ~32 MB
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            pp, hp = pid[s:e], ph[s:e]
+            for c in range(0, m, B):
+                d = popcount64(np.bitwise_xor(hp[c:c + B, None], hp[None, :]))
+                ii, jj = np.nonzero(d <= 8)
+                keep = jj > ii + c  # upper triangle in run-local indices
+                out_a.extend(pp[ii[keep] + c])
+                out_b.extend(pp[jj[keep]])
+                out_d.extend(d[ii[keep], jj[keep]])
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=object),
+            "id_b": pd.Series(out_b, dtype=object),
+            "hamming": pd.Series(out_d, dtype=np.int64),
+        })
 
     # pair dedup in one coalesced WORKER task (identical to the
     # minhash_lsh / embedding_neardup_ann shape) — pairs are bounded by
-    # the near-dup rate, never the corpus; nothing lands on the driver
+    # the near-dup rate, never the corpus; nothing lands on the driver.
+    # The materialize() unfuses the giant-batch dedup from the verify
+    # stage: fused, the coalesced batch_size pulls ALL band partitions
+    # into ONE task and serializes the per-bucket verify work (measured
+    # 16× on the stress corpus) — the materialized intermediate is only
+    # the pre-dedup pair list
     return (
         allhash.map_batches(band_rows, batch_format="pandas")
-        .groupby("band", num_partitions=16)
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part", num_partitions=parts)
+        .map_groups(partition_pairs, batch_format="pandas")
+        .materialize()
         .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
                      batch_format="pandas", batch_size=1 << 30)
     )
@@ -2305,10 +2346,11 @@ def q_phash_dedup_keep(sf_dir: str):
     labels = _cc_min_labels(
         pairs_str.map_batches(to_hashed, batch_format="pandas"))
     lab_of = {int(r["node"]): int(r["lab"]) for r in labels.take_all()}
-    pids: set[str] = set()
-    for row in pairs_str.take_all():  # bounded by the near-dup rate
-        pids.add(row["id_a"])
-        pids.add(row["id_b"])
+    # bounded by the near-dup rate; to_pandas, NOT take_all — take_all
+    # iterates pandas-format blocks row-by-row (~1 ms/row: 20 s on a
+    # 20k-pair stress corpus) while to_pandas converts in bulk
+    pair_df = pairs_str.to_pandas()
+    pids: set[str] = set(pair_df["id_a"]).union(pair_df["id_b"])
     rep: dict[int, str] = {}
     for p in sorted(pids):  # sorted → min pid per component wins
         c = lab_of[hash64(p)]
