@@ -911,13 +911,15 @@ def q_minhash_dedup_keep(sf_dir: str):
     non_root = labels.map_batches(  # bounded: subset of pair nodes
         lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
         batch_format="pyarrow")
-    drops = frozenset(int(r["node"]) for r in non_root.take_all())
+    drops = pa.array(
+        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
     dref = ray.put(drops)
 
     def keep(t: pa.Table) -> pa.Table:
+        # vectorized membership — this scans the FULL corpus, so a
+        # Python per-row `in set` loop here is the hot path at scale
         d = _bget(dref)
-        mask = pa.array([int(i) not in d for i in t["doc_id"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=d)))
 
     return _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
         keep, batch_format="pyarrow"
@@ -2356,7 +2358,7 @@ def q_phash_dedup_keep(sf_dir: str):
         c = lab_of[hash64(p)]
         if c not in rep:
             rep[c] = p
-    drops = frozenset(pids - set(rep.values()))
+    drops = pa.array(sorted(pids - set(rep.values())), type=pa.string())
     dref = ray.put(drops)
 
     out = _crawl_out(sf_dir)
@@ -2369,9 +2371,10 @@ def q_phash_dedup_keep(sf_dir: str):
         return pa.table({"pid": pa.concat_arrays([orig, thumb])})
 
     def keep(t: pa.Table) -> pa.Table:
+        # vectorized membership over the full-corpus scan (see
+        # q_minhash_dedup_keep)
         d = _bget(dref)
-        mask = pa.array([p not in d for p in t["pid"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["pid"], value_set=d)))
 
     return (
         ids.map_batches(all_ids, batch_format="pyarrow")
