@@ -113,6 +113,34 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return ((x * _SWAR_H01) >> np.uint64(56)).astype(np.int64)
 
 
+def hamming_pairs(pids: np.ndarray, hashes: np.ndarray, max_d: int = 8,
+                  block: int = 2048) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i < j) index pairs with Hamming(hashes[i], hashes[j]) ≤
+    ``max_d``, emitted as (pids[i], pids[j], distance). The distance
+    matrix is blocked on BOTH axes, so transient memory is O(block²)
+    regardless of the input length (one long run must not allocate a
+    block × n matrix)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    m = len(hashes)
+    for r in range(0, m, block):
+        hr = hashes[r:r + block]
+        for c in range(r, m, block):
+            d = popcount64(np.bitwise_xor(hr[:, None],
+                                          hashes[c:c + block][None, :]))
+            ii, jj = np.nonzero(d <= max_d)
+            gi, gj = ii + r, jj + c
+            keep = gj > gi  # strict upper triangle in global indices
+            out_a.append(pids[gi[keep]])
+            out_b.append(pids[gj[keep]])
+            out_d.append(d[ii[keep], jj[keep]].astype(np.int64))
+    if not out_a:
+        return (np.array([], dtype=pids.dtype), np.array([], dtype=pids.dtype),
+                np.array([], dtype=np.int64))
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_d)
+
+
 def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int,
                 round_decimals: int = 6) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k: (Q,d)×(N,d) → (Q,k) ids + scores.

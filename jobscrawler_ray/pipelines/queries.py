@@ -2227,7 +2227,6 @@ def q_phash_neardup(sf_dir: str):
     banding on 16-bit phash bands → groupby band → candidate pairs →
     verify Hamming ≤ 8. Originals vs their 32×32 thumbnails give true
     positives (avg-hash is resize-robust). Rows-only."""
-    from ..functions.dedupe import popcount64
     from ..stages.multimodal import ResizeImages
 
     out = _crawl_out(sf_dir)
@@ -2282,23 +2281,21 @@ def q_phash_neardup(sf_dir: str):
         out_a: list = []
         out_b: list = []
         out_d: list = []
-        B = 2048  # bound the per-block distance matrix at ~32 MB
         for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
+            if e - s < 2:
                 continue
-            pp, hp = pid[s:e], ph[s:e]
-            for c in range(0, m, B):
-                d = popcount64(np.bitwise_xor(hp[c:c + B, None], hp[None, :]))
-                ii, jj = np.nonzero(d <= 8)
-                keep = jj > ii + c  # upper triangle in run-local indices
-                out_a.extend(pp[ii[keep] + c])
-                out_b.extend(pp[jj[keep]])
-                out_d.extend(d[ii[keep], jj[keep]])
+            a, b, dd = dedupe.hamming_pairs(pid[s:e], ph[s:e], max_d=8)
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(dd)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype=object),
-            "id_b": pd.Series(out_b, dtype=object),
-            "hamming": pd.Series(out_d, dtype=np.int64),
+            "id_a": pd.Series(np.concatenate(out_a), dtype=object),
+            "id_b": pd.Series(np.concatenate(out_b), dtype=object),
+            "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
         })
 
     # pair dedup in one coalesced WORKER task (identical to the
@@ -2481,12 +2478,17 @@ def q_phash_knn(sf_dir: str):
         return _arrow_out(
             df.sort_values("image_id", kind="stable").head(k))
 
-    probes = pd.concat(
-        [pd.DataFrame(b) for b in
-         ds.map_batches(bottom5, batch_format="pandas").iter_batches(
-             batch_format="pandas", batch_size=None)],
-        ignore_index=True,
-    ).sort_values("image_id", kind="stable").head(k)
+    partials = [pd.DataFrame(b) for b in
+                ds.map_batches(bottom5, batch_format="pandas").iter_batches(
+                    batch_format="pandas", batch_size=None)]
+    if not partials:  # empty corpus → empty typed result, not a crash
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], type=pa.string()),
+            "neighbor_id": pa.array([], type=pa.string()),
+            "hamming": pa.array([], type=pa.int64()),
+        }))
+    probes = pd.concat(partials, ignore_index=True).sort_values(
+        "image_id", kind="stable").head(k)
     qids = probes["image_id"].to_numpy()
     qh = probes["phash"].to_numpy().astype(np.int64)
     qref = ray.put((qids, qh))

@@ -164,6 +164,29 @@ class TestRowsOnly:
         assert (est >= exact).all()
         assert (est - exact).max() <= 2 * keys.size / sketch.CM_W
 
+    def test_hamming_pairs_blocked_matches_bruteforce(self, ray_session):
+        """The double-blocked kernel must emit exactly the brute-force
+        (i < j, d ≤ max_d) pair set for block sizes smaller than the
+        input — the golden suite never reaches runs > 2048 rows, so
+        the cross-block index arithmetic needs its own coverage."""
+        from jobscrawler_ray.functions.dedupe import hamming64, hamming_pairs
+
+        rng = np.random.default_rng(11)
+        n = 50
+        base = rng.integers(-2**63, 2**63, size=n, dtype=np.int64)
+        # plant near-dups so the ≤ max_d band is populated
+        h = base.copy()
+        h[1::5] = base[0::5][: len(h[1::5])] ^ np.int64(0b1011)
+        pids = np.array([f"p{i:03d}" for i in range(n)], dtype=object)
+        for block in (3, 7, 64):
+            a, b, d = hamming_pairs(pids, h, max_d=8, block=block)
+            got = set(zip(a, b, d))
+            exp = {(pids[i], pids[j], hamming64(int(h[i]), int(h[j])))
+                   for i in range(n) for j in range(i + 1, n)
+                   if hamming64(int(h[i]), int(h[j])) <= 8}
+            assert got == exp, f"block={block}"
+        assert len(exp) >= 9  # the planted dups actually paired
+
     def test_popcount64_matches_scalar(self, ray_session):
         from jobscrawler_ray.functions.dedupe import hamming64, popcount64
 
