@@ -500,6 +500,15 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "doc_id": "BIGINT", "fingerprint": "BIGINT", "n_winnow": "BIGINT"})
     out["simhash"] = values_sql(golden_simhash(sf_dir), {
         "doc_id": "BIGINT", "simhash": "BIGINT"})
+    # brute-force O(N²) self-join — the banded engine is EXACT at
+    # Hamming ≤ 7 (8×8-bit pigeonhole), so the full pair set must match
+    out["simhash_neardup"] = (
+        f"WITH s AS ({out['simhash']}) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM s a, s b WHERE a.doc_id < b.doc_id "
+        "AND bit_count(xor(a.simhash, b.simhash)) <= 7"
+    )
     out["minhash_lsh"] = values_sql(golden_minhash_lsh(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT", "jacc": "DOUBLE"})
     drops = golden_minhash_drops(sf_dir)

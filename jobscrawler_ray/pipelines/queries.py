@@ -945,6 +945,73 @@ def q_simhash(sf_dir: str):
     )
 
 
+_SIMHASH_TAU = 7  # ≤7 of 64 bits: EXACT recall with 8×8-bit banding
+_SIMHASH_PARTS = 16
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup PAIRS (Hamming ≤ 7) — completes the simhash
+    family the way phash_neardup completes the image one. 8 bands ×
+    8 bits make the banded detection EXACT at this radius (pigeonhole:
+    ≤ 7 flipped bits leave at least one band intact), so the oracle is
+    a brute-force ``bit_count(xor())`` self-join in SQL, not a golden
+    recompute of the banding. Same distributed shape as phash_neardup:
+    band explode → coarse hash-partition groupby → vectorized
+    XOR/SWAR-popcount run detection → coalesced pair dedup."""
+    sims = q_simhash(sf_dir)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        bands = np.concatenate([
+            (((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+             + (b << 8))
+            for b in range(8)
+        ])
+        return _arrow_out(pd.DataFrame({
+            "band": bands,
+            "part": bands % _SIMHASH_PARTS,
+            "doc_id": np.tile(df["doc_id"].to_numpy().astype(np.int64), 8),
+            "simhash": np.tile(df["simhash"].to_numpy().astype(np.int64), 8),
+        }))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy()
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        sh_ = g["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((sh_, did, band))
+        band, did, sh_ = band[order], did[order], sh_[order]
+        starts, ends = _key_runs(band)
+        out_a: list = []
+        out_b: list = []
+        out_d: list = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b, dd = dedupe.hamming_pairs(did[s:e], sh_[s:e],
+                                            max_d=_SIMHASH_TAU)
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(dd)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "id_a": pd.Series(np.concatenate(out_a), dtype=np.int64),
+            "id_b": pd.Series(np.concatenate(out_b), dtype=np.int64),
+            "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
+        })
+
+    return (
+        sims.map_batches(band_rows, batch_format="pandas")
+        .groupby("part", num_partitions=_SIMHASH_PARTS)
+        .map_groups(partition_pairs, batch_format="pandas")
+        .materialize()  # bounded pre-dedup pairs; unfuses the dedup task
+        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
+                     batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
@@ -3000,6 +3067,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_lsh": q_minhash_lsh,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_ann": q_embedding_neardup_ann,
