@@ -374,7 +374,7 @@ def imgstress() -> None:
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "shuffle_shards", "minhash_lsh",
-                     "minhash_dedup_keep"]
+                     "minhash_dedup_keep", "simhash", "simhash_neardup"]
 
 
 def docstress() -> None:

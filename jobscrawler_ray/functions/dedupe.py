@@ -89,6 +89,41 @@ def simhash64(tokens: list[str]) -> int:
     return int(np.int64(np.uint64(v)))
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """``simhash64(text.split(" "))`` for a whole batch, bit-identical,
+    with each distinct token hashed ONCE per batch — the per-token sha1
+    dominates the naive loop (natural text repeats tokens heavily), and
+    the ±1 accumulation runs as one counts-vector × bits-matrix matmul
+    per document."""
+    uniq: dict[str, int] = {}
+    doc_tokens: list[np.ndarray] = []
+    for t in texts:
+        toks = t.split(" ")  # NB "" → [""]: the empty token hashes,
+        idx = np.empty(len(toks), dtype=np.int64)  # exactly like the
+        # scalar call sites do
+        for i, tok in enumerate(toks):
+            j = uniq.get(tok)
+            if j is None:
+                j = len(uniq)
+                uniq[tok] = j
+            idx[i] = j
+        doc_tokens.append(idx)
+    if uniq:
+        hs = np.array([_stable_hash64(t) for t in uniq], dtype=np.uint64)
+        # (U, 64) matrix of ±1 bit contributions
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64) * 2 - 1
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for d, idx in enumerate(doc_tokens):
+        if idx.size == 0:
+            out[d] = 0
+            continue
+        acc = bits[idx].sum(axis=0)  # (len(toks), 64) — bounded by the doc
+        out[d] = np.int64(((acc > 0) * weights).sum(dtype=np.uint64))
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 

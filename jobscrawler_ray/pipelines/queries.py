@@ -935,7 +935,7 @@ def q_simhash(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "simhash": pd.Series(
-                    [dedupe.simhash64(t.split(" ")) for t in df["text"]], dtype=np.int64
+                    dedupe.simhash64_batch(list(df["text"])), dtype=np.int64
                 ),
             }
         )
