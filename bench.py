@@ -374,7 +374,8 @@ def imgstress() -> None:
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "shuffle_shards", "minhash_lsh",
-                     "minhash_dedup_keep", "simhash", "simhash_neardup"]
+                     "minhash_dedup_keep", "simhash", "simhash_neardup",
+                     "langid", "fingerprints"]
 
 
 def docstress() -> None:

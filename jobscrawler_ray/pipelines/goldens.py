@@ -229,6 +229,30 @@ def golden_minhash_drops(sf_dir: str) -> list[int]:
 # --------------------------------------------------------------------------
 
 
+def golden_embedding_drops(sf_dir: str) -> list[int]:
+    """Sequential twin of ``q_embedding_dedup_keep``: brute-force exact
+    cosine pairs (cos ≥ 0.4) + union-find → dropped vec_ids (every
+    component member except its minimum)."""
+    ids, mat = _embeddings(sf_dir)
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = n @ n.T
+    iu = np.triu_indices(len(ids), k=1)
+    sel = sims[iu] >= 0.4
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(ids[iu[0][sel]], ids[iu[1][sel]]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return sorted(x for x in parent if find(x) != x)
+
+
 def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
     """Sequential random-hyperplane LSH: same planes (seeded), same
     corpus-scaled bits per band (``_ann_bits``), same chunk*nb+b bucket
@@ -518,6 +542,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["embedding_neardup_ann"] = values_sql(golden_embedding_neardup_ann(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT"})
+    edrops = golden_embedding_drops(sf_dir)
+    out["embedding_dedup_keep"] = (
+        "SELECT vec_id FROM embeddings"
+        + (f" WHERE vec_id NOT IN ({', '.join(map(str, edrops))})"
+           if edrops else "")
+    )
     out["ann_ivf"] = values_sql(golden_ann_ivf(sf_dir), {
         "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
     out["kmeans_assign"] = values_sql(golden_kmeans_assign(sf_dir), {

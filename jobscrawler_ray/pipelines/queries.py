@@ -926,6 +926,31 @@ def q_minhash_dedup_keep(sf_dir: str):
     )
 
 
+def q_embedding_dedup_keep(sf_dir: str):
+    """Embedding-cosine near-dup REMOVAL — completes the keep/removal
+    trio (minhash for text, phash for images, cosine for embeddings):
+    exact blocked all-pairs (``q_embedding_neardup``) → distributed
+    connected components over the bounded pair set → keep the smallest
+    vec_id per component → vectorized broadcast anti-join over the
+    corpus. Same shape as ``q_minhash_dedup_keep``; the pair ids are
+    already int64 so the CC runs on them directly."""
+    labels = _cc_min_labels(q_embedding_neardup(sf_dir))
+    non_root = labels.map_batches(  # bounded: subset of pair nodes
+        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
+        batch_format="pyarrow")
+    drops = pa.array(
+        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
+    dref = ray.put(drops)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _bget(dref)
+        return t.filter(pc.invert(pc.is_in(t["vec_id"], value_set=d)))
+
+    return _tbl(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def q_simhash(sf_dir: str):
     """SimHash fingerprints (rows-only; near-dup = small Hamming
     distance, asserted in tests)."""
@@ -1156,8 +1181,11 @@ def q_embedding_neardup(sf_dir: str):
         df_out = pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
                                "id_b": pd.Series(out_b, dtype=np.int64)})
         # bi == bj emits both triangles of the symmetric sim matrix →
-        # each unordered pair twice; cross blocks emit it once
-        return df_out.drop_duplicates().reset_index(drop=True)
+        # each unordered pair twice; cross blocks emit it once.
+        # Arrow out: empty pandas blocks would otherwise survive into
+        # downstream unions/sorts untouched and trip Ray's
+        # one-block-type-per-dataset assertion
+        return _arrow_out(df_out.drop_duplicates().reset_index(drop=True))
 
     specs = [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
     try:
@@ -3070,6 +3098,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_neardup": q_simhash_neardup,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
     "embedding_neardup_ann": q_embedding_neardup_ann,
     "ann_ivf": q_ann_ivf,
     "crawl_image_caption": q_crawl_image_caption,

@@ -86,7 +86,7 @@ GOLDEN_NAMES = [
     "phash_neardup", "phash_dedup_keep", "approx_distinct_users",
     "cm_counts_users", "audio_features", "video_frames",
     "curate_image_corpus", "aspect_buckets", "phash_knn",
-    "simhash_neardup",
+    "simhash_neardup", "embedding_dedup_keep",
 ]
 
 
