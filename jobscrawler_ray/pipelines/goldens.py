@@ -341,6 +341,80 @@ def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
         np.int64)
 
 
+def _golden_pq_codebooks(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Sequential twin of queries._pq_codebooks: same strided seeds,
+    same single Lloyd step with int64-quantized sums (the quantization
+    makes the distributed partial merge order-free, so one sequential
+    pass lands on the identical codebook)."""
+    from .queries import _IVF_QUANT, _PQ_K, _PQ_M, _pq_assign_sub
+
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    stride = max(1, len(ids) // _PQ_K)
+    seed_ids = [i * stride for i in range(_PQ_K)]
+    sel = np.isin(ids, seed_ids)
+    order = np.argsort(ids[sel])
+    seeds = n[sel][order]
+    dim = n.shape[1]
+    dsub = dim // _PQ_M
+    cb = seeds.reshape(_PQ_K, _PQ_M, dsub).transpose(1, 0, 2).copy()
+    quant = np.round(n * _IVF_QUANT).astype(np.int64)
+    new_cb = cb.copy()
+    for m in range(_PQ_M):
+        sub = n[:, m * dsub:(m + 1) * dsub]
+        assign = _pq_assign_sub(sub, cb[m])
+        qsub = quant[:, m * dsub:(m + 1) * dsub]
+        for ci in range(_PQ_K):
+            s = assign == ci
+            if s.any():
+                new_cb[m][ci] = qsub[s].sum(axis=0) / (int(s.sum()) * _IVF_QUANT)
+    return new_cb
+
+
+def golden_pq_encode(sf_dir: str) -> pd.DataFrame:
+    from .queries import _pq_encode_mat
+
+    ids, mat = _embeddings(sf_dir)
+    cb = _golden_pq_codebooks(ids, mat)
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return pd.DataFrame({"vec_id": pd.Series(ids, dtype=np.int64),
+                         "pq_code": pd.Series(_pq_encode_mat(n, cb),
+                                              dtype=np.int64)})
+
+
+def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Sequential ADC + exact re-rank: full approx scan (same fixed
+    m-order float accumulation as the engine), global top-S by
+    (approx, id), exact cosine top-10 on the shortlist."""
+    from .queries import (_KNN_K, _PQ_M, _PQ_SHORTLIST, _pq_encode_mat,
+                          _round_half_up)
+
+    ids, mat = _embeddings(sf_dir)
+    cb = _golden_pq_codebooks(ids, mat)
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    codes = _pq_encode_mat(n, cb)
+    dsub = cb.shape[2]
+    qsel = ids < 5
+    qids, qn = ids[qsel], n[qsel]
+    rows = []
+    for r in np.argsort(qids):
+        lut = np.stack([qn[r, m * dsub:(m + 1) * dsub] @ cb[m].T
+                        for m in range(_PQ_M)])
+        score = np.zeros(len(ids))
+        for m in range(_PQ_M):
+            score += lut[m][(codes >> (4 * m)) & 0xF]
+        mask = ids != qids[r]
+        ids_m, s_m = ids[mask], score[mask]
+        short = np.lexsort((ids_m, -s_m))[:_PQ_SHORTLIST]
+        sids = ids_m[short]
+        sel = np.isin(ids, sids)
+        sims = _round_half_up(n[sel] @ qn[r], 6)
+        vid = ids[sel]
+        order = np.lexsort((vid, -sims))[:_KNN_K]
+        for rk, o in enumerate(order, 1):
+            rows.append((int(qids[r]), int(vid[o]), rk))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(np.int64)
+
+
 def golden_embed_documents(sf_dir: str) -> pd.DataFrame:
     """The stand-in model is row-independent and unit-normalizes its
     output, so dim is constant and norm is 1.0 (0.0 only for a zero
@@ -552,6 +626,10 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
     out["kmeans_assign"] = values_sql(golden_kmeans_assign(sf_dir), {
         "vec_id": "BIGINT", "cluster": "BIGINT"})
+    out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
+        "vec_id": "BIGINT", "pq_code": "BIGINT"})
+    out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {
+        "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
     out["embed_documents"] = values_sql(golden_embed_documents(sf_dir), {
         "doc_id": "BIGINT", "dim": "BIGINT", "norm": "DOUBLE"})
     out["crawl_image_caption"] = values_sql(golden_crawl_image_caption(sf_dir), {

@@ -1439,6 +1439,191 @@ def q_ann_ivf(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Product quantization (the memory-compression ANN path: float vectors →
+# one packed int64 code; at 100 TB the PQ-coded corpus is what fits in
+# RAM, with exact re-rank on the shortlist only)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces (dim must divide by 8: 64-d testdata, 256-d stress)
+_PQ_K = 16      # codes per subspace → 4 bits × 8 = one int32-range code
+_PQ_SHORTLIST = 50
+
+
+def _pq_codebooks(sf_dir: str, ds) -> np.ndarray:
+    """Deterministic (M, K, dsub) PQ codebooks: seed = evenly-strided
+    vec_ids' normalized subvectors, then ONE distributed Lloyd step per
+    subspace — all M subspaces share a single partials pass. Partial
+    sums are INT64-quantized (like ``_ivf_centroids``) so the merged
+    codebook is bit-identical regardless of batch/partition order, which
+    is what lets the sequential golden reproduce it exactly."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = papq.ParquetFile(path).metadata.num_rows
+    stride = max(1, n_rows // _PQ_K)
+    seed_ids = [i * stride for i in range(_PQ_K)]
+    t = papq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", seed_ids)])
+    order = np.argsort(t["vec_id"].to_numpy())
+    seeds = _norm_rows(_emb_matrix(t["embedding"])[order])
+    dim = seeds.shape[1]
+    dsub = dim // _PQ_M
+    cb = seeds.reshape(_PQ_K, _PQ_M, dsub).transpose(1, 0, 2).copy()
+    cbref = ray.put(cb)
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "vsum": pa.array([], type=pa.list_(pa.int64()))})
+        cbk = _bget(cbref)
+        mat = _norm_rows(_emb_matrix(t["embedding"]))
+        quant = np.round(mat * _IVF_QUANT).astype(np.int64)
+        ms, cs, ns, vs = [], [], [], []
+        for m in range(_PQ_M):
+            sub = mat[:, m * dsub:(m + 1) * dsub]
+            assign = _pq_assign_sub(sub, cbk[m])
+            qsub = quant[:, m * dsub:(m + 1) * dsub]
+            for ci in np.unique(assign):
+                sel = assign == ci
+                ms.append(m)
+                cs.append(int(ci))
+                ns.append(int(sel.sum()))
+                vs.append(qsub[sel].sum(axis=0).tolist())
+        return pa.table({"m": pa.array(ms, type=pa.int64()),
+                         "c": pa.array(cs, type=pa.int64()),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "vsum": pa.array(vs, type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    new_cb = cb.copy()
+    for (m, ci), g in parts.groupby(["m", "c"]):
+        tot = int(g["n"].sum())
+        if tot:
+            s = np.sum(np.stack(g["vsum"].tolist()).astype(np.int64), axis=0)
+            new_cb[int(m)][int(ci)] = s / (tot * _IVF_QUANT)
+    return new_cb
+
+
+def _pq_assign_sub(sub: np.ndarray, cbm: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||² per row — computed as argmin(||c||² - 2x·c)
+    (the ||x||² term is constant per row); ties take the lowest code,
+    identically in the engine and the sequential golden."""
+    d = np.sum(cbm * cbm, axis=1)[None, :] - 2.0 * (sub @ cbm.T)
+    return np.argmin(d, axis=1)
+
+
+def _pq_encode_mat(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Pack the M 4-bit code indices of each (normalized) row into one
+    int64."""
+    dsub = cb.shape[2]
+    code = np.zeros(mat.shape[0], dtype=np.int64)
+    for m in range(_PQ_M):
+        a = _pq_assign_sub(mat[:, m * dsub:(m + 1) * dsub], cb[m])
+        code |= a.astype(np.int64) << (4 * m)
+    return code
+
+
+def q_pq_encode(sf_dir: str):
+    """PQ-encode the corpus: (vec_id, pq_code) with one packed int64
+    code per vector — the compressed representation a 100 TB system
+    actually stores (8 bytes/vector vs 256-1024). Codebook training is
+    one distributed partials pass; encoding is pure map-side."""
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = _pq_codebooks(sf_dir, ds)
+    cbref = ray.put(cb)
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": t["vec_id"],
+                             "pq_code": pa.array([], type=pa.int64())})
+        mat = _norm_rows(_emb_matrix(t["embedding"]))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "pq_code": pa.array(_pq_encode_mat(mat, _bget(cbref))),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=512)
+
+
+def q_ann_pq(sf_dir: str):
+    """PQ ANN with exact re-rank: ADC scan (per-batch lookup-table sums
+    over the packed codes, batch-local top-S partials — the global
+    top-S by (approx score, id) is exactly the union-of-batch-top-S
+    head, so the result is partition-independent) → groupby merge to
+    the global shortlist → ONE pruned parquet read of the shortlist
+    ids → exact cosine top-10. The corpus crosses the wire as approx
+    partials only; exact vectors are read for ≤ S×queries rows."""
+    k, S = _KNN_K, _PQ_SHORTLIST
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = _pq_codebooks(sf_dir, ds)
+    qids, qmat = _query_vectors(sf_dir)
+    qn = _norm_rows(qmat)
+    dsub = cb.shape[2]
+    # ADC lookup tables: lut[q][m][c] = <q_sub_m, codebook[m][c]>
+    lut = np.stack([
+        np.stack([qn[r, m * dsub:(m + 1) * dsub] @ cb[m].T
+                  for m in range(_PQ_M)])
+        for r in range(len(qids))
+    ])  # (Q, M, K)
+    bref = ray.put((qids, lut, cb))
+
+    def adc_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "approx": pa.array([], type=pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        qi, lu, cbk = _bget(bref)
+        cids = t["vec_id"].to_numpy()
+        codes = _pq_encode_mat(_norm_rows(_emb_matrix(t["embedding"])), cbk)
+        out = []
+        for r in range(len(qi)):
+            # sum the M table entries in fixed m order → bit-identical
+            # float accumulation in the engine and the golden
+            score = np.zeros(len(cids))
+            for m in range(_PQ_M):
+                score += lu[r][m][(codes >> (4 * m)) & 0xF]
+            mask = cids != qi[r]
+            ids_m, s_m = cids[mask], score[mask]
+            order = np.lexsort((ids_m, -s_m))[:S]
+            out.extend((int(qi[r]), int(ids_m[o]), float(s_m[o]))
+                       for o in order)
+        if not out:
+            return empty
+        return pa.table({
+            "query_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in out], type=pa.int64()),
+            "approx": pa.array([r[2] for r in out], type=pa.float64()),
+        })
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qref = ray.put((qids, qn))
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["approx", "neighbor_id"],
+                          ascending=[False, True], kind="stable").head(S)
+        qi, qnn = _bget(qref)
+        row = int(np.nonzero(qi == g["query_id"].iloc[0])[0][0])
+        ids = sorted(int(i) for i in g["neighbor_id"])
+        t = papq.read_table(path, columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "in", ids)])
+        vid = t["vec_id"].to_numpy()
+        sims = _round_half_up(_norm_rows(_emb_matrix(t["embedding"])) @ qnn[row], 6)
+        order = np.lexsort((vid, -sims))[:k]
+        return pd.DataFrame({
+            "query_id": np.full(len(order), qi[row], dtype=np.int64),
+            "neighbor_id": vid[order].astype(np.int64),
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(adc_partial, batch_format="pyarrow", batch_size=512)
+        .groupby("query_id")
+        .map_groups(rerank, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # Crawl flagship + multimodal (rows-only; conformance in tests)
 # --------------------------------------------------------------------------
 
@@ -3101,6 +3286,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "embedding_neardup_ann": q_embedding_neardup_ann,
     "ann_ivf": q_ann_ivf,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
     "recrawl_delta": q_recrawl_delta,

@@ -86,7 +86,7 @@ GOLDEN_NAMES = [
     "phash_neardup", "phash_dedup_keep", "approx_distinct_users",
     "cm_counts_users", "audio_features", "video_frames",
     "curate_image_corpus", "aspect_buckets", "phash_knn",
-    "simhash_neardup", "embedding_dedup_keep",
+    "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
 ]
 
 
@@ -278,6 +278,23 @@ class TestRowsOnly:
             a = set(ann[ann["query_id"] == qid]["neighbor_id"])
             recall.append(len(a & b) / len(b))
         assert np.mean(recall) >= 0.5, f"IVF mean recall {np.mean(recall)}"
+
+    def test_ann_pq_recall(self, ray_session):
+        """PQ+re-rank recall vs brute force. Random 64-d vectors are
+        PQ's adversarial case (no cluster structure for the codebooks
+        to exploit; measured ~0.58 here, ~1.0 on planted-near-dup
+        corpora), so the bar is deliberately loose — the exactness
+        guarantee lives in the golden-parity test, not here."""
+        from jobscrawler_ray.pipelines.queries import QUERIES
+
+        brute = _to_pandas(QUERIES["knn_cosine"](SF_DIR))
+        pq = _to_pandas(QUERIES["ann_pq"](SF_DIR))
+        recall = []
+        for qid in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            a = set(pq[pq["query_id"] == qid]["neighbor_id"])
+            recall.append(len(a & b) / len(b))
+        assert np.mean(recall) >= 0.4, f"PQ mean recall {np.mean(recall)}"
 
     def test_embedding_neardup_ann_recall(self, ray_session):
         """The LSH-bucketed near-dup path must be a subset of the exact
