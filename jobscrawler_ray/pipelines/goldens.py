@@ -680,6 +680,31 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "WHEN '1:1' THEN 64 WHEN '4:3' THEN 56 ELSE 48 END AS BIGINT) "
         "AS target_h FROM b"
     )
+    out["image_training_manifest"] = (
+        f"WITH img AS ({img_cte}), kept AS ("
+        "SELECT image_id, w, h, "
+        "CAST('0x' || substr(image_id, 1, 8) AS UBIGINT) AS key FROM img "
+        "WHERE least(w, h) >= 24 AND greatest(w, h) <= 2 * least(w, h) "
+        "AND length(caption) BETWEEN 20 AND 256 "
+        "AND length(caption) - length(replace(caption, ' ', '')) + 1 >= 5"
+        "), m AS (SELECT image_id, w, h, "
+        "(key * 2654435761) % 4294967296 AS mixed, "
+        "CASE WHEN 64*w*w < 27*h*h THEN '9:16' "
+        "WHEN 4*w*w < 3*h*h THEN '3:4' "
+        "WHEN 3*w*w < 4*h*h THEN '1:1' "
+        "WHEN 27*w*w < 64*h*h THEN '4:3' ELSE '16:9' END AS bucket "
+        "FROM kept) "
+        "SELECT image_id, bucket, "
+        "CAST(CASE bucket WHEN '9:16' THEN 48 WHEN '3:4' THEN 56 "
+        "WHEN '1:1' THEN 64 WHEN '4:3' THEN 72 ELSE 80 END AS BIGINT) "
+        "AS target_w, "
+        "CAST(CASE bucket WHEN '9:16' THEN 80 WHEN '3:4' THEN 72 "
+        "WHEN '1:1' THEN 64 WHEN '4:3' THEN 56 ELSE 48 END AS BIGINT) "
+        "AS target_h, "
+        "CASE WHEN mixed % 100 < 90 THEN 'train' "
+        "WHEN mixed % 100 < 95 THEN 'val' ELSE 'test' END AS split, "
+        "CAST(mixed // 536870912 AS BIGINT) AS shard FROM m"
+    )
     out["phash_knn"] = (
         f"WITH img AS ({img_cte}), "
         "q AS (SELECT image_id AS qid, phash AS qh FROM img "

@@ -2734,6 +2734,72 @@ def q_aspect_buckets(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_image_training_manifest(sf_dir: str):
+    """The image-side flagship composition: curation gates + aspect
+    bucket + train/val/test split + shard assignment FUSED into ONE
+    map pass over one pruned read — the manifest an image-training run
+    consumes. The hash key is the image_id's first 8 hex chars as an
+    integer (``CAST('0x'||substr(...) AS UBIGINT)`` in the oracle), and
+    all arithmetic is uint64/UBIGINT on both sides: key × the Knuth
+    multiplier exceeds int64. Deterministic, cluster-size-independent,
+    zero shuffle."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(out, "image_caption"),
+        columns=["image_id", "w", "h", "caption"],
+    )
+    names = np.array([b[0] for b in _ASPECT_BUCKETS])
+    tws = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    ths = np.array([b[2] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    n_shards = 8
+
+    def manifest(t: pa.Table) -> pa.Table:
+        w64 = pc.cast(t["w"], pa.int64())
+        h64 = pc.cast(t["h"], pa.int64())
+        mind = pc.min_element_wise(w64, h64)
+        maxd = pc.max_element_wise(w64, h64)
+        keep = pc.and_(
+            pc.greater_equal(mind, 24),
+            pc.less_equal(maxd, pc.multiply(mind, 2)),
+        )
+        cap_len = pc.utf8_length(t["caption"])
+        keep = pc.and_(keep, pc.and_(pc.greater_equal(cap_len, 20),
+                                     pc.less_equal(cap_len, 256)))
+        n_words = pc.add(pc.count_substring(t["caption"], " "), 1)
+        t = t.filter(pc.and_(keep, pc.greater_equal(n_words, 5)))
+        if t.num_rows == 0:
+            return pa.table({
+                "image_id": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.string()),
+                "target_w": pa.array([], type=pa.int64()),
+                "target_h": pa.array([], type=pa.int64()),
+                "split": pa.array([], type=pa.string()),
+                "shard": pa.array([], type=pa.int64()),
+            })
+        ids = t["image_id"].to_pylist()
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        w2, h2 = w * w, h * h
+        conds = [64 * w2 < 27 * h2, 4 * w2 < 3 * h2,
+                 3 * w2 < 4 * h2, 27 * w2 < 64 * h2]
+        idx = np.select(conds, [0, 1, 2, 3], default=4)
+        key = np.array([int(s[:8], 16) for s in ids], dtype=np.uint64)
+        mixed = (key * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        b = (mixed % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        shard = (mixed // np.uint64(_HASH_MOD // n_shards)).astype(np.int64)
+        return pa.table({
+            "image_id": t["image_id"],
+            "bucket": pa.array(names[idx]),
+            "target_w": pa.array(tws[idx]),
+            "target_h": pa.array(ths[idx]),
+            "split": pa.array(split),
+            "shard": pa.array(shard),
+        })
+
+    return ds.map_batches(manifest, batch_format="pyarrow")
+
+
 _PHASH_KNN_K = 5
 
 
@@ -3319,6 +3385,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_dedup_keep": q_phash_dedup_keep,
     "curate_image_corpus": q_curate_image_corpus,
     "aspect_buckets": q_aspect_buckets,
+    "image_training_manifest": q_image_training_manifest,
     "phash_knn": q_phash_knn,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,

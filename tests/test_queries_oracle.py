@@ -87,6 +87,7 @@ GOLDEN_NAMES = [
     "cm_counts_users", "audio_features", "video_frames",
     "curate_image_corpus", "aspect_buckets", "phash_knn",
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
+    "image_training_manifest",
 ]
 
 
