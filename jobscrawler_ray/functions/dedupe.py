@@ -92,9 +92,11 @@ def simhash64(tokens: list[str]) -> int:
 def simhash64_batch(texts: list[str]) -> np.ndarray:
     """``simhash64(text.split(" "))`` for a whole batch, bit-identical,
     with each distinct token hashed ONCE per batch — the per-token sha1
-    dominates the naive loop (natural text repeats tokens heavily), and
-    the ±1 accumulation runs as one counts-vector × bits-matrix matmul
-    per document."""
+    dominates the naive loop (natural text repeats tokens heavily). The
+    ±1 accumulation is a per-doc gather-sum over the bits matrix for
+    typical docs, switching to counts @ bits when a doc has more token
+    occurrences than the batch vocabulary (bounds the transient at
+    O(vocab × 64) instead of O(doc_len × 64))."""
     uniq: dict[str, int] = {}
     doc_tokens: list[np.ndarray] = []
     for t in texts:
@@ -119,7 +121,10 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         if idx.size == 0:
             out[d] = 0
             continue
-        acc = bits[idx].sum(axis=0)  # (len(toks), 64) — bounded by the doc
+        if idx.size > len(uniq):
+            acc = np.bincount(idx, minlength=len(uniq)).astype(np.int64) @ bits
+        else:
+            acc = bits[idx].sum(axis=0)
         out[d] = np.int64(((acc > 0) * weights).sum(dtype=np.uint64))
     return out
 

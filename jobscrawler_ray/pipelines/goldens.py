@@ -234,10 +234,10 @@ def golden_embedding_drops(sf_dir: str) -> list[int]:
     cosine pairs (cos ≥ 0.4) + union-find → dropped vec_ids (every
     component member except its minimum)."""
     ids, mat = _embeddings(sf_dir)
-    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = _norm_rows(mat)
     sims = n @ n.T
     iu = np.triu_indices(len(ids), k=1)
-    sel = sims[iu] >= 0.4
+    sel = sims[iu] >= _COS_TAU
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -346,9 +346,9 @@ def _golden_pq_codebooks(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
     same single Lloyd step with int64-quantized sums (the quantization
     makes the distributed partial merge order-free, so one sequential
     pass lands on the identical codebook)."""
-    from .queries import _IVF_QUANT, _PQ_K, _PQ_M, _pq_assign_sub
+    from .queries import _PQ_K, _PQ_M, _pq_assign_sub
 
-    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = _norm_rows(mat)
     stride = max(1, len(ids) // _PQ_K)
     seed_ids = [i * stride for i in range(_PQ_K)]
     sel = np.isin(ids, seed_ids)
@@ -375,7 +375,7 @@ def golden_pq_encode(sf_dir: str) -> pd.DataFrame:
 
     ids, mat = _embeddings(sf_dir)
     cb = _golden_pq_codebooks(ids, mat)
-    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = _norm_rows(mat)
     return pd.DataFrame({"vec_id": pd.Series(ids, dtype=np.int64),
                          "pq_code": pd.Series(_pq_encode_mat(n, cb),
                                               dtype=np.int64)})
@@ -390,7 +390,7 @@ def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
 
     ids, mat = _embeddings(sf_dir)
     cb = _golden_pq_codebooks(ids, mat)
-    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = _norm_rows(mat)
     codes = _pq_encode_mat(n, cb)
     dsub = cb.shape[2]
     qsel = ids < 5

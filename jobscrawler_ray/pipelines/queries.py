@@ -898,6 +898,30 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
     return labels
 
 
+def _cc_drop_array(pairs) -> pa.Array:
+    """Connected components over an int64 (id_a, id_b) pair Dataset →
+    sorted Arrow array of DROPPED ids (every component member except
+    its minimum) — the shared tail of the int-keyed dedup-KEEP ops.
+    Bounded by the pair-node set, never the corpus."""
+    labels = _cc_min_labels(pairs)
+    non_root = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
+        batch_format="pyarrow")
+    return pa.array(
+        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
+
+
+def _keep_stage(dref, id_col: str):
+    """Vectorized drop-set anti-join — this scans the FULL corpus, so a
+    Python per-row `in set` loop here would be the hot path at scale."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _bget(dref)
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=d)))
+
+    return keep
+
+
 def q_minhash_dedup_keep(sf_dir: str):
     """Near-dup REMOVAL — the operation a training-data pipeline
     actually runs (detection alone doesn't shrink the corpus):
@@ -907,22 +931,9 @@ def q_minhash_dedup_keep(sf_dir: str):
     keep the smallest doc_id per component → broadcast the drop-set
     (≤ 2×pairs rows) and anti-join it against the full corpus in
     map_batches. Rows-only; keep-set properties asserted in tests."""
-    labels = _cc_min_labels(q_minhash_lsh(sf_dir))
-    non_root = labels.map_batches(  # bounded: subset of pair nodes
-        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
-        batch_format="pyarrow")
-    drops = pa.array(
-        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
-    dref = ray.put(drops)
-
-    def keep(t: pa.Table) -> pa.Table:
-        # vectorized membership — this scans the FULL corpus, so a
-        # Python per-row `in set` loop here is the hot path at scale
-        d = _bget(dref)
-        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=d)))
-
+    dref = ray.put(_cc_drop_array(q_minhash_lsh(sf_dir)))
     return _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
-        keep, batch_format="pyarrow"
+        _keep_stage(dref, "doc_id"), batch_format="pyarrow"
     )
 
 
@@ -934,20 +945,9 @@ def q_embedding_dedup_keep(sf_dir: str):
     vec_id per component → vectorized broadcast anti-join over the
     corpus. Same shape as ``q_minhash_dedup_keep``; the pair ids are
     already int64 so the CC runs on them directly."""
-    labels = _cc_min_labels(q_embedding_neardup(sf_dir))
-    non_root = labels.map_batches(  # bounded: subset of pair nodes
-        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
-        batch_format="pyarrow")
-    drops = pa.array(
-        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
-    dref = ray.put(drops)
-
-    def keep(t: pa.Table) -> pa.Table:
-        d = _bget(dref)
-        return t.filter(pc.invert(pc.is_in(t["vec_id"], value_set=d)))
-
+    dref = ray.put(_cc_drop_array(q_embedding_neardup(sf_dir)))
     return _tbl(sf_dir, "embeddings", ["vec_id"]).map_batches(
-        keep, batch_format="pyarrow"
+        _keep_stage(dref, "vec_id"), batch_format="pyarrow"
     )
 
 
@@ -971,22 +971,23 @@ def q_simhash(sf_dir: str):
 
 
 _SIMHASH_TAU = 7  # ≤7 of 64 bits: EXACT recall with 8×8-bit banding
-_SIMHASH_PARTS = 16
 
 
-def q_simhash_neardup(sf_dir: str):
-    """SimHash near-dup PAIRS (Hamming ≤ 7) — completes the simhash
-    family the way phash_neardup completes the image one. 8 bands ×
-    8 bits make the banded detection EXACT at this radius (pigeonhole:
-    ≤ 7 flipped bits leave at least one band intact), so the oracle is
-    a brute-force ``bit_count(xor())`` self-join in SQL, not a golden
-    recompute of the banding. Same distributed shape as phash_neardup:
-    band explode → coarse hash-partition groupby → vectorized
-    XOR/SWAR-popcount run detection → coalesced pair dedup."""
-    sims = q_simhash(sf_dir)
+def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
+                          id_dtype, parts: int = 16):
+    """Shared 8-band × 8-bit Hamming near-dup pipeline (phash and
+    simhash): band explode → coarse hash-partition groupby (grouping on
+    the band value itself hands map_groups thousands of tiny pandas
+    groups; per-partition it is one lexsort + vectorized XOR/SWAR-
+    popcount run detection, the minhash_lsh lesson) → bounded
+    materialize (unfuses the giant-batch dedup from the verify stage —
+    fused, it pulls ALL partitions into ONE task, measured 16× slower
+    on the 20k-image stress corpus) → coalesced pair dedup. EXACT at
+    max_d ≤ 7 by pigeonhole (≤ 7 flipped bits leave a band intact);
+    near-certain at 8."""
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy().astype(np.uint64)
+        h = df[hash_col].to_numpy().astype(np.uint64)
         bands = np.concatenate([
             (((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
              + (b << 8))
@@ -994,17 +995,17 @@ def q_simhash_neardup(sf_dir: str):
         ])
         return _arrow_out(pd.DataFrame({
             "band": bands,
-            "part": bands % _SIMHASH_PARTS,
-            "doc_id": np.tile(df["doc_id"].to_numpy().astype(np.int64), 8),
-            "simhash": np.tile(df["simhash"].to_numpy().astype(np.int64), 8),
+            "part": bands % parts,
+            "nid": np.tile(df[id_col].to_numpy(dtype=object), 8),
+            "h64": np.tile(df[hash_col].to_numpy(), 8),
         }))
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         band = g["band"].to_numpy()
-        did = g["doc_id"].to_numpy().astype(np.int64)
-        sh_ = g["simhash"].to_numpy().astype(np.int64)
-        order = np.lexsort((sh_, did, band))
-        band, did, sh_ = band[order], did[order], sh_[order]
+        nid = g["nid"].to_numpy(dtype=object)
+        h = g["h64"].to_numpy().astype(np.int64)
+        order = np.lexsort((h, nid, band))
+        band, nid, h = band[order], nid[order], h[order]
         starts, ends = _key_runs(band)
         out_a: list = []
         out_b: list = []
@@ -1012,29 +1013,38 @@ def q_simhash_neardup(sf_dir: str):
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            a, b, dd = dedupe.hamming_pairs(did[s:e], sh_[s:e],
-                                            max_d=_SIMHASH_TAU)
+            a, b, dd = dedupe.hamming_pairs(nid[s:e], h[s:e], max_d=max_d)
             out_a.append(a)
             out_b.append(b)
             out_d.append(dd)
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64),
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
                                  "hamming": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({
-            "id_a": pd.Series(np.concatenate(out_a), dtype=np.int64),
-            "id_b": pd.Series(np.concatenate(out_b), dtype=np.int64),
+            "id_a": pd.Series(np.concatenate(out_a), dtype=id_dtype),
+            "id_b": pd.Series(np.concatenate(out_b), dtype=id_dtype),
             "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
         })
 
     return (
-        sims.map_batches(band_rows, batch_format="pandas")
-        .groupby("part", num_partitions=_SIMHASH_PARTS)
+        hashed.map_batches(band_rows, batch_format="pandas")
+        .groupby("part", num_partitions=parts)
         .map_groups(partition_pairs, batch_format="pandas")
-        .materialize()  # bounded pre-dedup pairs; unfuses the dedup task
+        .materialize()
         .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
                      batch_format="pandas", batch_size=1 << 30)
     )
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup PAIRS (Hamming ≤ 7) — completes the simhash
+    family the way phash_neardup completes the image one. The 8×8-bit
+    banding is EXACT at this radius (see ``_banded_hamming_pairs``), so
+    the oracle is a brute-force ``bit_count(xor())`` self-join in SQL,
+    not a golden recompute of the banding."""
+    return _banded_hamming_pairs(q_simhash(sf_dir), "doc_id", "simhash",
+                                 max_d=_SIMHASH_TAU, id_dtype=np.int64)
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -2527,73 +2537,8 @@ def q_phash_neardup(sf_dir: str):
     allhash = ds.map_batches(orig_rows, batch_format="pyarrow").union(
         thumbs.map_batches(thumb_rows, batch_format="pyarrow")
     )
-
-    parts = 16  # coarse shuffle key: hash partition of the band value
-
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # 8 bands × 8 bits: ≤ 8 flipped bits leave at least one band
-        # intact by pigeonhole at ≤7, and near-certainly at 8
-        h = df["phash"].to_numpy().astype(np.uint64)
-        bands = np.concatenate([
-            (((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
-             + (b << 8))
-            for b in range(8)
-        ])
-        return _arrow_out(pd.DataFrame({
-            "band": bands,
-            "part": bands % parts,
-            "pid": np.tile(df["pid"].to_numpy(dtype=object), 8),
-            "phash": np.tile(df["phash"].to_numpy(), 8),
-        }))
-
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Same-band verified pairs for one COARSE hash partition —
-        grouping on the band value itself hands map_groups thousands of
-        tiny pandas groups (the per-group cost dominated the stress
-        corpus; same lesson as minhash_lsh); per-partition it is one
-        lexsort + vectorized XOR/SWAR-popcount per band run."""
-        band = g["band"].to_numpy()
-        pid = g["pid"].to_numpy(dtype=object)
-        ph = g["phash"].to_numpy().astype(np.int64)
-        order = np.lexsort((ph, pid, band))
-        band, pid, ph = band[order], pid[order], ph[order]
-        starts, ends = _key_runs(band)
-        out_a: list = []
-        out_b: list = []
-        out_d: list = []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            a, b, dd = dedupe.hamming_pairs(pid[s:e], ph[s:e], max_d=8)
-            out_a.append(a)
-            out_b.append(b)
-            out_d.append(dd)
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                 "id_b": pd.Series([], dtype=object),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
-            "id_a": pd.Series(np.concatenate(out_a), dtype=object),
-            "id_b": pd.Series(np.concatenate(out_b), dtype=object),
-            "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
-        })
-
-    # pair dedup in one coalesced WORKER task (identical to the
-    # minhash_lsh / embedding_neardup_ann shape) — pairs are bounded by
-    # the near-dup rate, never the corpus; nothing lands on the driver.
-    # The materialize() unfuses the giant-batch dedup from the verify
-    # stage: fused, the coalesced batch_size pulls ALL band partitions
-    # into ONE task and serializes the per-bucket verify work (measured
-    # 16× on the stress corpus) — the materialized intermediate is only
-    # the pre-dedup pair list
-    return (
-        allhash.map_batches(band_rows, batch_format="pandas")
-        .groupby("part", num_partitions=parts)
-        .map_groups(partition_pairs, batch_format="pandas")
-        .materialize()
-        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
-                     batch_format="pandas", batch_size=1 << 30)
-    )
+    return _banded_hamming_pairs(allhash, "pid", "phash", max_d=8,
+                                 id_dtype=object)
 
 
 def q_phash_dedup_keep(sf_dir: str):
@@ -2659,15 +2604,45 @@ def q_phash_dedup_keep(sf_dir: str):
     )
 
 
+def _image_gate_mask(t: pa.Table):
+    """LAION-style gate mask (min dimension, integer-exact aspect
+    ratio, caption length + word count) — ONE engine-side source of
+    truth shared by ``curate_image_corpus`` and the fused
+    ``image_training_manifest``. The aspect gate compares integers
+    (``max(w,h) <= 2*min(w,h)``) so the SQL oracles cannot drift on
+    float division."""
+    w64 = pc.cast(t["w"], pa.int64())
+    h64 = pc.cast(t["h"], pa.int64())
+    mind = pc.min_element_wise(w64, h64)
+    maxd = pc.max_element_wise(w64, h64)
+    keep = pc.and_(
+        pc.greater_equal(mind, 24),
+        pc.less_equal(maxd, pc.multiply(mind, 2)),
+    )
+    cap_len = pc.utf8_length(t["caption"])
+    keep = pc.and_(keep, pc.and_(pc.greater_equal(cap_len, 20),
+                                 pc.less_equal(cap_len, 256)))
+    n_words = pc.add(pc.count_substring(t["caption"], " "), 1)
+    return pc.and_(keep, pc.greater_equal(n_words, 5))
+
+
+def _aspect_idx(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Index into ``_ASPECT_BUCKETS`` by the exact-integer geometric
+    midpoints (see the constant's comment) — shared by
+    ``aspect_buckets`` and ``image_training_manifest``."""
+    w2, h2 = w * w, h * h
+    conds = [64 * w2 < 27 * h2, 4 * w2 < 3 * h2,
+             3 * w2 < 4 * h2, 27 * w2 < 64 * h2]
+    return np.select(conds, [0, 1, 2, 3], default=4)
+
+
 def q_curate_image_corpus(sf_dir: str):
     """LAION-style image-caption curation: minimum-dimension, aspect-
     ratio, caption-length and caption-word-count gates FUSED into one
     vectorized map pass over a single pruned read (the image twin of
     ``curate_corpus`` — separate filter stages would re-scan the corpus
     once per gate). All gates are pure map-side: no shuffle, streams at
-    any corpus size. The aspect gate compares integers
-    (``max(w,h) <= 2*min(w,h)``) so the SQL oracle cannot drift on
-    float division."""
+    any corpus size."""
     out = _crawl_out(sf_dir)
     ds = rd.read_parquet(
         os.path.join(out, "image_caption"),
@@ -2675,20 +2650,7 @@ def q_curate_image_corpus(sf_dir: str):
     )
 
     def gates(t: pa.Table) -> pa.Table:
-        w64 = pc.cast(t["w"], pa.int64())
-        h64 = pc.cast(t["h"], pa.int64())
-        mind = pc.min_element_wise(w64, h64)
-        maxd = pc.max_element_wise(w64, h64)
-        keep = pc.and_(
-            pc.greater_equal(mind, 24),
-            pc.less_equal(maxd, pc.multiply(mind, 2)),
-        )
-        cap_len = pc.utf8_length(t["caption"])
-        keep = pc.and_(keep, pc.and_(pc.greater_equal(cap_len, 20),
-                                     pc.less_equal(cap_len, 256)))
-        n_words = pc.add(pc.count_substring(t["caption"], " "), 1)
-        keep = pc.and_(keep, pc.greater_equal(n_words, 5))
-        return t.filter(keep)
+        return t.filter(_image_gate_mask(t))
 
     return ds.map_batches(gates, batch_format="pyarrow")
 
@@ -2717,13 +2679,8 @@ def q_aspect_buckets(sf_dir: str):
     ths = np.array([b[2] for b in _ASPECT_BUCKETS], dtype=np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
-        w = t["w"].to_numpy().astype(np.int64)
-        h = t["h"].to_numpy().astype(np.int64)
-        w2, h2 = w * w, h * h
-        # midpoints of (9:16,3:4), (3:4,1:1), (1:1,4:3), (4:3,16:9)
-        conds = [64 * w2 < 27 * h2, 4 * w2 < 3 * h2,
-                 3 * w2 < 4 * h2, 27 * w2 < 64 * h2]
-        idx = np.select(conds, [0, 1, 2, 3], default=4)
+        idx = _aspect_idx(t["w"].to_numpy().astype(np.int64),
+                          t["h"].to_numpy().astype(np.int64))
         return pa.table({
             "image_id": t["image_id"],
             "bucket": pa.array(names[idx]),
@@ -2754,19 +2711,7 @@ def q_image_training_manifest(sf_dir: str):
     n_shards = 8
 
     def manifest(t: pa.Table) -> pa.Table:
-        w64 = pc.cast(t["w"], pa.int64())
-        h64 = pc.cast(t["h"], pa.int64())
-        mind = pc.min_element_wise(w64, h64)
-        maxd = pc.max_element_wise(w64, h64)
-        keep = pc.and_(
-            pc.greater_equal(mind, 24),
-            pc.less_equal(maxd, pc.multiply(mind, 2)),
-        )
-        cap_len = pc.utf8_length(t["caption"])
-        keep = pc.and_(keep, pc.and_(pc.greater_equal(cap_len, 20),
-                                     pc.less_equal(cap_len, 256)))
-        n_words = pc.add(pc.count_substring(t["caption"], " "), 1)
-        t = t.filter(pc.and_(keep, pc.greater_equal(n_words, 5)))
+        t = t.filter(_image_gate_mask(t))
         if t.num_rows == 0:
             return pa.table({
                 "image_id": pa.array([], type=pa.string()),
@@ -2777,12 +2722,8 @@ def q_image_training_manifest(sf_dir: str):
                 "shard": pa.array([], type=pa.int64()),
             })
         ids = t["image_id"].to_pylist()
-        w = t["w"].to_numpy().astype(np.int64)
-        h = t["h"].to_numpy().astype(np.int64)
-        w2, h2 = w * w, h * h
-        conds = [64 * w2 < 27 * h2, 4 * w2 < 3 * h2,
-                 3 * w2 < 4 * h2, 27 * w2 < 64 * h2]
-        idx = np.select(conds, [0, 1, 2, 3], default=4)
+        idx = _aspect_idx(t["w"].to_numpy().astype(np.int64),
+                          t["h"].to_numpy().astype(np.int64))
         key = np.array([int(s[:8], 16) for s in ids], dtype=np.uint64)
         mixed = (key * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
         b = (mixed % np.uint64(100)).astype(np.int64)
