@@ -267,7 +267,7 @@ def _stress(query_names: list[str], table_dir: str, metric: str,
 
 
 VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
-                     "kmeans_assign", "pq_encode", "ann_pq"]
+                     "kmeans_assign", "pq_encode", "ann_pq", "ann_ivfpq"]
 
 
 def vecstress() -> None:

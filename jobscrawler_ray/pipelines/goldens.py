@@ -381,12 +381,13 @@ def golden_pq_encode(sf_dir: str) -> pd.DataFrame:
                                               dtype=np.int64)})
 
 
-def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
-    """Sequential ADC + exact re-rank: full approx scan (same fixed
-    m-order float accumulation as the engine), global top-S by
-    (approx, id), exact cosine top-10 on the shortlist."""
-    from .queries import (_KNN_K, _PQ_M, _PQ_SHORTLIST, _pq_encode_mat,
-                          _round_half_up)
+def _golden_pq_search(sf_dir: str, probe: bool) -> pd.DataFrame:
+    """Sequential ADC + exact re-rank (same fixed m-order float
+    accumulation as the engine), global top-S by (approx, id), exact
+    cosine top-10 on the shortlist. ``probe=True`` adds the IVF coarse
+    filter (golden twin of ann_ivfpq)."""
+    from .queries import (_KNN_K, _PQ_M, _PQ_SHORTLIST, _ivf_params,
+                          _pq_encode_mat, _round_half_up)
 
     ids, mat = _embeddings(sf_dir)
     cb = _golden_pq_codebooks(ids, mat)
@@ -395,16 +396,24 @@ def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
     dsub = cb.shape[2]
     qsel = ids < 5
     qids, qn = ids[qsel], n[qsel]
+    if probe:
+        nlist, nprobe = _ivf_params(len(ids))
+        cn = _norm_rows(_golden_ivf_centroids(ids, mat, nlist))
+        probe_lists = np.argsort(-(qn @ cn.T), axis=1,
+                                 kind="stable")[:, :nprobe]
+        assign = np.argmax(n @ cn.T, axis=1)
     rows = []
     for r in np.argsort(qids):
         lut = np.stack([qn[r, m * dsub:(m + 1) * dsub] @ cb[m].T
                         for m in range(_PQ_M)])
-        score = np.zeros(len(ids))
-        for m in range(_PQ_M):
-            score += lut[m][(codes >> (4 * m)) & 0xF]
         mask = ids != qids[r]
-        ids_m, s_m = ids[mask], score[mask]
-        short = np.lexsort((ids_m, -s_m))[:_PQ_SHORTLIST]
+        if probe:
+            mask &= np.isin(assign, probe_lists[r])
+        ids_m, cm = ids[mask], codes[mask]
+        score = np.zeros(len(ids_m))
+        for m in range(_PQ_M):
+            score += lut[m][(cm >> (4 * m)) & 0xF]
+        short = np.lexsort((ids_m, -score))[:_PQ_SHORTLIST]
         sids = ids_m[short]
         sel = np.isin(ids, sids)
         sims = _round_half_up(n[sel] @ qn[r], 6)
@@ -413,6 +422,14 @@ def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
         for rk, o in enumerate(order, 1):
             rows.append((int(qids[r]), int(vid[o]), rk))
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(np.int64)
+
+
+def golden_ann_pq(sf_dir: str) -> pd.DataFrame:
+    return _golden_pq_search(sf_dir, probe=False)
+
+
+def golden_ann_ivfpq(sf_dir: str) -> pd.DataFrame:
+    return _golden_pq_search(sf_dir, probe=True)
 
 
 def golden_embed_documents(sf_dir: str) -> pd.DataFrame:
@@ -629,6 +646,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
         "vec_id": "BIGINT", "pq_code": "BIGINT"})
     out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {
+        "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
+    out["ann_ivfpq"] = values_sql(golden_ann_ivfpq(sf_dir), {
         "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
     out["embed_documents"] = values_sql(golden_embed_documents(sf_dir), {
         "doc_id": "BIGINT", "dim": "BIGINT", "norm": "DOUBLE"})

@@ -1555,19 +1555,19 @@ def q_pq_encode(sf_dir: str):
     return ds.map_batches(enc, batch_format="pyarrow", batch_size=512)
 
 
-def q_ann_pq(sf_dir: str):
-    """PQ ANN with exact re-rank: ADC scan (per-batch lookup-table sums
-    over the packed codes, batch-local top-S partials — the global
-    top-S by (approx score, id) is exactly the union-of-batch-top-S
-    head, so the result is partition-independent) → groupby merge to
-    the global shortlist → ONE pruned parquet read of the shortlist
-    ids → exact cosine top-10. The corpus crosses the wire as approx
-    partials only; exact vectors are read for ≤ S×queries rows."""
+def _pq_search(sf_dir: str, ds, cb: np.ndarray, qids: np.ndarray,
+               qn: np.ndarray, cn: np.ndarray | None = None,
+               probe_lists: np.ndarray | None = None):
+    """Shared PQ search: ADC scan (per-batch lookup-table sums over the
+    packed codes, batch-local top-S partials — the global top-S by
+    (approx score, id) is exactly the union-of-batch-top-S head, so the
+    result is partition-independent) → groupby merge to the global
+    shortlist → ONE pruned parquet read of the shortlist ids → exact
+    cosine top-10. With ``cn``/``probe_lists`` set (IVF-PQ), each batch
+    additionally assigns rows to their coarse list and scores only the
+    rows inside each query's probed lists. The corpus crosses the wire
+    as approx partials only."""
     k, S = _KNN_K, _PQ_SHORTLIST
-    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cb = _pq_codebooks(sf_dir, ds)
-    qids, qmat = _query_vectors(sf_dir)
-    qn = _norm_rows(qmat)
     dsub = cb.shape[2]
     # ADC lookup tables: lut[q][m][c] = <q_sub_m, codebook[m][c]>
     lut = np.stack([
@@ -1575,7 +1575,7 @@ def q_ann_pq(sf_dir: str):
                   for m in range(_PQ_M)])
         for r in range(len(qids))
     ])  # (Q, M, K)
-    bref = ray.put((qids, lut, cb))
+    bref = ray.put((qids, lut, cb, cn, probe_lists))
 
     def adc_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"query_id": pa.array([], type=pa.int64()),
@@ -1583,20 +1583,26 @@ def q_ann_pq(sf_dir: str):
                           "approx": pa.array([], type=pa.float64())})
         if t.num_rows == 0:
             return empty
-        qi, lu, cbk = _bget(bref)
+        qi, lu, cbk, cnn, pl = _bget(bref)
         cids = t["vec_id"].to_numpy()
-        codes = _pq_encode_mat(_norm_rows(_emb_matrix(t["embedding"])), cbk)
+        nm = _norm_rows(_emb_matrix(t["embedding"]))
+        codes = _pq_encode_mat(nm, cbk)
+        assign = np.argmax(nm @ cnn.T, axis=1) if cnn is not None else None
         out = []
         for r in range(len(qi)):
+            mask = cids != qi[r]
+            if assign is not None:
+                mask &= np.isin(assign, pl[r])
+            if not mask.any():
+                continue
+            ids_m, cm = cids[mask], codes[mask]
             # sum the M table entries in fixed m order → bit-identical
             # float accumulation in the engine and the golden
-            score = np.zeros(len(cids))
+            score = np.zeros(len(ids_m))
             for m in range(_PQ_M):
-                score += lu[r][m][(codes >> (4 * m)) & 0xF]
-            mask = cids != qi[r]
-            ids_m, s_m = cids[mask], score[mask]
-            order = np.lexsort((ids_m, -s_m))[:S]
-            out.extend((int(qi[r]), int(ids_m[o]), float(s_m[o]))
+                score += lu[r][m][(cm >> (4 * m)) & 0xF]
+            order = np.lexsort((ids_m, -score))[:S]
+            out.extend((int(qi[r]), int(ids_m[o]), float(score[o]))
                        for o in order)
         if not out:
             return empty
@@ -1631,6 +1637,35 @@ def q_ann_pq(sf_dir: str):
         .groupby("query_id")
         .map_groups(rerank, batch_format="pandas")
     )
+
+
+def q_ann_pq(sf_dir: str):
+    """PQ ANN with exact re-rank (see ``_pq_search``). Rows-only +
+    golden; recall vs brute force asserted in tests."""
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = _pq_codebooks(sf_dir, ds)
+    qids, qmat = _query_vectors(sf_dir)
+    return _pq_search(sf_dir, ds, cb, qids, _norm_rows(qmat))
+
+
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ — the production ANN composition (coarse quantizer prunes
+    the scan to each query's nprobe lists, PQ codes stand in for the
+    vectors inside them, exact re-rank on the global shortlist). One
+    pass over each corpus batch does assign → probed-list filter → PQ
+    encode → ADC partial top-S; at scale the coarse filter is what
+    turns the full-corpus ADC scan into an nprobe/nlist fraction."""
+    n_rows = papq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    nlist, nprobe = _ivf_params(n_rows)
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cn = _norm_rows(_ivf_centroids(sf_dir, ds, nlist))
+    cb = _pq_codebooks(sf_dir, ds)
+    qids, qmat = _query_vectors(sf_dir)
+    qn = _norm_rows(qmat)
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    return _pq_search(sf_dir, ds, cb, qids, qn, cn=cn,
+                      probe_lists=probe_lists)
 
 
 # --------------------------------------------------------------------------
@@ -3295,6 +3330,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "crawl_image_caption": q_crawl_image_caption,
     "crawl_job_records": q_crawl_job_records,
     "recrawl_delta": q_recrawl_delta,

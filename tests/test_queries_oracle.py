@@ -87,7 +87,7 @@ GOLDEN_NAMES = [
     "cm_counts_users", "audio_features", "video_frames",
     "curate_image_corpus", "aspect_buckets", "phash_knn",
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
-    "image_training_manifest",
+    "ann_ivfpq", "image_training_manifest",
 ]
 
 
@@ -296,6 +296,21 @@ class TestRowsOnly:
             a = set(pq[pq["query_id"] == qid]["neighbor_id"])
             recall.append(len(a & b) / len(b))
         assert np.mean(recall) >= 0.4, f"PQ mean recall {np.mean(recall)}"
+
+    def test_ann_ivfpq_recall(self, ray_session):
+        """Compounds IVF pruning with PQ approximation — the loosest
+        bar of the ANN family on random vectors; exactness lives in
+        the golden-parity test."""
+        from jobscrawler_ray.pipelines.queries import QUERIES
+
+        brute = _to_pandas(QUERIES["knn_cosine"](SF_DIR))
+        ann = _to_pandas(QUERIES["ann_ivfpq"](SF_DIR))
+        recall = []
+        for qid in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            a = set(ann[ann["query_id"] == qid]["neighbor_id"])
+            recall.append(len(a & b) / len(b))
+        assert np.mean(recall) >= 0.3, f"IVF-PQ mean recall {np.mean(recall)}"
 
     def test_embedding_neardup_ann_recall(self, ray_session):
         """The LSH-bucketed near-dup path must be a subset of the exact
