@@ -55,6 +55,7 @@ from .queries import (
     _MH_SHINGLE_K,
     _MH_VERIFY_TAU,
     _norm_rows,
+    _probe_lists,
     crawl_world_params,
 )
 
@@ -326,7 +327,7 @@ def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
     qmask = ids < 5
     qids = ids[qmask]
     qn = _norm_rows(mat[qmask])
-    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_lists = _probe_lists(qn, cn, nprobe)
     assign = np.argmax(normed @ cn.T, axis=1)
 
     out = []
@@ -399,8 +400,7 @@ def _golden_pq_search(sf_dir: str, probe: bool) -> pd.DataFrame:
     if probe:
         nlist, nprobe = _ivf_params(len(ids))
         cn = _norm_rows(_golden_ivf_centroids(ids, mat, nlist))
-        probe_lists = np.argsort(-(qn @ cn.T), axis=1,
-                                 kind="stable")[:, :nprobe]
+        probe_lists = _probe_lists(qn, cn, nprobe)
         assign = np.argmax(n @ cn.T, axis=1)
     rows = []
     for r in np.argsort(qids):

@@ -1379,6 +1379,15 @@ def _ivf_centroids(sf_dir: str, ds, nlist: int) -> np.ndarray:
     return new_cent
 
 
+def _probe_lists(qn: np.ndarray, cn: np.ndarray, nprobe: int) -> np.ndarray:
+    """Per-query probed lists: the nprobe nearest centroids. The stable
+    sort kind and the negation are parity-load-bearing (engine and
+    sequential golden must break centroid ties identically) — shared by
+    ann_ivf, ann_ivfpq and their goldens so the four sites cannot
+    drift."""
+    return np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN as a real distributed pipeline: centroids built with a
     distributed Lloyd step (broadcast centroids, per-batch partial
@@ -1396,8 +1405,7 @@ def q_ann_ivf(sf_dir: str):
     cn = _norm_rows(cent)
     qids, qmat = _query_vectors(sf_dir)
     qn = _norm_rows(qmat)
-    # per-query probed lists (nprobe nearest centroids)
-    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_lists = _probe_lists(qn, cn, nprobe)
     probed = set(int(x) for x in probe_lists.ravel())
     bref = ray.put((cn, qids, qn, probe_lists))
 
@@ -1586,8 +1594,18 @@ def _pq_search(sf_dir: str, ds, cb: np.ndarray, qids: np.ndarray,
         qi, lu, cbk, cnn, pl = _bget(bref)
         cids = t["vec_id"].to_numpy()
         nm = _norm_rows(_emb_matrix(t["embedding"]))
+        if cnn is not None:
+            # prune to the union of all queries' probed lists BEFORE
+            # encoding — at scale the coarse filter is what turns the
+            # per-row encode + ADC into an nprobe/nlist fraction
+            assign = np.argmax(nm @ cnn.T, axis=1)
+            keep = np.isin(assign, np.unique(pl))
+            if not keep.any():
+                return empty
+            cids, nm, assign = cids[keep], nm[keep], assign[keep]
+        else:
+            assign = None
         codes = _pq_encode_mat(nm, cbk)
-        assign = np.argmax(nm @ cnn.T, axis=1) if cnn is not None else None
         out = []
         for r in range(len(qi)):
             mask = cids != qi[r]
@@ -1648,24 +1666,108 @@ def q_ann_pq(sf_dir: str):
     return _pq_search(sf_dir, ds, cb, qids, _norm_rows(qmat))
 
 
+def _ivf_pq_train(sf_dir: str, ds, nlist: int) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF centroids AND the PQ codebooks from ONE partials
+    pass (ann_ivfpq needs both; calling the standalone helpers costs a
+    second full-corpus scan). Each batch emits per-centroid (raw-vector)
+    and per-(subspace, code) (normalized-subvector) int64-quantized
+    partial sums; both merges are order-free, so the results are
+    bit-identical to ``_ivf_centroids`` / ``_pq_codebooks`` — which is
+    what keeps the sequential goldens (that mirror the standalone
+    helpers) exact."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = papq.ParquetFile(path).metadata.num_rows
+    # IVF seeds: evenly strided raw vectors, normalized for assignment
+    stride_i = max(1, n_rows // nlist)
+    seeds_i = [i * stride_i for i in range(nlist)]
+    t = papq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", seeds_i)])
+    cent0 = _emb_matrix(t["embedding"])[np.argsort(t["vec_id"].to_numpy())]
+    cn0 = _norm_rows(cent0)
+    # PQ seeds: evenly strided normalized subvectors
+    stride_p = max(1, n_rows // _PQ_K)
+    seeds_p = [i * stride_p for i in range(_PQ_K)]
+    t = papq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", seeds_p)])
+    sp = _norm_rows(_emb_matrix(t["embedding"])[
+        np.argsort(t["vec_id"].to_numpy())])
+    dim = sp.shape[1]
+    dsub = dim // _PQ_M
+    cb0 = sp.reshape(_PQ_K, _PQ_M, dsub).transpose(1, 0, 2).copy()
+    sref = ray.put((cn0, cb0))
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int64()),
+                          "idx": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "vsum": pa.array([], type=pa.list_(pa.int64()))})
+        if t.num_rows == 0:
+            return empty
+        cnn, cbk = _bget(sref)
+        mat = _emb_matrix(t["embedding"])
+        nm = _norm_rows(mat)
+        ks, xs, ns, vs = [], [], [], []
+        # IVF: raw-vector sums per assigned centroid (mirrors
+        # _ivf_centroids.partials)
+        qraw = np.round(mat * _IVF_QUANT).astype(np.int64)
+        assign = np.argmax(nm @ cnn.T, axis=1)
+        for ci in np.unique(assign):
+            sel = assign == ci
+            ks.append(0)
+            xs.append(int(ci))
+            ns.append(int(sel.sum()))
+            vs.append(qraw[sel].sum(axis=0).tolist())
+        # PQ: normalized-subvector sums per (subspace, code) (mirrors
+        # _pq_codebooks.partials)
+        qnorm = np.round(nm * _IVF_QUANT).astype(np.int64)
+        for m in range(_PQ_M):
+            a = _pq_assign_sub(nm[:, m * dsub:(m + 1) * dsub], cbk[m])
+            qsub = qnorm[:, m * dsub:(m + 1) * dsub]
+            for ci in np.unique(a):
+                sel = a == ci
+                ks.append(1)
+                xs.append(m * _PQ_K + int(ci))
+                ns.append(int(sel.sum()))
+                vs.append(qsub[sel].sum(axis=0).tolist())
+        return pa.table({"kind": pa.array(ks, type=pa.int64()),
+                         "idx": pa.array(xs, type=pa.int64()),
+                         "n": pa.array(ns, type=pa.int64()),
+                         "vsum": pa.array(vs, type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    cent = cent0.copy()
+    cb = cb0.copy()
+    for (kind, idx), g in parts.groupby(["kind", "idx"]):
+        tot = int(g["n"].sum())
+        if not tot:
+            continue
+        s = np.sum(np.stack(g["vsum"].tolist()).astype(np.int64), axis=0)
+        if kind == 0:
+            cent[int(idx)] = s / (tot * _IVF_QUANT)
+        else:
+            cb[int(idx) // _PQ_K][int(idx) % _PQ_K] = s / (tot * _IVF_QUANT)
+    return cent, cb
+
+
 def q_ann_ivfpq(sf_dir: str):
     """IVF-PQ — the production ANN composition (coarse quantizer prunes
     the scan to each query's nprobe lists, PQ codes stand in for the
     vectors inside them, exact re-rank on the global shortlist). One
-    pass over each corpus batch does assign → probed-list filter → PQ
-    encode → ADC partial top-S; at scale the coarse filter is what
-    turns the full-corpus ADC scan into an nprobe/nlist fraction."""
+    training pass builds centroids and codebooks together
+    (``_ivf_pq_train``), then one pass over each corpus batch does
+    assign → probed-list filter → PQ encode → ADC partial top-S; at
+    scale the coarse filter is what turns the full-corpus encode+ADC
+    into an nprobe/nlist fraction."""
     n_rows = papq.ParquetFile(
         os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     nlist, nprobe = _ivf_params(n_rows)
     ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cn = _norm_rows(_ivf_centroids(sf_dir, ds, nlist))
-    cb = _pq_codebooks(sf_dir, ds)
+    cent, cb = _ivf_pq_train(sf_dir, ds, nlist)
+    cn = _norm_rows(cent)
     qids, qmat = _query_vectors(sf_dir)
     qn = _norm_rows(qmat)
-    probe_lists = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
     return _pq_search(sf_dir, ds, cb, qids, qn, cn=cn,
-                      probe_lists=probe_lists)
+                      probe_lists=_probe_lists(qn, cn, nprobe))
 
 
 # --------------------------------------------------------------------------

@@ -268,49 +268,25 @@ class TestRowsOnly:
         for root, members in comps.items():
             assert kept & members == {min(members)}, (root, members)
 
-    def test_ann_ivf_recall(self, ray_session):
+    # ANN recall vs brute-force kNN. Random 64-d vectors are the
+    # adversarial case for every quantized index (no cluster structure
+    # to exploit; all measure ~1.0 on planted-near-dup corpora), so the
+    # bars are deliberately loose — the determinism guarantee lives in
+    # each op's golden-parity test, not here. ann_ivfpq compounds IVF
+    # pruning with PQ approximation and gets the loosest bar.
+    @pytest.mark.parametrize("ann_name,bar", [
+        ("ann_ivf", 0.5), ("ann_pq", 0.4), ("ann_ivfpq", 0.3)])
+    def test_ann_recall(self, ann_name, bar, ray_session):
         from jobscrawler_ray.pipelines.queries import QUERIES
 
         brute = _to_pandas(QUERIES["knn_cosine"](SF_DIR))
-        ann = _to_pandas(QUERIES["ann_ivf"](SF_DIR))
+        ann = _to_pandas(QUERIES[ann_name](SF_DIR))
         recall = []
         for qid in brute["query_id"].unique():
             b = set(brute[brute["query_id"] == qid]["neighbor_id"])
             a = set(ann[ann["query_id"] == qid]["neighbor_id"])
             recall.append(len(a & b) / len(b))
-        assert np.mean(recall) >= 0.5, f"IVF mean recall {np.mean(recall)}"
-
-    def test_ann_pq_recall(self, ray_session):
-        """PQ+re-rank recall vs brute force. Random 64-d vectors are
-        PQ's adversarial case (no cluster structure for the codebooks
-        to exploit; measured ~0.58 here, ~1.0 on planted-near-dup
-        corpora), so the bar is deliberately loose — the exactness
-        guarantee lives in the golden-parity test, not here."""
-        from jobscrawler_ray.pipelines.queries import QUERIES
-
-        brute = _to_pandas(QUERIES["knn_cosine"](SF_DIR))
-        pq = _to_pandas(QUERIES["ann_pq"](SF_DIR))
-        recall = []
-        for qid in brute["query_id"].unique():
-            b = set(brute[brute["query_id"] == qid]["neighbor_id"])
-            a = set(pq[pq["query_id"] == qid]["neighbor_id"])
-            recall.append(len(a & b) / len(b))
-        assert np.mean(recall) >= 0.4, f"PQ mean recall {np.mean(recall)}"
-
-    def test_ann_ivfpq_recall(self, ray_session):
-        """Compounds IVF pruning with PQ approximation — the loosest
-        bar of the ANN family on random vectors; exactness lives in
-        the golden-parity test."""
-        from jobscrawler_ray.pipelines.queries import QUERIES
-
-        brute = _to_pandas(QUERIES["knn_cosine"](SF_DIR))
-        ann = _to_pandas(QUERIES["ann_ivfpq"](SF_DIR))
-        recall = []
-        for qid in brute["query_id"].unique():
-            b = set(brute[brute["query_id"] == qid]["neighbor_id"])
-            a = set(ann[ann["query_id"] == qid]["neighbor_id"])
-            recall.append(len(a & b) / len(b))
-        assert np.mean(recall) >= 0.3, f"IVF-PQ mean recall {np.mean(recall)}"
+        assert np.mean(recall) >= bar, f"{ann_name} mean recall {np.mean(recall)}"
 
     def test_embedding_neardup_ann_recall(self, ray_session):
         """The LSH-bucketed near-dup path must be a subset of the exact
