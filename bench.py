@@ -346,7 +346,8 @@ def synth_images(n: int, out_dir: str, seed: int = 23) -> None:
             chunk = []
 
 
-IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets", "phash_knn",
+IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
+                     "image_training_manifest", "phash_knn",
                      "phash_neardup", "phash_dedup_keep"]
 
 
