@@ -832,13 +832,28 @@ def _lab_sum(labels) -> int:
 
 def _cc_min_labels(pairs, num_partitions: int | None = None):
     """Distributed connected components over an (id_a, id_b) edge
-    Dataset: iterated min-label propagation (hash-to-min, Rastogi et al.
-    2013) — label(x) starts at min(x, neighbors) and each round takes
-    the min of the labels across incident edges, via a hash join of
-    labels onto edges + groupby-min, until the (monotone-decreasing)
-    label sum reaches fixpoint. Every step is a bounded shuffle over the
-    EDGE set (near-dup pairs), never the corpus; the driver sees one
-    scalar per round. Converges in O(component diameter) rounds.
+    Dataset: iterated min-label propagation WITH pointer jumping
+    (hash-to-min family, Rastogi et al. 2013) — label(x) starts at
+    min(x, neighbors); each round takes
+    ``min(lab(x), lab(lab(x)), lab(y) for y ~ x)`` until the
+    (monotone-decreasing) label sum reaches fixpoint. The lab(lab(x))
+    term doubles how far the minimum has travelled, so convergence is
+    O(log diameter) rounds instead of O(diameter). Every step is a
+    bounded shuffle over the EDGE set (near-dup pairs), never the
+    corpus; the driver sees one scalar per round.
+
+    Both per-round lookups (neighbors' labels, the label's own label)
+    resolve through ONE shared cogroup exchange: answer rows
+    (key=node, val=lab) and query rows (key=dst|lab, ret=asker) are
+    coarse-hash-partitioned on key and composed with a vectorized
+    searchsorted per partition. Deliberately NOT ``Dataset.join``:
+    (a) near convergence the distinct-label count drops below the
+    partition count and Ray's hash-join aggregator hands acero a
+    schema-LESS empty table for any partition that received zero
+    blocks ('No match for FieldRef' crash, seen on star graphs and
+    single-edge inputs); (b) Ray's hash_partition routes rows with a
+    per-row Python ``hash(tuple)`` loop — the sort-shuffle groupby
+    moves the same rows with Arrow kernels.
 
     Returns a Dataset of (node, lab) with lab = component minimum."""
 
@@ -855,6 +870,7 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
         # dominates when the (bounded) edge set is small — size the
         # shuffle to the data instead of a constant
         num_partitions = int(min(64, max(4, edges.count() // 200_000 + 4)))
+    P = np.int64(num_partitions)
 
     def self_loop(t: pa.Table) -> pa.Table:  # label(x) ≥ considers x itself
         return pa.table({"node": t["src"], "lab": t["src"]})
@@ -868,6 +884,47 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
         .aggregate(Min("lab", alias_name="lab"))
         .materialize()
     )
+
+    def _exchange_rows(key, val, is_q):
+        return pa.table({
+            "part": pa.array(key % P, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "val": pa.array(val, type=pa.int64()),
+            "is_q": pa.array(is_q),
+        })
+
+    def edge_queries(t: pa.Table) -> pa.Table:
+        # each edge asks for lab(dst) on behalf of src
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return _exchange_rows(dst, src, np.ones(len(dst), dtype=bool))
+
+    # static across rounds — materialize the partition keys once
+    eq = edges.map_batches(edge_queries, batch_format="pyarrow").materialize()
+
+    def answers_and_jump(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        # answers (is_q=0): key=node publishes val=lab; jump queries
+        # (is_q=1): key=lab asks on behalf of node — valid because
+        # every label value is itself a node with an answer row, which
+        # hash-routes to the same partition
+        key = np.concatenate([node, lab])
+        val = np.concatenate([lab, node])
+        return _exchange_rows(key, val, np.repeat([False, True], len(node)))
+
+    def compose(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        is_q = t["is_q"].to_numpy(zero_copy_only=False)
+        akey, aval = key[~is_q], val[~is_q]
+        order = np.argsort(akey, kind="stable")
+        akey, aval = akey[order], aval[order]
+        qkey, qret = key[is_q], val[is_q]
+        idx = np.searchsorted(akey, qkey)
+        return pa.table({"node": pa.array(qret, type=pa.int64()),
+                         "lab": pa.array(aval[idx], type=pa.int64())})
+
     prev_sum = None
     rounds = 0
     while True:  # to fixpoint — the label sum is a strictly decreasing
@@ -884,13 +941,14 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
                 "connected-components label propagation did not converge"
             )
         prev_sum = cur
-        # propagate: each edge (src,dst) carries lab(dst) to src
-        prop = edges.join(labels, "inner", num_partitions=num_partitions,
-                          on=("dst",), right_on=("node",))
+        resolved = (
+            eq.union(labels.map_batches(answers_and_jump,
+                                        batch_format="pyarrow"))
+            .groupby("part", num_partitions=num_partitions)
+            .map_groups(compose, batch_format="pyarrow")
+        )
         labels = (
-            prop.map_batches(lambda t: pa.table({"node": t["src"], "lab": t["lab"]}),
-                             batch_format="pyarrow")
-            .union(labels)
+            resolved.union(labels)
             .groupby("node", num_partitions=num_partitions)
             .aggregate(Min("lab", alias_name="lab"))
             .materialize()
@@ -898,28 +956,106 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
     return labels
 
 
-def _cc_drop_array(pairs) -> pa.Array:
-    """Connected components over an int64 (id_a, id_b) pair Dataset →
-    sorted Arrow array of DROPPED ids (every component member except
-    its minimum) — the shared tail of the int-keyed dedup-KEEP ops.
-    Bounded by the pair-node set, never the corpus."""
-    labels = _cc_min_labels(pairs)
-    non_root = labels.map_batches(
-        lambda t: t.filter(pc.not_equal(t["lab"], t["node"])),
+# Above this many drop rows the keep-stage switches from a ray.put
+# broadcast + per-batch is_in filter to a distributed hash anti-join:
+# real web corpora run 20-50% near-dup, at which point the drop set is
+# CORPUS-scale and must never be collected on the driver.
+_DROP_BCAST_LIMIT = int(os.environ.get("JCR_DROP_BCAST_LIMIT", "2000000"))
+
+
+def _part_keys(arr: pa.Array, parts: int) -> np.ndarray:
+    """Deterministic partition key per value — int64 via modulo,
+    strings via pandas' C siphash (stable across processes, unlike
+    Python's seeded ``hash``)."""
+    v = arr.to_numpy(zero_copy_only=False)
+    if v.dtype.kind in "iu":
+        return (v.astype(np.int64) % parts).astype(np.int64)
+    return (pd.util.hash_array(np.asarray(v, dtype=object))
+            % np.uint64(parts)).astype(np.int64)
+
+
+def _cc_drop_ds(pairs, num_partitions: int | None = None):
+    """Connected components over an (id_a, id_b) pair Dataset → a
+    DATASET of dropped ids, column ``drop_id`` (every component member
+    except its minimum) — the shared tail of the int-keyed dedup-KEEP
+    ops. Stays distributed end-to-end: bounded by the pair-node set,
+    which at a realistic 25-50% web dup rate is corpus-scale and must
+    not be pulled through the driver."""
+    labels = _cc_min_labels(pairs, num_partitions)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"drop_id": t.filter(pc.not_equal(t["lab"], t["node"]))["node"]}),
         batch_format="pyarrow")
-    return pa.array(
-        sorted(int(r["node"]) for r in non_root.take_all()), type=pa.int64())
 
 
-def _keep_stage(dref, id_col: str):
-    """Vectorized drop-set anti-join — this scans the FULL corpus, so a
-    Python per-row `in set` loop here would be the hot path at scale."""
+def _keep_corpus(corpus, id_col: str, drops):
+    """Anti-join the full corpus against a drop-id Dataset. Small drop
+    sets broadcast once via ``ray.put`` and filter with a vectorized
+    ``is_in`` per batch (no shuffle of the corpus); above
+    ``_DROP_BCAST_LIMIT`` rows both sides are coarse-hash-partitioned
+    through ONE cogroup exchange and anti-filtered per partition — the
+    drop set never lands on the driver. (Deliberately NOT
+    ``Dataset.join('left_anti')``: Ray's hash-join aggregator crashes
+    acero with a schema-less empty table whenever a partition receives
+    zero blocks of one side — guaranteed here, since drop ids are a
+    sparse subset of corpus ids.) Duplicate drop ids are harmless to
+    both paths (anti-join is an existence test), so callers skip the
+    distinct shuffle."""
+    drops = drops.materialize()
+    n = drops.count()
+    if n == 0:
+        return corpus
+    if n <= _DROP_BCAST_LIMIT:
+        # empty blocks come back as zero-COLUMN tables (schema lost
+        # upstream of materialize) — drop them before the concat
+        tbls = [t for t in ray.get(drops.to_arrow_refs()) if t.num_rows > 0]
+        dref = ray.put(pa.concat_tables(tbls)["drop_id"].combine_chunks())
 
-    def keep(t: pa.Table) -> pa.Table:
-        d = _bget(dref)
-        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=d)))
+        def keep(t: pa.Table) -> pa.Table:
+            # vectorized membership over the full-corpus scan — a
+            # Python per-row `in set` loop here would be the hot path
+            d = _bget(dref)
+            return t.filter(pc.invert(pc.is_in(t[id_col], value_set=d)))
 
-    return keep
+        return corpus.map_batches(keep, batch_format="pyarrow")
+
+    parts = int(min(128, max(8, n // 500_000 + 8)))
+    # schema captured driver-side as a plain pa.Schema — capturing the
+    # Dataset itself in a UDF closure would serialize the whole plan
+    base_schema = corpus.schema().base_schema
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        t = t.append_column("_part", pa.array(_part_keys(
+            t[id_col].combine_chunks(), parts), type=pa.int64()))
+        return t.append_column("_isdrop", pa.array(
+            np.zeros(t.num_rows, dtype=bool)))
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        # drop rows aligned to the corpus schema (typed nulls in the
+        # non-id columns) so the union stays one block type
+        ids = t["drop_id"].combine_chunks()
+        cols: dict[str, Any] = {
+            f.name: (ids if f.name == id_col else pa.nulls(len(ids), f.type))
+            for f in base_schema
+        }
+        cols["_part"] = pa.array(_part_keys(ids, parts), type=pa.int64())
+        cols["_isdrop"] = pa.array(np.ones(len(ids), dtype=bool))
+        return pa.table(cols)
+
+    def anti(t: pa.Table) -> pa.Table:
+        is_drop = t["_isdrop"]
+        dropped = t.filter(is_drop)[id_col].combine_chunks()
+        kept = t.filter(pc.invert(is_drop))
+        kept = kept.filter(
+            pc.invert(pc.is_in(kept[id_col], value_set=dropped)))
+        return kept.drop_columns(["_part", "_isdrop"])
+
+    return (
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+        .groupby("_part", num_partitions=parts)
+        .map_groups(anti, batch_format="pyarrow")
+    )
 
 
 def q_minhash_dedup_keep(sf_dir: str):
@@ -928,27 +1064,25 @@ def q_minhash_dedup_keep(sf_dir: str):
     MinHash+LSH verified pairs → DISTRIBUTED connected components
     (iterated min-label propagation over the pair list, which is bounded
     by the near-dup rate, NOT the corpus — see ``_cc_min_labels``) →
-    keep the smallest doc_id per component → broadcast the drop-set
-    (≤ 2×pairs rows) and anti-join it against the full corpus in
-    map_batches. Rows-only; keep-set properties asserted in tests."""
-    dref = ray.put(_cc_drop_array(q_minhash_lsh(sf_dir)))
-    return _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
-        _keep_stage(dref, "doc_id"), batch_format="pyarrow"
-    )
+    distributed drop-set (every component member but its min doc_id) →
+    anti-join against the full corpus (broadcast is_in when small,
+    hash left_anti join when the dup rate makes the drop set
+    corpus-scale — see ``_keep_corpus``). Rows-only; keep-set
+    properties asserted in tests."""
+    drops = _cc_drop_ds(q_minhash_lsh(sf_dir))
+    return _keep_corpus(_tbl(sf_dir, "documents", ["doc_id"]), "doc_id", drops)
 
 
 def q_embedding_dedup_keep(sf_dir: str):
     """Embedding-cosine near-dup REMOVAL — completes the keep/removal
     trio (minhash for text, phash for images, cosine for embeddings):
     exact blocked all-pairs (``q_embedding_neardup``) → distributed
-    connected components over the bounded pair set → keep the smallest
-    vec_id per component → vectorized broadcast anti-join over the
-    corpus. Same shape as ``q_minhash_dedup_keep``; the pair ids are
-    already int64 so the CC runs on them directly."""
-    dref = ray.put(_cc_drop_array(q_embedding_neardup(sf_dir)))
-    return _tbl(sf_dir, "embeddings", ["vec_id"]).map_batches(
-        _keep_stage(dref, "vec_id"), batch_format="pyarrow"
-    )
+    connected components over the bounded pair set → distributed
+    drop-set → threshold-dispatched anti-join over the corpus
+    (``_keep_corpus``). Same shape as ``q_minhash_dedup_keep``; the
+    pair ids are already int64 so the CC runs on them directly."""
+    drops = _cc_drop_ds(q_embedding_neardup(sf_dir))
+    return _keep_corpus(_tbl(sf_dir, "embeddings", ["vec_id"]), "vec_id", drops)
 
 
 def q_simhash(sf_dir: str):
@@ -2174,15 +2308,28 @@ def q_bigram_counts(sf_dir: str):
     )
 
 
+# Above this many distinct terms the TF-IDF scorer stops broadcasting
+# the DF table and attaches DF via a distributed term-keyed cogroup:
+# raw web text (typos, URLs, hashes) reaches 10^8+ distinct terms —
+# a driver-side dict of that is a scale-killer.
+_DF_BCAST_LIMIT = int(os.environ.get("JCR_DF_BCAST_LIMIT", "5000000"))
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF relevance: each document's top term under a ratio-idf
     score (tf × N / df). The ratio variant is deliberate: one exact
     int multiply + one IEEE division is bit-identical across engines,
     where log-idf would rank identically but hash-differently. DF comes
-    from a distributed partial-count groupby; the DF table is
-    vocabulary-sized (words, not documents — bounded ~1M even at 100 TB)
-    so it broadcasts via ray.put. Scoring is pure map-side; output is
-    restricted to doc_id < 50 by a pruned predicate read."""
+    from a distributed partial-count groupby; while the DF table stays
+    under ``_DF_BCAST_LIMIT`` distinct terms it broadcasts via
+    ``ray.put`` and scoring is pure map-side. Above the limit (raw web
+    text reaches 10^8+ distinct terms) the DF never leaves the
+    cluster: per-doc (term, tf) rows cogroup with the DF rows on a
+    coarse term-hash partition (a pandas merge per partition), then an
+    argmax exchange keyed on doc_id picks each document's best term —
+    identical score arithmetic and (score desc, term asc) tie-break on
+    both paths. Output is restricted to doc_id < 50 by a pruned
+    predicate read."""
     from collections import Counter
 
     docfreq = (
@@ -2190,32 +2337,97 @@ def q_tfidf_top_terms(sf_dir: str):
         .map_batches(_df_partial("df"), batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-    )
-    dfmap = {r["term"]: int(r["df"]) for r in docfreq.take_all()}
+    ).materialize()
     n_docs = papq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    ref = ray.put(dfmap)
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        dmap = _bget(ref)
-        ids, terms, scores = [], [], []
-        for did, txt in zip(df["doc_id"], df["text"]):
-            best_t, best_s = None, -1.0
-            for term, tf in Counter(txt.split(" ")).items():
-                s = (tf * n_docs) / dmap[term]
-                if s > best_s or (s == best_s and term < best_t):
-                    best_t, best_s = term, s
-            ids.append(int(did)); terms.append(best_t); scores.append(best_s)
-        return pd.DataFrame({
-            "doc_id": pd.Series(ids, dtype=np.int64),
-            "term": pd.Series(terms, dtype=object),
-            "score": pd.Series(scores, dtype=np.float64),
-        })
 
     import pyarrow.dataset as pads
     sub = _tbl(sf_dir, "documents", ["doc_id", "text"],
                filter=pads.field("doc_id") < 50)
-    return sub.map_batches(score, batch_format="pandas")
+
+    n_terms = docfreq.count()
+    if n_terms <= _DF_BCAST_LIMIT:
+        dfd = docfreq.to_pandas()  # bulk, not take_all's row iterator
+        ref = ray.put(dict(zip(dfd["term"], dfd["df"].astype(int))))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            dmap = _bget(ref)
+            ids, terms, scores = [], [], []
+            for did, txt in zip(df["doc_id"], df["text"]):
+                best_t, best_s = None, -1.0
+                for term, tf in Counter(txt.split(" ")).items():
+                    s = (tf * n_docs) / dmap[term]
+                    if s > best_s or (s == best_s and term < best_t):
+                        best_t, best_s = term, s
+                ids.append(int(did)); terms.append(best_t); scores.append(best_s)
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "term": pd.Series(terms, dtype=object),
+                "score": pd.Series(scores, dtype=np.float64),
+            })
+
+        return sub.map_batches(score, batch_format="pandas")
+
+    # ---- distributed DF attach (no driver-side vocabulary) ----
+    parts = int(min(128, max(8, n_terms // 500_000 + 8)))
+
+    def _typed(doc_id, term, score=None, n=None, part_of=None) -> pa.Table:
+        # explicit types: an EMPTY pandas object column would infer as
+        # Arrow `null` and break the union's one-schema invariant
+        cols: dict[str, Any] = {}
+        if part_of is not None:
+            cols["part"] = pa.array(
+                (pd.util.hash_array(np.asarray(part_of, dtype=object))
+                 % np.uint64(parts)).astype(np.int64), type=pa.int64())
+        cols["doc_id"] = pa.array(np.asarray(doc_id, dtype=np.int64),
+                                  type=pa.int64())
+        cols["term"] = pa.array(list(term), type=pa.string())
+        if n is not None:
+            cols["n"] = pa.array(np.asarray(n, dtype=np.int64),
+                                 type=pa.int64())
+        if score is not None:
+            cols["score"] = pa.array(np.asarray(score, dtype=np.float64),
+                                     type=pa.float64())
+        return pa.table(cols)
+
+    def term_rows(df: pd.DataFrame) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, txt in zip(df["doc_id"], df["text"]):
+            for term, tf in Counter(txt.split(" ")).items():
+                ids.append(int(did)); terms.append(term); tfs.append(tf)
+        return _typed(ids, terms, n=tfs, part_of=terms)
+
+    def df_rows(df: pd.DataFrame) -> pa.Table:
+        terms = df["term"].to_numpy(dtype=object)
+        return _typed(np.full(len(df), -1), terms,
+                      n=df["df"].to_numpy(), part_of=terms)
+
+    def attach_df(df: pd.DataFrame) -> pa.Table:
+        ans = df[df["doc_id"] == -1][["term", "n"]].rename(
+            columns={"n": "df"})
+        q = df[df["doc_id"] != -1]
+        m = q.merge(ans, on="term", how="inner")
+        score = (m["n"].to_numpy(np.int64) * np.int64(n_docs)) \
+            / m["df"].to_numpy(np.int64)
+        return _typed(m["doc_id"].to_numpy(), m["term"], score=score)
+
+    def best_per_doc(df: pd.DataFrame) -> pa.Table:
+        out = (df.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+               .drop_duplicates("doc_id"))
+        return _typed(out["doc_id"].to_numpy(), out["term"],
+                      score=out["score"].to_numpy())
+
+    scored = (
+        sub.map_batches(term_rows, batch_format="pandas")
+        .union(docfreq.map_batches(df_rows, batch_format="pandas"))
+        .groupby("part", num_partitions=parts)
+        .map_groups(attach_df, batch_format="pandas")
+    )
+    return (
+        scored.groupby("doc_id", num_partitions=8)
+        .map_groups(best_per_doc, batch_format="pandas")
+    )
 
 
 def q_length_histogram(sf_dir: str):
@@ -2681,21 +2893,23 @@ def q_phash_neardup(sf_dir: str):
 def q_phash_dedup_keep(sf_dir: str):
     """Image near-dup REMOVAL — completes the image-dedup story the
     way ``minhash_dedup_keep`` does for text: phash LSH pairs →
-    DISTRIBUTED connected components → keep the lexicographically-
-    least member per component (originals sort before their
-    ``#thumb`` variants, so originals win) → broadcast drop-set
-    anti-join over the combined image-id set. The CC runs over
-    ``hash64``-mapped node ids (``_cc_min_labels`` needs an integer
-    label sum for its fixpoint test); every intermediate is bounded by
-    the near-dup rate, never the corpus. The pair set is materialized
-    ONCE (without it, the CC edge build, the node scan, and the label
-    recovery each re-executed the full crawl-read → resize-pool →
-    band-shuffle pipeline — measured 3× the query's dominant cost).
-    Representative recovery (min pid per component) runs on the driver
-    over the pair-graph node set — the same bound as the broadcast
-    drop-set it produces; at a pair volume too large for that, it
-    becomes a (node→pid) join + groupby(lab).Min. Rows-only; golden
-    oracle in ``goldens.py``."""
+    DISTRIBUTED connected components → DISTRIBUTED representative
+    recovery → threshold-dispatched anti-join over the combined
+    image-id set. The CC runs over ``hash64``-mapped node ids
+    (``_cc_min_labels`` needs an integer label sum for its fixpoint
+    test); representative recovery stays distributed — (node→pid)
+    rows joined with the CC labels, ``groupby(lab).Min(pid)`` picks
+    the lexicographically-least member per component (originals sort
+    before their ``#thumb`` variants, so originals win), and a second
+    bounded join marks every non-representative pid as a drop. Every
+    intermediate is bounded by the near-dup pair set, which at a
+    20-50% web dup rate is corpus-scale — so nothing here lands on
+    the driver (the drop-set broadcast dispatches through
+    ``_keep_corpus``'s size threshold). The pair set is materialized
+    ONCE (without it, the CC edge build and the node scan each
+    re-executed the full crawl-read → resize-pool → band-shuffle
+    pipeline — measured 3× the query's dominant cost). Rows-only;
+    golden oracle in ``goldens.py``."""
     pairs_str = q_phash_neardup(sf_dir).materialize()  # bounded: pairs
 
     def to_hashed(df: pd.DataFrame) -> pd.DataFrame:
@@ -2706,19 +2920,71 @@ def q_phash_dedup_keep(sf_dir: str):
 
     labels = _cc_min_labels(
         pairs_str.map_batches(to_hashed, batch_format="pandas"))
-    lab_of = {int(r["node"]): int(r["lab"]) for r in labels.take_all()}
-    # bounded by the near-dup rate; to_pandas, NOT take_all — take_all
-    # iterates pandas-format blocks row-by-row (~1 ms/row: 20 s on a
-    # 20k-pair stress corpus) while to_pandas converts in bulk
-    pair_df = pairs_str.to_pandas()
-    pids: set[str] = set(pair_df["id_a"]).union(pair_df["id_b"])
-    rep: dict[int, str] = {}
-    for p in sorted(pids):  # sorted → min pid per component wins
-        c = lab_of[hash64(p)]
-        if c not in rep:
-            rep[c] = p
-    drops = pa.array(sorted(pids - set(rep.values())), type=pa.string())
-    dref = ray.put(drops)
+    parts = int(min(64, max(4, pairs_str.count() // 100_000 + 4)))
+    P = np.int64(parts)
+
+    # (pid → component label) via ONE cogroup exchange on the hashed
+    # node id — answers from the CC labels, queries from the pair
+    # endpoints (a pid repeats once per incident pair; harmless, the
+    # downstream min/anti steps are idempotent). Same acero-free shape
+    # as _cc_min_labels' exchange, for the same two reasons.
+    def label_answers(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(node % P, type=pa.int64()),
+            "key": t["node"], "lab": t["lab"],
+            "pid": pa.nulls(t.num_rows, pa.string()),
+            "is_q": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        })
+
+    def pid_queries(df: pd.DataFrame) -> pd.DataFrame:
+        pid = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
+        key = np.fromiter((hash64(x) for x in pid), dtype=np.int64,
+                          count=len(pid))
+        return _arrow_out(pd.DataFrame({
+            "part": key % P, "key": key,
+            "lab": np.zeros(len(pid), dtype=np.int64), "pid": pid,
+            "is_q": np.ones(len(pid), dtype=bool),
+        }))
+
+    def compose(t: pa.Table) -> pa.Table:
+        ans = t.filter(pc.invert(t["is_q"]))
+        q = t.filter(t["is_q"])
+        akey = ans["key"].to_numpy(zero_copy_only=False)
+        alab = ans["lab"].to_numpy(zero_copy_only=False)
+        order = np.argsort(akey, kind="stable")
+        idx = np.searchsorted(akey[order],
+                              q["key"].to_numpy(zero_copy_only=False))
+        return pa.table({"pid": q["pid"],
+                         "lab": pa.array(alab[order][idx], type=pa.int64())})
+
+    labeled = (
+        labels.map_batches(label_answers, batch_format="pyarrow")
+        .union(pairs_str.map_batches(pid_queries, batch_format="pandas"))
+        .groupby("part", num_partitions=parts)
+        .map_groups(compose, batch_format="pyarrow")
+    )
+
+    # representative recovery, distributed: co-locate each component's
+    # members (partition on lab), then per partition the smallest pid
+    # of every lab-run survives and the rest become drops
+    def part_by_lab(t: pa.Table) -> pa.Table:
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(lab % P, type=pa.int64()))
+
+    def select_drops(t: pa.Table) -> pa.Table:
+        df = (t.select(["lab", "pid"]).to_pandas()
+              .drop_duplicates()
+              .sort_values(["lab", "pid"], kind="stable"))
+        non_rep = df.loc[df["lab"].duplicated(), "pid"]
+        return pa.table({"drop_id": pa.array(
+            non_rep.to_numpy(dtype=object), type=pa.string())})
+
+    drops = (
+        labeled.map_batches(part_by_lab, batch_format="pyarrow")
+        .groupby("_part", num_partitions=parts)
+        .map_groups(select_drops, batch_format="pyarrow")
+    )
 
     out = _crawl_out(sf_dir)
     ids = rd.read_parquet(os.path.join(out, "image_caption"),
@@ -2729,16 +2995,8 @@ def q_phash_dedup_keep(sf_dir: str):
         thumb = pc.binary_join_element_wise(orig, "#thumb", "")
         return pa.table({"pid": pa.concat_arrays([orig, thumb])})
 
-    def keep(t: pa.Table) -> pa.Table:
-        # vectorized membership over the full-corpus scan (see
-        # q_minhash_dedup_keep)
-        d = _bget(dref)
-        return t.filter(pc.invert(pc.is_in(t["pid"], value_set=d)))
-
-    return (
-        ids.map_batches(all_ids, batch_format="pyarrow")
-        .map_batches(keep, batch_format="pyarrow")
-    )
+    return _keep_corpus(
+        ids.map_batches(all_ids, batch_format="pyarrow"), "pid", drops)
 
 
 def _image_gate_mask(t: pa.Table):

@@ -356,3 +356,37 @@ class TestConnectedComponents:
                 comps.setdefault(find(n), []).append(n)
             want = {n: min(ms) for ms in comps.values() for n in ms}
             assert got == want, f"edges={edges}"
+
+
+class TestDistributedKeepPath:
+    """The dedup-KEEP anti-join dispatches on drop-set size: broadcast
+    ``is_in`` under ``_DROP_BCAST_LIMIT``, hash ``left_anti`` join
+    above it. Force the distributed path (limit=0) and require
+    row-identical output — same rows regardless of dispatch."""
+
+    @pytest.mark.parametrize("name,col", [
+        ("minhash_dedup_keep", "doc_id"),
+        ("embedding_dedup_keep", "vec_id"),
+        ("phash_dedup_keep", "pid"),
+    ])
+    def test_left_anti_path_matches_broadcast(self, ray_session,
+                                              monkeypatch, name, col):
+        from jobscrawler_ray.pipelines import queries
+
+        bcast = sorted(_to_pandas(queries.QUERIES[name](SF_DIR))[col])
+        monkeypatch.setattr(queries, "_DROP_BCAST_LIMIT", 0)
+        dist = sorted(_to_pandas(queries.QUERIES[name](SF_DIR))[col])
+        assert dist == bcast
+
+    def test_tfidf_distributed_df_matches_broadcast(self, ray_session,
+                                                    monkeypatch):
+        """Forcing the distributed DF-attach path (no driver-side
+        vocabulary) must reproduce the broadcast path bit-exactly —
+        same ratio-idf arithmetic, same (score desc, term asc)
+        tie-break."""
+        from jobscrawler_ray.pipelines import queries
+
+        bcast = _normalize(_to_pandas(queries.QUERIES["tfidf_top_terms"](SF_DIR)))
+        monkeypatch.setattr(queries, "_DF_BCAST_LIMIT", 0)
+        dist = _normalize(_to_pandas(queries.QUERIES["tfidf_top_terms"](SF_DIR)))
+        pd.testing.assert_frame_equal(dist, bcast, check_exact=True)
