@@ -129,6 +129,7 @@ def main() -> dict:
             with open(p, "rb") as f:
                 f.read()
 
+    load_start = os.getloadavg()
     crawl = run_crawl_bench()
     queries = run_queries_bench()
     total = crawl["sec"] + sum(queries.values())
@@ -141,6 +142,27 @@ def main() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl": crawl,
     }
+    # regression guard: per-query quiet-host budgets (BUDGETS.json,
+    # refreshed each round) + the load average that contextualizes any
+    # delta — this shared host inflates wall time 10-80% under load,
+    # so a delta is only a REGRESSION signal when load was quiet
+    out["load_avg"] = [round(x, 2) for x in load_start]
+    bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BUDGETS.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            budgets = json.load(f)
+        timed = dict(queries)
+        timed["crawl"] = crawl["sec"]
+        delta = {
+            k: round(100.0 * (timed[k] / b - 1.0), 1)
+            for k, b in budgets.get("quiet_host_sec", {}).items()
+            if k in timed
+        }
+        noise = budgets.get("noise_pct", 35)
+        out["budget_delta_pct"] = delta
+        out["over_budget"] = sorted(
+            k for k, d in delta.items() if d > noise)
     ray.shutdown()
     return out
 
@@ -177,11 +199,15 @@ def scaling() -> None:
     }))
 
 
-def synth_docs(n: int, out_path: str, seed: int = 13) -> None:
+def synth_docs(n: int, out_path: str, seed: int = 13,
+               dup_every: int = 100, longtail_terms: int = 0) -> None:
     """Deterministic documents table at stress scale (same schema as
-    testdata: doc_id, text, lang, source, n_chars). Every 100th doc is
-    a 2-token mutation of its predecessor → a planted ~1% near-dup rate
-    so minhash verify work is realistic, not degenerate. Row groups are
+    testdata: doc_id, text, lang, source, n_chars). Every
+    ``dup_every``-th doc is a 2-token mutation of its predecessor → a
+    planted near-dup rate (1% default; dup_every=4 gives the realistic
+    25% web rate). ``longtail_terms`` appends that many doc-unique
+    tokens per doc to blow the vocabulary up to n×longtail_terms
+    distinct terms (the tfidf DF-broadcast killer). Row groups are
     small enough that doc_id-pruned reads (decon bench set, LSH verify)
     skip most of the file."""
     import numpy as np
@@ -194,14 +220,17 @@ def synth_docs(n: int, out_path: str, seed: int = 13) -> None:
     lens = rng.integers(40, 120, size=n)
     texts: list[str] = []
     for i in range(n):
-        if i % 100 == 99 and texts:  # near-dup of predecessor
+        if i % dup_every == dup_every - 1 and texts:  # near-dup of pred.
             toks = texts[-1].split(" ")
             for j in rng.integers(0, len(toks), size=2):
                 toks[j] = vocab[rng.integers(0, len(vocab))]
             texts.append(" ".join(toks))
         else:
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab),
-                                                     size=lens[i])]))
+            body = " ".join(vocab[rng.integers(0, len(vocab), size=lens[i])])
+            if longtail_terms:
+                body += " " + " ".join(
+                    f"u{i}x{j}" for j in range(longtail_terms))
+            texts.append(body)
     tbl = pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "text": pa.array(texts),
@@ -290,11 +319,13 @@ def vecstress() -> None:
             n, "vecs")
 
 
-def synth_images(n: int, out_dir: str, seed: int = 23) -> None:
+def synth_images(n: int, out_dir: str, seed: int = 23,
+                 dup_every: int = 100) -> None:
     """Deterministic image_caption table at stress scale (same columns
     the crawl assembles: image_id, bytes, w, h, fmt, caption, phash).
-    Every 100th image re-renders its predecessor's structure seed at a
-    DIFFERENT size → a planted ~1% near-dup rate that exercises the
+    Every ``dup_every``-th image re-renders its predecessor's structure
+    seed at a DIFFERENT size → a planted near-dup rate (1% default;
+    dup_every=4 gives the realistic 25% web rate) that exercises the
     resize-robustness of phash, not byte equality. Written as many
     4096-row files (a single parquet file reads as ONE task and paces
     the whole downstream pipeline)."""
@@ -315,7 +346,7 @@ def synth_images(n: int, out_dir: str, seed: int = 23) -> None:
     part = 0
     prev_seed = 0
     for i in range(n):
-        if i % 100 == 99:
+        if i % dup_every == dup_every - 1 and i > 0:
             s64 = prev_seed  # same structure, different size → near-dup
             w, h = int(dims[i - 1][0] // 2 + 8), int(dims[i - 1][1] // 2 + 8)
         else:
@@ -393,6 +424,69 @@ def docstress() -> None:
             n, "docs")
 
 
+def dupstress() -> None:
+    """Dedup-KEEP tail at a REALISTIC web near-dup rate (25% planted,
+    dup_every=4) with the drop-set broadcast DISABLED — proves the
+    keep path stays distributed end-to-end (no driver drop-set, no
+    label dicts) with flat driver RSS at a drop volume that is
+    corpus-scale. Also runs tfidf over a long-tail vocabulary (50
+    doc-unique terms per doc → n×50 distinct terms, naturally above
+    ``_DF_BCAST_LIMIT`` at the default 200k docs → 10M terms), which
+    forces the distributed DF-attach path. Results are consumed with
+    ``.count()`` — pulling the kept corpus to the driver would defeat
+    the measurement."""
+    import resource
+
+    import ray
+    from ray.data import DataContext
+
+    n_docs = int(os.environ.get("GRAFT_DUP_DOCS_N", "200000"))
+    n_imgs = int(os.environ.get("GRAFT_DUP_IMGS_N", "50000"))
+    ddir = f"/tmp/bench_dup_docs_{n_docs}"
+    os.makedirs(ddir, exist_ok=True)
+    if not os.path.exists(os.path.join(ddir, "documents.parquet")):
+        synth_docs(n_docs, os.path.join(ddir, "documents.parquet"),
+                   dup_every=4, longtail_terms=50)
+    idir = f"/tmp/bench_dup_imgs_{n_imgs}"
+    iout = os.path.join(idir, "crawl")
+    if not os.path.isdir(os.path.join(iout, "image_caption")):
+        t0 = time.time()
+        synth_images(n_imgs, iout, dup_every=4)
+        print(f"# synthesized {n_imgs} images in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    from jobscrawler_ray.pipelines import queries as q
+
+    q._CRAWL_CACHE[idir] = iout
+    q._DROP_BCAST_LIMIT = 0  # force the distributed anti-join path
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    def rss_mb() -> int:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+    times, rows, rss = {}, {}, {"start": rss_mb()}
+    for name, sf in (("minhash_dedup_keep", ddir),
+                     ("phash_dedup_keep", idir),
+                     ("tfidf_top_terms", ddir)):
+        t0 = time.time()
+        rows[name] = int(q.QUERIES[name](sf).count())
+        times[name] = round(time.time() - t0, 2)
+        rss[f"after_{name}"] = rss_mb()
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "dedup-keep + tfidf at 25% planted dup rate / 10M-term "
+                  "vocab, distributed paths forced",
+        "num_cpus": NUM_CPUS, "n_docs": n_docs, "n_imgs": n_imgs,
+        "queries": times, "rows": rows, "driver_rss_mb": rss,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -400,6 +494,8 @@ if __name__ == "__main__":
         docstress()
     elif "--vecstress" in sys.argv:
         vecstress()
+    elif "--dupstress" in sys.argv:
+        dupstress()
     elif "--imgstress" in sys.argv:
         imgstress()
     elif os.environ.get("GRAFT_CRAWL_ONLY"):

@@ -837,13 +837,17 @@ def make_demand_fn(pol_handles: list, wave: int):
     """Exec A: per batch, per politeness shard, offer each host's row
     count + smallest cap+1 priorities (distributed top-k merge)."""
 
-    def demand(df: pd.DataFrame) -> pd.DataFrame:
+    def demand(t: pa.Table) -> pa.Table:
         # pass-through records never fetch: offering their demand would
         # debit tokens for rows that bypass the gate, making a resumed
         # run's wave accounting diverge from the warm path (which
-        # excludes them in SeenShard.finalize's admitted_demand)
-        df = df[df["kind"] != "record_passthrough"]
-        if not df.empty:
+        # excludes them in SeenShard.finalize's admitted_demand).
+        # Arrow in; only the 5 offer columns drop to pandas for the
+        # grouping (the wide frontier never converts).
+        t = t.filter(pc.not_equal(t["kind"], "record_passthrough"))
+        if t.num_rows:
+            df = t.select(["pol_shard", "host", "politeness_rps",
+                           "priority", "url_sha1"]).to_pandas()
             for shard, g in df.groupby("pol_shard", sort=False):
                 d = {}
                 for host, hg in g.groupby("host", sort=False):
@@ -853,25 +857,27 @@ def make_demand_fn(pol_handles: list, wave: int):
                     d[host] = (int(len(hg)), prios.tolist(), rate)
                 oid = _offer_id(wave, int(shard), g["url_sha1"].tolist())
                 ray.get(pol_handles[int(shard)].offer.remote(wave, d, offer_id=oid))
-        return pd.DataFrame({"n": [len(df)]})
+        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
 
     return demand
 
 
-def _gate_labels(df: pd.DataFrame, pol_handles: list, wave: int) -> np.ndarray:
+def _gate_labels(host: np.ndarray, priority: np.ndarray,
+                 pol_shard: np.ndarray, pol_handles: list,
+                 wave: int) -> np.ndarray:
     """Vectorized allow/defer/block labels from the finalized per-host
     thresholds (priority ≤ threshold ⇒ allowed; priorities are unique
-    per host so exactly k rows pass)."""
+    per host so exactly k rows pass). Takes plain numpy columns so the
+    caller can stay Arrow-native."""
     from ..state.politeness import _PolitenessShard
 
     thr: dict[str, int] = {}
-    for shard in df["pol_shard"].unique():
+    for shard in np.unique(pol_shard):
         thr.update(_cached_rpc(pol_handles[int(shard)], "thresholds", wave))
-    t = df["host"].map(thr).fillna(-1).to_numpy(dtype=np.int64)
-    pr = df["priority"].to_numpy()
+    t = pd.Series(host).map(thr).fillna(-1).to_numpy(dtype=np.int64)
     return np.where(
-        t == _PolitenessShard.BLOCK, "block", np.where(pr <= t, "allow", "defer")
-    )
+        t == _PolitenessShard.BLOCK, "block",
+        np.where(priority <= t, "allow", "defer"))
 
 
 def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConfig):
@@ -936,13 +942,26 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
         idx = np.clip(np.searchsorted(sorted_keys, q), 0, len(sorted_keys) - 1)
         return sorted_keys[idx] == q, idx
 
-    def convert(df: pd.DataFrame):
-        if df.empty:
-            return _arrow_out(df)
+    def _with_cols(base: pa.Table, **repl) -> pa.Table:
+        """Copy of ``base`` with named columns replaced, preserving
+        column order (so the per-segment tables concat cleanly)."""
+        cols = {name: repl.get(name, base[name])
+                for name in base.column_names}
+        return pa.table(cols)
+
+    def convert(t: pa.Table) -> pa.Table:
+        # Arrow-native end to end: verdict lookups are numpy over
+        # zero-copy columns, segments are built with filter +
+        # column-replace — no full-frontier pandas round trip (the
+        # vecstress lesson: that paid per-row list materialization on
+        # both sides of every batch boundary).
+        if t.num_rows == 0:
+            return t
         parts = _shard_arrays()
-        q = df["url_sha1"].to_numpy(dtype="S40")
-        sh = df["shard"].to_numpy(dtype=np.int64)
-        n = len(df)
+        q = np.asarray(t["url_sha1"].to_numpy(zero_copy_only=False),
+                       dtype="S40")
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
         code = np.zeros(n, dtype=np.int8)   # 0 = "dup" (missing)
         win = np.full(n, -1, dtype=np.int64)
         for s in np.unique(sh):
@@ -956,16 +975,23 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
         # only the winning gseq carries the verdict; later intra-wave
         # duplicates of the same key are "dup" (first-wins)
         lab = _LABEL_NAMES[code]
-        df = df.assign(
-            label=np.where(df["gseq"].to_numpy(dtype=np.int64) == win, lab, "dup")
-        )
-        keep = df[df["label"].isin(list(_KIND))].copy()
-        keep["kind"] = keep["label"].map(_KIND)
-        rec = keep[keep["label"] == "record"]
-        if len(rec):
-            rq = rec["url_sha1"].to_numpy(dtype="S40")
-            rs = rec["shard"].to_numpy(dtype=np.int64)
-            rkeep = np.zeros(len(rec), dtype=bool)
+        gseq = t["gseq"].to_numpy(zero_copy_only=False)
+        label = np.where(gseq == win, lab, "dup")
+
+        keep_mask = np.isin(label, list(_KIND))
+        kept = t.filter(pa.array(keep_mask))
+        klabel = label[keep_mask]
+        kind = np.empty(len(klabel), dtype=object)
+        for k, v in _KIND.items():
+            kind[klabel == k] = v
+        kept = _with_cols(kept, kind=pa.array(kind, type=pa.string()))
+        out = [kept]
+
+        rec_mask = klabel == "record"
+        if rec_mask.any():
+            rq = q[keep_mask][rec_mask]
+            rs = sh[keep_mask][rec_mask]
+            rkeep = np.zeros(len(rq), dtype=bool)
             for s in np.unique(rs):
                 m = rs == s
                 ekeys, evals = parts[int(s)][3:]
@@ -973,44 +999,62 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
                     continue
                 ef, ei = _lookup(ekeys, rq[m])
                 rkeep[m] = np.where(ef, evals[ei], False)
-            rec = rec[rkeep]
-        out = [keep.drop(columns=["label"])]
+            rec_sel = rec_mask.copy()
+            rec_sel[rec_mask] = rkeep
+        else:
+            rec_sel = rec_mask
+
         # A "dup" verdict on a detail2 (stripped-apply) URL means the
         # intermediate fetch is redundant — NOT that the job is a dup
         # (reachable via cuckoo false positives, or two jobs sharing an
         # apply target). The reference would still emit the record with
         # the default (listing) description; convert to a pass-through
         # record keyed by the JOB link instead of silently dropping it.
-        dup2 = df[(df["label"] == "dup") & (df["kind"] == "detail2")]
-        if len(dup2):
-            rec2 = dup2.drop(columns=["label"]).copy()
-            canon = rec2["link"].map(canonicalize)
-            host = canon.map(host_of)
-            hh = host.map(hash64)
-            rec2["url"] = rec2["link"]
-            rec2["canon_url"] = canon
-            rec2["url_sha1"] = canon.map(sha1_hex)
-            rec2["host"] = host
-            rec2["host_hash"] = hh
-            rec2["shard"] = hh % cfg.num_seen_shards
-            rec2["pol_shard"] = hh % cfg.num_pol_shards
-            rec2["kind"] = "record_passthrough"
-            out.append(rec2)
-        if len(rec):
-            img = rec.drop(columns=["label"]).copy()
-            img["image_id"] = rec["url_sha1"]
-            img["canon_url"] = rec["canon_url"] + "/image"
-            img["url"] = img["canon_url"]
-            img["url_sha1"] = img["canon_url"].map(sha1_hex)
-            img["depth"] = 2
-            img["seq"] = rec["seq"] + 1
-            img["gseq"] = rec["gseq"] + 1
-            img["priority"] = pack_priority(
-                0, 2, 0, img["seq"].to_numpy(dtype=np.int64)
-            ).astype(np.int64)
-            img["kind"] = "image"
-            out.append(img)
-        return _arrow_out(pd.concat(out, ignore_index=True))
+        kind_in = t["kind"].to_numpy(zero_copy_only=False)
+        dup2_mask = (label == "dup") & (kind_in == "detail2")
+        if dup2_mask.any():
+            base2 = t.filter(pa.array(dup2_mask))
+            links = base2["link"].to_pylist()
+            canon = [canonicalize(x) for x in links]
+            hosts = [host_of(c) for c in canon]
+            hh = np.fromiter((hash64(h) for h in hosts), dtype=np.int64,
+                             count=len(hosts))
+            out.append(_with_cols(
+                base2,
+                url=base2["link"],
+                canon_url=pa.array(canon, type=pa.string()),
+                url_sha1=pa.array([sha1_hex(c) for c in canon],
+                                  type=pa.string()),
+                host=pa.array(hosts, type=pa.string()),
+                host_hash=pa.array(hh, type=pa.int64()),
+                shard=pa.array(hh % cfg.num_seen_shards, type=pa.int64()),
+                pol_shard=pa.array(hh % cfg.num_pol_shards, type=pa.int64()),
+                kind=pa.array(["record_passthrough"] * len(links),
+                              type=pa.string()),
+            ))
+
+        if rec_sel.any():
+            base = kept.filter(pa.array(rec_sel))
+            canon2 = pc.binary_join_element_wise(
+                base["canon_url"].combine_chunks(), "/image", "")
+            seq1 = base["seq"].to_numpy(zero_copy_only=False) + 1
+            out.append(_with_cols(
+                base,
+                image_id=base["url_sha1"],
+                canon_url=canon2,
+                url=canon2,
+                url_sha1=pa.array([sha1_hex(c) for c in canon2.to_pylist()],
+                                  type=pa.string()),
+                depth=pa.array(np.full(base.num_rows, 2, dtype=np.int64)),
+                seq=pa.array(seq1, type=pa.int64()),
+                gseq=pa.array(
+                    base["gseq"].to_numpy(zero_copy_only=False) + 1,
+                    type=pa.int64()),
+                priority=pa.array(
+                    pack_priority(0, 2, 0, seq1).astype(np.int64)),
+                kind=pa.array(["image"] * base.num_rows, type=pa.string()),
+            ))
+        return pa.concat_tables(out).combine_chunks()
 
     return convert
 
@@ -1440,7 +1484,7 @@ def _load_frontier(spec: dict, num_blocks: int | None = None,
             .map_batches(norm, batch_format="pyarrow")
             .map_batches(
                 make_cands_to_frontier_fn(seen_handles, prev_wave, cfg),
-                batch_format="pandas",
+                batch_format="pyarrow",
             )
             .map_batches(norm, batch_format="pyarrow")
         )
@@ -1505,7 +1549,8 @@ def _run_wave(
     if cold_start:
         (
             _load()
-            .map_batches(make_demand_fn(pol_handles, wave), batch_format="pandas")
+            .map_batches(make_demand_fn(pol_handles, wave),
+                         batch_format="pyarrow")
             .count()
         )
     pol.finalize(wave)
@@ -1515,20 +1560,26 @@ def _run_wave(
     # labeled against the finalized verdicts → threshold gate →
     # fetch+parse → hive write. Piggybacks the seen-set offers for this
     # wave's candidates and the deferred rows' politeness demand (wave+1).
-    def gate_label(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
-        if len(df):
-            g = _gate_labels(df, pol_handles, wave)
-            # pass-through records were already admitted and need no
-            # fetch — politeness does not apply
-            df["gate"] = np.where(df["kind"] == "record_passthrough", "allow", g)
-        else:
-            df["gate"] = []
-        return _arrow_out(df)
+    # Arrow-native: the gate reads three columns and appends one — a
+    # pandas round trip here paid per-row list materialization on both
+    # sides of every batch boundary (the vecstress lesson).
+    def gate_label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("gate", pa.array([], type=pa.string()))
+        g = _gate_labels(
+            t["host"].to_numpy(zero_copy_only=False),
+            t["priority"].to_numpy(zero_copy_only=False),
+            t["pol_shard"].to_numpy(zero_copy_only=False),
+            pol_handles, wave)
+        # pass-through records were already admitted and need no
+        # fetch — politeness does not apply
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        gate = np.where(kind == "record_passthrough", "allow", g)
+        return t.append_column("gate", pa.array(gate, type=pa.string()))
 
     (
         _load(num_blocks=cfg.wave_blocks)
-        .map_batches(gate_label, batch_format="pandas")
+        .map_batches(gate_label, batch_format="pyarrow")
         .map_batches(
             make_fetch_parse_fn(world_params, wave, cfg,
                                 pol_handles=pol_handles,

@@ -316,16 +316,23 @@ class TestRowsOnly:
 
 
 class TestConnectedComponents:
-    def test_cc_min_labels_adversarial_graphs(self, ray_session):
+    @pytest.mark.parametrize("local_limit", [10**9, 0])
+    def test_cc_min_labels_adversarial_graphs(self, ray_session,
+                                              monkeypatch, local_limit):
         """_cc_min_labels vs sequential union-find on adversarial edge
         lists: a chain (max diameter per edge count), a star, two
         disjoint components, and 63-bit hash-scale node ids — the last
         one regression-tests the exact split-sum fixpoint metric (a
         plain int64 Sum overflows and could silently misread a label
-        decrease as fixpoint)."""
+        decrease as fixpoint). Parameterized over BOTH dispatch paths:
+        the single-task numpy solver (default at these sizes) and the
+        forced distributed propagation loop (local_limit=0)."""
         import ray.data as rd
 
+        from jobscrawler_ray.pipelines import queries
         from jobscrawler_ray.pipelines.queries import _cc_min_labels
+
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", local_limit)
 
         big = 0x7FFF_FFFF_FFFF_0000
         graphs = [
