@@ -442,11 +442,20 @@ def dupstress() -> None:
 
     n_docs = int(os.environ.get("GRAFT_DUP_DOCS_N", "200000"))
     n_imgs = int(os.environ.get("GRAFT_DUP_IMGS_N", "50000"))
+    n_tfidf = int(os.environ.get("GRAFT_TFIDF_DOCS_N", "100000"))
     ddir = f"/tmp/bench_dup_docs_{n_docs}"
     os.makedirs(ddir, exist_ok=True)
     if not os.path.exists(os.path.join(ddir, "documents.parquet")):
         synth_docs(n_docs, os.path.join(ddir, "documents.parquet"),
-                   dup_every=4, longtail_terms=50)
+                   dup_every=4)
+    # tfidf gets its OWN table: 100 doc-unique tokens per doc → n×100
+    # distinct terms (10M at the default), WITHOUT inflating the dedup
+    # corpora's texts
+    tdir = f"/tmp/bench_tfidf_docs_{n_tfidf}"
+    os.makedirs(tdir, exist_ok=True)
+    if not os.path.exists(os.path.join(tdir, "documents.parquet")):
+        synth_docs(n_tfidf, os.path.join(tdir, "documents.parquet"),
+                   longtail_terms=100)
     idir = f"/tmp/bench_dup_imgs_{n_imgs}"
     iout = os.path.join(idir, "crawl")
     if not os.path.isdir(os.path.join(iout, "image_caption")):
@@ -473,7 +482,7 @@ def dupstress() -> None:
     times, rows, rss = {}, {}, {"start": rss_mb()}
     for name, sf in (("minhash_dedup_keep", ddir),
                      ("phash_dedup_keep", idir),
-                     ("tfidf_top_terms", ddir)):
+                     ("tfidf_top_terms", tdir)):
         t0 = time.time()
         rows[name] = int(q.QUERIES[name](sf).count())
         times[name] = round(time.time() - t0, 2)
@@ -483,7 +492,8 @@ def dupstress() -> None:
         "metric": "dedup-keep + tfidf at 25% planted dup rate / 10M-term "
                   "vocab, distributed paths forced",
         "num_cpus": NUM_CPUS, "n_docs": n_docs, "n_imgs": n_imgs,
-        "queries": times, "rows": rows, "driver_rss_mb": rss,
+        "n_tfidf_docs": n_tfidf, "queries": times, "rows": rows,
+        "driver_rss_mb": rss,
     }))
 
 

@@ -76,6 +76,42 @@ def _bget(ref):
     return _BCAST_CACHE[key]
 
 
+_PUSH_SHUFFLE_MIN_BYTES = int(os.environ.get("JCR_PUSH_SHUFFLE_MIN_BYTES",
+                                             str(512 << 20)))
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _shuffle_scaled(est_bytes: int):
+    """Scope the shuffle strategy to an ESTIMATE of the exchange size:
+    push-based sort shuffle above ``_PUSH_SHUFFLE_MIN_BYTES`` (512 MB —
+    it moved the 200k×256d band exchange 76 → 48 s where hash_shuffle
+    took 88 s), the default below it (push-based pipelining overhead
+    loses on small exchanges, and most of this catalog's shuffles are
+    near-dup-rate-bounded). Strategy is restored on exit so sibling
+    queries keep the default. The estimate comes from parquet metadata
+    row counts × row width — cheap and within a factor of 2, which is
+    all a 2-way threshold needs."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    if est_bytes >= _PUSH_SHUFFLE_MIN_BYTES:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _tbl_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — no scan."""
+    return papq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 def _max_ts(ds, col: str) -> pd.Timestamp:
     """MAX over a timestamp column via Arrow partial-max per batch + a
     tiny coalesced merge. ``Dataset.max`` routes timestamps through a
@@ -753,12 +789,15 @@ def q_minhash_lsh(sf_dir: str):
     # bounded by the near-dup rate, and the checkpoint lets the
     # coalesced dedup stage consume complete blocks instead of stalling
     # the streaming executor behind the groupby barrier (measured 36s →
-    # 7s at sf0.1 for the whole query)
-    cand = (
-        docs.map_batches(band_rows, batch_format="pandas")
-        .groupby("part", num_partitions=parts)
-        .map_groups(partition_pairs, batch_format="pandas")
-    ).materialize()
+    # 7s at sf0.1 for the whole query). Shuffle strategy picked from
+    # the exchange estimate (n_docs × bands × ~24 B rows): default at
+    # stress scale, push-based past ~6M docs.
+    with _shuffle_scaled(_tbl_rows(sf_dir, "documents") * bands * 24):
+        cand = (
+            docs.map_batches(band_rows, batch_format="pandas")
+            .groupby("part", num_partitions=parts)
+            .map_groups(partition_pairs, batch_format="pandas")
+        ).materialize()
 
     # global pair dedup in ONE coalesced worker task (pairs are tiny
     # next to the corpus — bounded by the near-dup rate; a giant
@@ -1155,7 +1194,8 @@ _SIMHASH_TAU = 7  # ≤7 of 64 bits: EXACT recall with 8×8-bit banding
 
 
 def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
-                          id_dtype, parts: int = 16):
+                          id_dtype, parts: int = 16,
+                          est_rows: int | None = None):
     """Shared 8-band × 8-bit Hamming near-dup pipeline (phash and
     simhash): band explode → coarse hash-partition groupby (grouping on
     the band value itself hands map_groups thousands of tiny pandas
@@ -1165,7 +1205,9 @@ def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
     fused, it pulls ALL partitions into ONE task, measured 16× slower
     on the 20k-image stress corpus) → coalesced pair dedup. EXACT at
     max_d ≤ 7 by pigeonhole (≤ 7 flipped bits leave a band intact);
-    near-certain at 8."""
+    near-certain at 8. ``est_rows`` (caller's input-row estimate from
+    parquet metadata) sizes the band exchange for the shuffle-strategy
+    pick; None keeps the default strategy."""
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         h = df[hash_col].to_numpy().astype(np.uint64)
@@ -1208,14 +1250,16 @@ def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
             "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
         })
 
-    return (
-        hashed.map_batches(band_rows, batch_format="pandas")
-        .groupby("part", num_partitions=parts)
-        .map_groups(partition_pairs, batch_format="pandas")
-        .materialize()
-        .map_batches(lambda df: df.drop_duplicates().reset_index(drop=True),
-                     batch_format="pandas", batch_size=1 << 30)
-    )
+    with _shuffle_scaled((est_rows or 0) * 8 * 70):
+        banded = (
+            hashed.map_batches(band_rows, batch_format="pandas")
+            .groupby("part", num_partitions=parts)
+            .map_groups(partition_pairs, batch_format="pandas")
+            .materialize()
+        )
+    return banded.map_batches(
+        lambda df: df.drop_duplicates().reset_index(drop=True),
+        batch_format="pandas", batch_size=1 << 30)
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -1225,7 +1269,8 @@ def q_simhash_neardup(sf_dir: str):
     the oracle is a brute-force ``bit_count(xor())`` self-join in SQL,
     not a golden recompute of the banding."""
     return _banded_hamming_pairs(q_simhash(sf_dir), "doc_id", "simhash",
-                                 max_d=_SIMHASH_TAU, id_dtype=np.int64)
+                                 max_d=_SIMHASH_TAU, id_dtype=np.int64,
+                                 est_rows=_tbl_rows(sf_dir, "documents"))
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -1486,24 +1531,18 @@ def q_embedding_neardup_ann(sf_dir: str):
     # dedup's giant batch_size fuses into the map_groups stage and
     # serializes every partition's verify matmuls into ONE task
     # (measured: 39.6s single-task vs ~3s across 64 groups at 200k).
-    # The band-row shuffle is this catalog's one LARGE exchange
-    # (corpus × bands): push-based sort shuffle moves it 76 → 48 s at
-    # 200k×256d (hash_shuffle: 88 s) — scoped here and restored, so
-    # the small-shuffle queries keep the default strategy.
-    from ray.data.context import DataContext, ShuffleStrategy
-
-    ctx = DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    try:
+    # The band-row shuffle is this catalog's LARGEST exchange (corpus ×
+    # bands × full vector payload): strategy picked from the size
+    # estimate — push-based sort shuffle engaged here at stress scale
+    # (76 → 48 s at 200k×256d; hash_shuffle: 88 s), default at
+    # crawl-scale corpora.
+    with _shuffle_scaled(n_rows * nb * (dim * 8 + 32)):
         pairs = (
             _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(band_rows, batch_format="pyarrow", batch_size=512)
             .groupby("part", num_partitions=parts)
             .map_groups(partition_verify, batch_format="pyarrow")
         ).materialize()
-    finally:
-        ctx.shuffle_strategy = prev
     # final cross-band pair dedup in one coalesced worker task (avoids
     # a second all-to-all — see q_minhash_lsh)
     return pairs.map_batches(
@@ -2367,24 +2406,26 @@ def q_tfidf_top_terms(sf_dir: str):
     score (tf × N / df). The ratio variant is deliberate: one exact
     int multiply + one IEEE division is bit-identical across engines,
     where log-idf would rank identically but hash-differently. DF comes
-    from a distributed partial-count groupby; while the DF table stays
-    under ``_DF_BCAST_LIMIT`` distinct terms it broadcasts via
-    ``ray.put`` and scoring is pure map-side. Above the limit (raw web
-    text reaches 10^8+ distinct terms) the DF never leaves the
-    cluster: per-doc (term, tf) rows cogroup with the DF rows on a
-    coarse term-hash partition (a pandas merge per partition), then an
-    argmax exchange keyed on doc_id picks each document's best term —
-    identical score arithmetic and (score desc, term asc) tie-break on
-    both paths. Output is restricted to doc_id < 50 by a pruned
-    predicate read."""
+    from a distributed partial-count groupby; while the vocabulary
+    stays under ``_DF_BCAST_LIMIT`` distinct terms the full DF table
+    broadcasts via ``ray.put`` and scoring is pure map-side. Above the
+    limit (raw web text reaches 10^8+ distinct terms) the full
+    vocabulary never exists anywhere: a SEMI-JOIN PUSHDOWN first
+    collects the scoring subset's term set (bounded by the subset —
+    here doc_id < 50 — not the corpus), broadcasts it, and filters the
+    DF partials down to those terms before the groupby, so the shuffle
+    and the final DF broadcast are subset-vocabulary-sized. (A first
+    cut cogrouped per-doc (term, tf) rows with the FULL 10.5M-term DF
+    table instead — correct, but the full-vocab groupby + exchange
+    measured 719 s at 100k docs where this pushdown needs one filtered
+    corpus pass.) The dispatch itself reads an HLL distinct-term
+    estimate, not an exact count — counting the vocabulary exactly
+    would need the full-vocab groupby the dispatch exists to avoid.
+    Scoring arithmetic and the (score desc, term asc) tie-break are
+    identical on both paths. Output is restricted to doc_id < 50 by a
+    pruned predicate read."""
     from collections import Counter
 
-    docfreq = (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(_df_partial("df"), batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    ).materialize()
     n_docs = papq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
@@ -2392,11 +2433,38 @@ def q_tfidf_top_terms(sf_dir: str):
     sub = _tbl(sf_dir, "documents", ["doc_id", "text"],
                filter=pads.field("doc_id") < 50)
 
-    n_terms = docfreq.count()
-    if n_terms <= _DF_BCAST_LIMIT:
-        dfd = docfreq.to_pandas()  # bulk, not take_all's row iterator
-        ref = ray.put(dict(zip(dfd["term"], dfd["df"].astype(int))))
+    # Path dispatch on an HLL distinct-term ESTIMATE (~1.6% error —
+    # plenty for a threshold): one corpus pass merging 4096-register
+    # partials. Counting the vocabulary exactly would need the very
+    # full-vocab groupby the dispatch exists to avoid.
+    from ..functions import sketch
 
+    df_partials = _tbl(sf_dir, "documents", ["text"]).map_batches(
+        _df_partial("df"), batch_format="pandas")
+
+    def term_hll(df: pd.DataFrame) -> pa.Table:
+        terms: set[str] = set()
+        for txt in df["text"]:
+            terms.update(txt.split(" "))
+        keys = pd.util.hash_array(
+            np.asarray(sorted(terms), dtype=object)).view(np.int64)
+        regs = sketch.hll_registers(keys)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"reg": pa.array(nz, pa.int64()),
+                         "rank": pa.array(regs[nz], pa.int64())})
+
+    hll_rows = (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(term_hll, batch_format="pandas")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+    ).to_pandas()
+    regs = np.zeros(sketch.HLL_M, dtype=np.int64)
+    regs[hll_rows["reg"].to_numpy(np.int64)] = \
+        hll_rows["rank"].to_numpy(np.int64)
+    n_terms = sketch.hll_estimate(regs)
+
+    def make_score(ref):
         def score(df: pd.DataFrame) -> pd.DataFrame:
             dmap = _bget(ref)
             ids, terms, scores = [], [], []
@@ -2413,68 +2481,39 @@ def q_tfidf_top_terms(sf_dir: str):
                 "score": pd.Series(scores, dtype=np.float64),
             })
 
-        return sub.map_batches(score, batch_format="pandas")
+        return score
 
-    # ---- distributed DF attach (no driver-side vocabulary) ----
-    parts = int(min(128, max(8, n_terms // 500_000 + 8)))
+    if n_terms <= _DF_BCAST_LIMIT:
+        dfd = (df_partials.groupby("term")
+               .aggregate(Sum("df", alias_name="df"))).to_pandas()
+        ref = ray.put(dict(zip(dfd["term"], dfd["df"].astype(int))))
+        return sub.map_batches(make_score(ref), batch_format="pandas")
 
-    def _typed(doc_id, term, score=None, n=None, part_of=None) -> pa.Table:
-        # explicit types: an EMPTY pandas object column would infer as
-        # Arrow `null` and break the union's one-schema invariant
-        cols: dict[str, Any] = {}
-        if part_of is not None:
-            cols["part"] = pa.array(
-                (pd.util.hash_array(np.asarray(part_of, dtype=object))
-                 % np.uint64(parts)).astype(np.int64), type=pa.int64())
-        cols["doc_id"] = pa.array(np.asarray(doc_id, dtype=np.int64),
-                                  type=pa.int64())
-        cols["term"] = pa.array(list(term), type=pa.string())
-        if n is not None:
-            cols["n"] = pa.array(np.asarray(n, dtype=np.int64),
-                                 type=pa.int64())
-        if score is not None:
-            cols["score"] = pa.array(np.asarray(score, dtype=np.float64),
-                                     type=pa.float64())
-        return pa.table(cols)
+    # ---- semi-join pushdown: subset term set → filtered DF pass ----
+    def subset_terms(df: pd.DataFrame) -> pa.Table:
+        terms: set[str] = set()
+        for txt in df["text"]:
+            terms.update(txt.split(" "))
+        return pa.table({"term": pa.array(sorted(terms), type=pa.string())})
 
-    def term_rows(df: pd.DataFrame) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for did, txt in zip(df["doc_id"], df["text"]):
-            for term, tf in Counter(txt.split(" ")).items():
-                ids.append(int(did)); terms.append(term); tfs.append(tf)
-        return _typed(ids, terms, n=tfs, part_of=terms)
+    # bounded by the SUBSET vocabulary (per-partition distinct via one
+    # coalesced merge), never the corpus vocabulary
+    qterm_tbls = [t for t in ray.get(
+        sub.map_batches(subset_terms, batch_format="pandas")
+        .materialize().to_arrow_refs()) if t.num_rows > 0]
+    qterms = pc.unique(pa.concat_tables(qterm_tbls)["term"].combine_chunks())
+    tref = ray.put(qterms)
 
-    def df_rows(df: pd.DataFrame) -> pa.Table:
-        terms = df["term"].to_numpy(dtype=object)
-        return _typed(np.full(len(df), -1), terms,
-                      n=df["df"].to_numpy(), part_of=terms)
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=_bget(tref)))
 
-    def attach_df(df: pd.DataFrame) -> pa.Table:
-        ans = df[df["doc_id"] == -1][["term", "n"]].rename(
-            columns={"n": "df"})
-        q = df[df["doc_id"] != -1]
-        m = q.merge(ans, on="term", how="inner")
-        score = (m["n"].to_numpy(np.int64) * np.int64(n_docs)) \
-            / m["df"].to_numpy(np.int64)
-        return _typed(m["doc_id"].to_numpy(), m["term"], score=score)
-
-    def best_per_doc(df: pd.DataFrame) -> pa.Table:
-        out = (df.sort_values(["doc_id", "score", "term"],
-                              ascending=[True, False, True], kind="stable")
-               .drop_duplicates("doc_id"))
-        return _typed(out["doc_id"].to_numpy(), out["term"],
-                      score=out["score"].to_numpy())
-
-    scored = (
-        sub.map_batches(term_rows, batch_format="pandas")
-        .union(docfreq.map_batches(df_rows, batch_format="pandas"))
-        .groupby("part", num_partitions=parts)
-        .map_groups(attach_df, batch_format="pandas")
-    )
-    return (
-        scored.groupby("doc_id", num_partitions=8)
-        .map_groups(best_per_doc, batch_format="pandas")
-    )
+    pruned = (
+        df_partials.map_batches(prune, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    ).to_pandas()
+    ref = ray.put(dict(zip(pruned["term"], pruned["df"].astype(int))))
+    return sub.map_batches(make_score(ref), batch_format="pandas")
 
 
 def q_length_histogram(sf_dir: str):
@@ -2933,8 +2972,11 @@ def q_phash_neardup(sf_dir: str):
     allhash = ds.map_batches(orig_rows, batch_format="pyarrow").union(
         thumbs.map_batches(thumb_rows, batch_format="pyarrow")
     )
+    import pyarrow.dataset as pads
+    est = 2 * pads.dataset(os.path.join(out, "image_caption"),
+                           format="parquet").count_rows()  # orig + thumb
     return _banded_hamming_pairs(allhash, "pid", "phash", max_d=8,
-                                 id_dtype=object)
+                                 id_dtype=object, est_rows=est)
 
 
 def q_phash_dedup_keep(sf_dir: str):

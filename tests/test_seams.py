@@ -30,7 +30,122 @@ class TestFetchBackends:
     def test_http_fetcher_guarded_in_sandbox(self):
         with pytest.raises(RuntimeError, match="allow_network"):
             HttpFetcher()
-        assert set(FETCH_BACKENDS) == {"synthetic", "http"}
+        assert set(FETCH_BACKENDS) == {"synthetic", "http", "browser"}
+
+
+class TestBrowserFetcherSeam:
+    """S7: the reference's (disabled) Selenium crawler rendered a page
+    and handed the DOM HTML to the same bs4 strategies
+    (src/crawlers/async_sel.py:1-296). The seam contract: fetch()
+    returns (200, page_source bytes) so downstream parse operators are
+    byte-identical to the HTTP path's."""
+
+    def test_guarded_without_driver(self):
+        from jobscrawler_ray.sources.fetch_backends import BrowserFetcher
+
+        with pytest.raises(RuntimeError, match="allow_browser"):
+            BrowserFetcher()
+
+    def test_rendered_page_parses_identically(self):
+        from jobscrawler_ray.sources.fetch_backends import BrowserFetcher
+        from jobscrawler_ray.stages.parse import parse_listing
+
+        f = SyntheticFetcher(WorldParams(seed=3, n_sites=4,
+                                         pages_per_site=1, jobs_per_page=3))
+        site = next(s for s in f.world.sites if s.strategy == "html_main")
+        url = site.url + "1"
+        _, payload = f.fetch(url)
+
+        class FakeDriver:  # any object with get/page_source/quit
+            page_source = ""
+
+            def get(self, u):
+                self.page_source = payload.decode()
+
+            def quit(self):
+                pass
+
+        bf = BrowserFetcher(driver_factory=FakeDriver)
+        status, body = bf.fetch(url)
+        assert (status, body) == (200, payload)
+        import json as _json
+
+        ep = _json.loads(site.elements_path) if isinstance(
+            site.elements_path, str) else site.elements_path
+        via_browser = parse_listing(body.decode(), site.strategy, ep,
+                                    site.name)
+        via_http = parse_listing(payload.decode(), site.strategy, ep,
+                                 site.name)
+        assert via_browser == via_http and len(via_browser) == 3
+        bf.close()
+
+    def test_navigation_failure_maps_to_zero(self):
+        from jobscrawler_ray.sources.fetch_backends import BrowserFetcher
+
+        class Boom:
+            def get(self, u):
+                raise OSError("render crash")
+
+            page_source = ""
+
+            def quit(self):
+                pass
+
+        bf = BrowserFetcher(driver_factory=Boom)
+        assert bf.fetch("http://x/1") == (0, b"")
+
+
+class TestProxyPoolSeam:
+    """S11: proxy rotation (reference scrapes a proxy list —
+    src/resources/proxies/GetProxies.py). Loopback forward proxies
+    record the absolute-URI requests urllib routes through them;
+    rotation alternates per request."""
+
+    @pytest.fixture()
+    def proxy_servers(self):
+        import http.server
+        import threading
+
+        servers, logs = [], []
+        for _ in range(2):
+            seen: list = []
+
+            def make_handler(seen=seen):
+                class H(http.server.BaseHTTPRequestHandler):
+                    def do_GET(self):
+                        seen.append(self.path)  # absolute URI via proxy
+                        body = b"proxied"
+                        self.send_response(200)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+
+                    def log_message(self, *a):
+                        pass
+
+                return H
+
+            srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                                  make_handler())
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            servers.append(srv)
+            logs.append(seen)
+        yield [f"http://127.0.0.1:{s.server_address[1]}" for s in servers], logs
+        for s in servers:
+            s.shutdown()
+
+    def test_rotation_across_proxies(self, proxy_servers):
+        proxies, logs = proxy_servers
+        f = HttpFetcher(allow_network=True, timeout=5.0, proxies=proxies,
+                        agents=["ua"])
+        for i in range(4):
+            status, body = f.fetch("http://upstream.invalid/page")
+            assert (status, body) == (200, b"proxied")
+        # round-robin: each loopback proxy saw exactly 2 absolute-URI
+        # requests for the upstream host
+        assert [len(x) for x in logs] == [2, 2]
+        assert all(p == "http://upstream.invalid/page"
+                   for x in logs for p in x)
 
 
 class TestBs4Seam:
