@@ -269,6 +269,10 @@ class CrawlConfig:
     #   key; "synthetic" = the deterministic world (tests/benches),
     #   "http" = the real-network client (UA rotation, non-200 body
     #   passthrough) — unusable in this no-network sandbox.
+    notify_webhook: str | None = None  # S12 seam: POST the run summary
+    #   to this webhook URL on completion (sources/notify.py;
+    #   Discord-compatible payload, loopback-tested). Best-effort —
+    #   failures warn, never abort the crawl.
 
 
 # --------------------------------------------------------------------------
@@ -1287,7 +1291,26 @@ def _drive(
         summary["seen_membership"] = seen.membership()
     seen.shutdown()
     pol.shutdown()
+    _notify(cfg, summary)
     return summary
+
+
+def _notify(cfg: CrawlConfig, summary: dict) -> None:
+    """S12 seam: ship the run summary to the configured webhook
+    (reference: src/logs_in_discord.py posts log summaries to Discord).
+    Alerting never fails the crawl — errors degrade to a warning."""
+    if not cfg.notify_webhook:
+        return
+    from ..sources.notify import WebhookNotifier
+
+    try:
+        WebhookNotifier(cfg.notify_webhook).send_summary(
+            "crawl summary",
+            {k: v for k, v in summary.items() if k != "seen_membership"})
+    except Exception as e:  # noqa: BLE001 — alerting is best-effort
+        import warnings
+
+        warnings.warn(f"webhook notify failed: {e}", stacklevel=2)
 
 
 RECRAWL_META = "recrawl_meta.json"

@@ -337,3 +337,83 @@ class TestPostgresSinksViaSqliteTwin:
             assert json.loads(cur.fetchone()[0]) == [9.0, 9.0]
             cur.execute("SELECT count(*) FROM embeddings")
             assert cur.fetchone() == (2,)
+
+
+class TestWebhookNotifierSeam:
+    """S12: the reference ships log summaries to a Discord webhook
+    (src/logs_in_discord.py:55-124 — one summary message as a JSON code
+    block, chunked under the 2000-char limit). Loopback server captures
+    the POSTs; a real (tiny) crawl exercises the CrawlConfig wiring."""
+
+    @pytest.fixture()
+    def webhook(self):
+        import http.server
+        import threading
+
+        bodies = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                bodies.append(self.rfile.read(n))
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}/hook", bodies
+        srv.shutdown()
+
+    def test_summary_single_post(self, webhook):
+        import json
+
+        from jobscrawler_ray.sources.notify import WebhookNotifier
+
+        url, bodies = webhook
+        n = WebhookNotifier(url).send_summary("crawl summary",
+                                              {"job_records": 44, "waves": 3})
+        assert n == 1 and len(bodies) == 1
+        msg = json.loads(bodies[0])["content"]
+        assert msg.startswith("**crawl summary**") and '"job_records": 44' in msg
+
+    def test_large_summary_chunks(self, webhook):
+        import json
+
+        from jobscrawler_ray.sources import notify
+
+        url, bodies = webhook
+        big = {f"site_{i:04d}": {"records": i, "errors": 0}
+               for i in range(200)}
+        n = notify.WebhookNotifier(url).send_summary("big", big)
+        assert n == len(bodies) and n > 1  # title + >=1 chunk
+        # chunks reassemble to the full JSON body
+        chunks = [json.loads(b)["content"] for b in bodies[1:]]
+        joined = "".join(c.removeprefix("```json\n").removesuffix("\n```")
+                         for c in chunks)
+        assert json.loads(joined) == big
+
+    def test_run_crawl_wiring_and_best_effort(self, webhook, ray_session,
+                                              tmp_path):
+        import json
+
+        from jobscrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+        from jobscrawler_ray.synth.world import WorldParams
+
+        url, bodies = webhook
+        params = WorldParams(seed=5, n_sites=2, pages_per_site=1,
+                             jobs_per_page=2)
+        s = run_crawl(params, str(tmp_path / "c1"),
+                      CrawlConfig(notify_webhook=url))
+        assert len(bodies) >= 1
+        msg = json.loads(bodies[-1])["content"]
+        assert f'"job_records": {s["job_records"]}' in msg
+        assert "seen_membership" not in msg
+        # best-effort: a dead webhook warns, never raises
+        with pytest.warns(UserWarning, match="webhook notify failed"):
+            s2 = run_crawl(params, str(tmp_path / "c2"),
+                           CrawlConfig(notify_webhook="http://127.0.0.1:1/x"))
+        assert s2["job_records"] == s["job_records"]
