@@ -958,6 +958,15 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
         num_partitions = int(min(64, max(4, edges.count() // 200_000 + 4)))
     P = np.int64(num_partitions)
 
+    # The sort-shuffle groupby's OUTPUT block count tracks its INPUT
+    # block count (num_partitions does not bound it), so without an
+    # explicit coalesce every round's union compounds the block count
+    # (measured 256 → 640 → 1408 blocks for a 104-node graph, per-round
+    # wall time 29 s → 115 s — unbounded growth, not fixed barrier
+    # cost). Pin every round-crossing dataset to num_partitions blocks.
+    def _bounded(ds):
+        return ds.repartition(num_partitions).materialize()
+
     def self_loop(t: pa.Table) -> pa.Table:  # label(x) ≥ considers x itself
         return pa.table({"node": t["src"], "lab": t["src"]})
 
@@ -968,8 +977,8 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
             batch_format="pyarrow"))
         .groupby("node", num_partitions=num_partitions)
         .aggregate(Min("lab", alias_name="lab"))
-        .materialize()
     )
+    labels = _bounded(labels)
 
     def _exchange_rows(key, val, is_q):
         return pa.table({
@@ -985,8 +994,10 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
         src = t["src"].to_numpy(zero_copy_only=False)
         return _exchange_rows(dst, src, np.ones(len(dst), dtype=bool))
 
-    # static across rounds — materialize the partition keys once
-    eq = edges.map_batches(edge_queries, batch_format="pyarrow").materialize()
+    # static across rounds — materialize the partition keys once,
+    # coalesced so each round's union starts from P blocks, not the
+    # upstream pair-generation block count
+    eq = _bounded(edges.map_batches(edge_queries, batch_format="pyarrow"))
 
     def answers_and_jump(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False)
@@ -1033,11 +1044,10 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
             .groupby("part", num_partitions=num_partitions)
             .map_groups(compose, batch_format="pyarrow")
         )
-        labels = (
+        labels = _bounded(
             resolved.union(labels)
             .groupby("node", num_partitions=num_partitions)
             .aggregate(Min("lab", alias_name="lab"))
-            .materialize()
         )
     return labels
 

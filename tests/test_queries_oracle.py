@@ -364,6 +364,45 @@ class TestConnectedComponents:
             want = {n: min(ms) for ms in comps.values() for n in ms}
             assert got == want, f"edges={edges}"
 
+    @pytest.mark.parametrize("local_limit", [10**9, 0])
+    def test_cc_random_graphs(self, ray_session, monkeypatch, local_limit):
+        """Seeded random multigraphs (dup edges, self-loops, skewed
+        component sizes) vs union-find, on both dispatch paths."""
+        import ray.data as rd
+
+        from jobscrawler_ray.pipelines import queries
+        from jobscrawler_ray.pipelines.queries import _cc_min_labels
+
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", local_limit)
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            n = int(rng.integers(20, 120))
+            m = int(rng.integers(10, 200))
+            a = rng.integers(0, n, size=m).tolist()
+            b = rng.integers(0, n, size=m).tolist()
+            edges = list(zip(a, b))
+            pairs = rd.from_items(
+                [{"id_a": x, "id_b": y} for x, y in edges])
+            got = {int(r["node"]): int(r["lab"])
+                   for r in _cc_min_labels(pairs, num_partitions=3).take_all()}
+            parent: dict = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    x = parent[x]
+                return x
+
+            for x, y in edges:
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            nodes = {v for e in edges for v in e}
+            comps: dict = {}
+            for v in nodes:
+                comps.setdefault(find(v), []).append(v)
+            want = {v: min(ms) for ms in comps.values() for v in ms}
+            assert got == want
+
 
 class TestDistributedKeepPath:
     """The dedup-KEEP anti-join dispatches on drop-set size: broadcast
