@@ -850,23 +850,197 @@ def q_minhash_lsh(sf_dir: str):
     )
 
 
-def _lab_sum(labels) -> int:
-    """EXACT sum of the int64 ``lab`` column (the CC fixpoint metric):
-    a plain Sum aggregate overflows int64 when node ids are 63-bit
-    hashes (n × 2^63 ≫ int64), and a truncated sum could read a real
-    label decrease as 'unchanged' — a silent wrong-fixpoint exit. Low
-    and high 32-bit halves are summed separately (each bounded by
-    n × 2^32) and recombined in Python ints."""
+_CC_EMPTY = np.empty(0, dtype=np.int64)
 
-    def part(t: pa.Table) -> pa.Table:
-        lab = t["lab"].to_numpy()
-        return pa.table({
-            "lo": pa.array([int((lab & 0xFFFFFFFF).sum())], type=pa.int64()),
-            "hi": pa.array([int((lab >> 32).sum())], type=pa.int64()),
-        })
 
-    rows = labels.map_batches(part, batch_format="pyarrow").take_all()
-    return (sum(r["hi"] for r in rows) << 32) + sum(r["lo"] for r in rows)
+def _cc_shard_mins(dst: np.ndarray, cand: np.ndarray, P: int):
+    """Pre-aggregate candidate labels to min-per-target and split by
+    the target's owner partition (``dst % P``) — the combiner that
+    keeps per-round message volume bounded by the node count, not the
+    edge count. Returns a list of P ``(targets, mins)`` pairs."""
+    if len(dst) == 0:
+        return [(_CC_EMPTY, _CC_EMPTY)] * P
+    order = np.lexsort((cand, dst))
+    dst, cand = dst[order], cand[order]
+    first = np.ones(len(dst), dtype=bool)
+    first[1:] = dst[1:] != dst[:-1]
+    starts = np.flatnonzero(first)
+    tgt, mins = dst[starts], cand[starts]
+    part = tgt % P
+    order = np.argsort(part, kind="stable")
+    tgt, mins, part = tgt[order], mins[order], part[order]
+    bounds = np.searchsorted(part, np.arange(P + 1))
+    return [(tgt[bounds[q]:bounds[q + 1]], mins[bounds[q]:bounds[q + 1]])
+            for q in range(P)]
+
+
+def _cc_apply(nodes: np.ndarray, lab: np.ndarray,
+              tgt: np.ndarray, val: np.ndarray) -> bool:
+    """``lab[x] = min(lab[x], val)`` for owned targets, in place;
+    returns whether anything improved. Unowned targets are ignored."""
+    if len(tgt) == 0 or len(nodes) == 0:
+        return False
+    idx = np.searchsorted(nodes, tgt)
+    np.minimum(idx, len(nodes) - 1, out=idx)
+    ok = nodes[idx] == tgt
+    if not ok.any():
+        return False
+    idx, val = idx[ok], val[ok]
+    before = lab[idx].copy()
+    np.minimum.at(lab, idx, val)
+    return bool((lab[idx] < before).any())
+
+
+def _cc_apply_by_label(lab: np.ndarray, lvals: np.ndarray,
+                       lmins: np.ndarray) -> bool:
+    """Apply a jump reply ``lab(l) = m`` to every local node currently
+    LABELED ``l`` (match on label value, not node id), in place.
+    Replies lag one round, so stale ``l`` values simply stop matching
+    — monotonicity makes that safe."""
+    if len(lvals) == 0 or len(lab) == 0:
+        return False
+    order = np.argsort(lvals)
+    lvals, lmins = lvals[order], lmins[order]
+    idx = np.searchsorted(lvals, lab)
+    np.minimum(idx, len(lvals) - 1, out=idx)
+    ok = lvals[idx] == lab
+    if not ok.any():
+        return False
+    cand = np.where(ok, lmins[idx], lab)
+    if not (cand < lab).any():
+        return False
+    np.minimum(lab, cand, out=lab)
+    return True
+
+
+@ray.remote
+def _cc_split_block(tab: pa.Table, P: int):
+    """Map side of the ONE-TIME edge shuffle: explode a pair block
+    into both directed orientations and split by owner partition
+    (``src % P``). Each of the P returns is a standalone
+    ``(src, dst)`` column pair."""
+    a = tab["id_a"].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                          copy=False)
+    b = tab["id_b"].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                          copy=False)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    part = src % P
+    order = np.argsort(part, kind="stable")
+    src, dst, part = src[order], dst[order], part[order]
+    bounds = np.searchsorted(part, np.arange(P + 1))
+    return [(src[bounds[q]:bounds[q + 1]].copy(),
+             dst[bounds[q]:bounds[q + 1]].copy()) for q in range(P)]
+
+
+@ray.remote(num_returns=3)
+def _cc_assemble(p: int, *pieces):
+    """Reduce side of the edge shuffle for partition ``p``:
+    concatenate its pieces, dedup directed edges, and run LOCAL
+    connected components over them so round one's first messages
+    already carry partition-local minima (one free contraction step).
+    Returns ``((src, dst), nodes, lab)`` — ``nodes`` are the owned
+    node ids (every owned node appears as ``src`` because both edge
+    orientations were emitted), ``lab`` their initial labels."""
+    srcs = [x[0] for x in pieces if len(x[0])]
+    if not srcs:
+        return (_CC_EMPTY, _CC_EMPTY), _CC_EMPTY, _CC_EMPTY
+    src = np.concatenate(srcs)
+    dst = np.concatenate([x[1] for x in pieces if len(x[0])])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(src)
+    uni = np.unique(np.concatenate([src, dst]))
+    ia = np.searchsorted(uni, src)
+    ib = np.searchsorted(uni, dst)
+    loc = np.arange(len(uni), dtype=np.int64)
+    while True:
+        prev = int(loc.sum())
+        np.minimum.at(loc, ia, loc[ib])
+        np.minimum.at(loc, ib, loc[ia])
+        loc = loc[loc]
+        if int(loc.sum()) == prev:
+            break
+    lab = uni[loc][np.searchsorted(uni, nodes)]
+    ns = src != dst  # self-loops carry nothing once nodes are known
+    return (src[ns], dst[ns]), nodes, lab
+
+
+@ray.remote
+def _cc_wave_a(p: int, P: int, edges, nodes, lab, *replies):
+    """First half of a BSP round at partition ``p``: fold in last
+    round's jump replies, close partition-locally-resolvable jumps,
+    then emit this round's messages. Returns
+    ``[lab, changed, shard_0 … shard_{P-1}]``; each shard is
+    ``(push_targets, push_mins, req_labels)`` addressed to one
+    partition."""
+    src, dst = edges
+    lab = lab.copy()
+    changed = False
+    for lvals, lmins in replies:
+        changed |= _cc_apply_by_label(lab, lvals, lmins)
+    while len(lab):  # local jump closure: lab(x) <- lab(lab(x))
+        local = lab % P == p
+        if not local.any():
+            break
+        tgt = lab[local]
+        idx = np.searchsorted(nodes, tgt)
+        np.minimum(idx, len(nodes) - 1, out=idx)
+        ok = nodes[idx] == tgt
+        upd = np.minimum(tgt, np.where(ok, lab[idx], tgt))
+        if not (upd < tgt).any():
+            break
+        changed = True
+        lab[local] = upd
+    if len(src):
+        cand = lab[np.searchsorted(nodes, src)]
+        pushes = _cc_shard_mins(dst, cand, P)
+    else:
+        pushes = [(_CC_EMPTY, _CC_EMPTY)] * P
+    if len(lab):
+        lv = np.unique(lab)
+        lv = lv[lv % P != p]
+        part = lv % P
+        order = np.argsort(part, kind="stable")
+        lv, part = lv[order], part[order]
+        bounds = np.searchsorted(part, np.arange(P + 1))
+        reqs = [lv[bounds[q]:bounds[q + 1]] for q in range(P)]
+    else:
+        reqs = [_CC_EMPTY] * P
+    return [lab, changed] + [(pushes[q][0], pushes[q][1], reqs[q])
+                             for q in range(P)]
+
+
+@ray.remote
+def _cc_wave_b(p: int, P: int, nodes, lab, *shards):
+    """Second half of a BSP round: apply the min-combined neighbor
+    candidates to owned nodes and answer jump requests from current
+    labels. Returns ``[lab, changed, reply_0 … reply_{P-1}]`` with
+    replies routed back to the asking partition."""
+    lab = lab.copy()
+    changed = False
+    for tgt, mins, _ in shards:
+        changed |= _cc_apply(nodes, lab, tgt, mins)
+    replies = []
+    for q in range(P):
+        rq = shards[q][2]
+        if len(rq) == 0 or len(nodes) == 0:
+            replies.append((_CC_EMPTY, _CC_EMPTY))
+            continue
+        idx = np.searchsorted(nodes, rq)
+        np.minimum(idx, len(nodes) - 1, out=idx)
+        ok = nodes[idx] == rq
+        replies.append((rq[ok], lab[idx][ok]))
+    return [lab, changed] + replies
+
+
+@ray.remote
+def _cc_emit(nodes: np.ndarray, lab: np.ndarray) -> pa.Table:
+    return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                     "lab": pa.array(lab, type=pa.int64())})
 
 
 # Up to this many edges, connected components run as ONE remote numpy
@@ -911,145 +1085,79 @@ def _cc_local_task(*tables: pa.Table) -> pa.Table:
 
 
 def _cc_min_labels(pairs, num_partitions: int | None = None):
-    """Connected components over an (id_a, id_b) edge Dataset. Bounded
-    edge sets (≤ ``_CC_LOCAL_EDGE_LIMIT``) solve in ONE remote numpy
-    task (see ``_cc_local_task``); larger sets run the distributed
-    loop: iterated min-label propagation WITH pointer jumping
-    (hash-to-min family, Rastogi et al. 2013) — label(x) starts at
-    min(x, neighbors); each round takes
-    ``min(lab(x), lab(lab(x)), lab(y) for y ~ x)`` until the
-    (monotone-decreasing) label sum reaches fixpoint. The lab(lab(x))
-    term doubles how far the minimum has travelled, so convergence is
-    O(log diameter) rounds instead of O(diameter). Every step is a
-    bounded shuffle over the EDGE set (near-dup pairs), never the
-    corpus; the driver sees one scalar per round.
+    """Connected components over an (id_a, id_b) edge Dataset →
+    Dataset of ``(node, lab)`` with ``lab`` = component minimum.
 
-    Both per-round lookups (neighbors' labels, the label's own label)
-    resolve through ONE shared cogroup exchange: answer rows
-    (key=node, val=lab) and query rows (key=dst|lab, ret=asker) are
-    coarse-hash-partitioned on key and composed with a vectorized
-    searchsorted per partition. Deliberately NOT ``Dataset.join``:
-    (a) near convergence the distinct-label count drops below the
-    partition count and Ray's hash-join aggregator hands acero a
-    schema-LESS empty table for any partition that received zero
-    blocks ('No match for FieldRef' crash, seen on star graphs and
-    single-edge inputs); (b) Ray's hash_partition routes rows with a
-    per-row Python ``hash(tuple)`` loop — the sort-shuffle groupby
-    moves the same rows with Arrow kernels.
+    Bounded edge sets (≤ ``_CC_LOCAL_EDGE_LIMIT``) solve in ONE remote
+    numpy task (``_cc_local_task``). Larger sets run BSP label
+    propagation over RAW Ray tasks — the one workload in this package
+    where the Dataset API is deliberately bypassed: iterated min-label
+    propagation needs a partitioned, MUTABLE (node → label) index that
+    stays put across rounds with only messages moving. The earlier
+    Dataset formulation re-shuffled the static edge set through two
+    sort exchanges per round and measured 529 s on a 3M-edge graph;
+    this one partitions edge blocks into the object store ONCE
+    (by ``src % P``, both orientations), keeps labels as per-partition
+    numpy blocks, and moves only min-combined message shards per round.
 
-    Returns a Dataset of (node, lab) with lab = component minimum."""
+    Per round (hash-to-min with pointer jumping, Rastogi et al. 2013):
+    wave A folds in last round's jump replies and closes
+    locally-resolvable jumps, then emits per-target-partition shards of
+    (neighbor candidate mins, distinct remote label values to resolve);
+    wave B applies the candidates and answers the jump requests.
+    ``_cc_assemble`` additionally runs a partition-local contraction so
+    the first messages already carry local minima. Labels are monotone
+    non-increasing node ids, so the fixpoint (= component minima, the
+    only fixpoint of min over self ∪ neighbors ∪ label chains) is
+    reached when TWO consecutive rounds apply no change anywhere —
+    replies lag one round, so a single clean round could still have an
+    improving reply in flight; after two, any in-flight reply is a
+    repeat of one already applied. Convergence is O(log diameter)
+    rounds; the 10k-round cap only guards a propagation bug and fails
+    loudly."""
     pairs = pairs.materialize()
-    if pairs.count() <= _CC_LOCAL_EDGE_LIMIT:
+    m = pairs.count()
+    if m <= _CC_LOCAL_EDGE_LIMIT:
         return rd.from_arrow_refs(
             [_cc_local_task.remote(*pairs.to_arrow_refs())])
 
-    def both_dirs(t: pa.Table) -> pa.Table:
-        src = pa.concat_arrays(
-            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])
-        dst = pa.concat_arrays(
-            [t["id_b"].combine_chunks(), t["id_a"].combine_chunks()])
-        return pa.table({"src": src, "dst": dst})
-
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
     if num_partitions is None:
-        # every round pays two AllToAll exchanges whose FIXED task cost
-        # dominates when the (bounded) edge set is small — size the
-        # shuffle to the data instead of a constant
-        num_partitions = int(min(64, max(4, edges.count() // 200_000 + 4)))
-    P = np.int64(num_partitions)
+        num_partitions = int(min(32, max(4, m // 250_000 + 1)))
+    P = max(2, int(num_partitions))
 
-    # The sort-shuffle groupby's OUTPUT block count tracks its INPUT
-    # block count (num_partitions does not bound it), so without an
-    # explicit coalesce every round's union compounds the block count
-    # (measured 256 → 640 → 1408 blocks for a 104-node graph, per-round
-    # wall time 29 s → 115 s — unbounded growth, not fixed barrier
-    # cost). Pin every round-crossing dataset to num_partitions blocks.
-    def _bounded(ds):
-        return ds.repartition(num_partitions).materialize()
+    if pairs.num_blocks() > 64:
+        # bound the split fan-out (blocks × P intermediate objects)
+        pairs = pairs.repartition(64).materialize()
+    splits = [_cc_split_block.options(num_returns=P).remote(ref, P)
+              for ref in pairs.to_arrow_refs()]
+    asm = [_cc_assemble.remote(p, *[s[p] for s in splits])
+           for p in range(P)]
+    edges = [a[0] for a in asm]
+    nodes = [a[1] for a in asm]
+    labs = [a[2] for a in asm]
 
-    def self_loop(t: pa.Table) -> pa.Table:  # label(x) ≥ considers x itself
-        return pa.table({"node": t["src"], "lab": t["src"]})
-
-    labels = (
-        edges.map_batches(self_loop, batch_format="pyarrow")
-        .union(edges.map_batches(
-            lambda t: pa.table({"node": t["src"], "lab": t["dst"]}),
-            batch_format="pyarrow"))
-        .groupby("node", num_partitions=num_partitions)
-        .aggregate(Min("lab", alias_name="lab"))
-    )
-    labels = _bounded(labels)
-
-    def _exchange_rows(key, val, is_q):
-        return pa.table({
-            "part": pa.array(key % P, type=pa.int64()),
-            "key": pa.array(key, type=pa.int64()),
-            "val": pa.array(val, type=pa.int64()),
-            "is_q": pa.array(is_q),
-        })
-
-    def edge_queries(t: pa.Table) -> pa.Table:
-        # each edge asks for lab(dst) on behalf of src
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        return _exchange_rows(dst, src, np.ones(len(dst), dtype=bool))
-
-    # static across rounds — materialize the partition keys once,
-    # coalesced so each round's union starts from P blocks, not the
-    # upstream pair-generation block count
-    eq = _bounded(edges.map_batches(edge_queries, batch_format="pyarrow"))
-
-    def answers_and_jump(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False)
-        lab = t["lab"].to_numpy(zero_copy_only=False)
-        # answers (is_q=0): key=node publishes val=lab; jump queries
-        # (is_q=1): key=lab asks on behalf of node — valid because
-        # every label value is itself a node with an answer row, which
-        # hash-routes to the same partition
-        key = np.concatenate([node, lab])
-        val = np.concatenate([lab, node])
-        return _exchange_rows(key, val, np.repeat([False, True], len(node)))
-
-    def compose(t: pa.Table) -> pa.Table:
-        key = t["key"].to_numpy(zero_copy_only=False)
-        val = t["val"].to_numpy(zero_copy_only=False)
-        is_q = t["is_q"].to_numpy(zero_copy_only=False)
-        akey, aval = key[~is_q], val[~is_q]
-        order = np.argsort(akey, kind="stable")
-        akey, aval = akey[order], aval[order]
-        qkey, qret = key[is_q], val[is_q]
-        idx = np.searchsorted(akey, qkey)
-        return pa.table({"node": pa.array(qret, type=pa.int64()),
-                         "lab": pa.array(aval[idx], type=pa.int64())})
-
-    prev_sum = None
-    rounds = 0
-    while True:  # to fixpoint — the label sum is a strictly decreasing
-        # integer until convergence, so termination is guaranteed; the
-        # cap only guards against a propagation bug and FAILS LOUDLY
-        # (a silent cap would return a wrong keep-set for components
-        # with diameter above it)
-        cur = _lab_sum(labels)
-        if cur == prev_sum:
-            break
+    empty = ray.put((_CC_EMPTY, _CC_EMPTY))
+    replies = [[empty] * P for _ in range(P)]  # replies[q][p]: q → p
+    clean, rounds = 0, 0
+    while clean < 2:
         rounds += 1
-        if rounds > 100_000:
+        if rounds > 10_000:
             raise RuntimeError(
-                "connected-components label propagation did not converge"
-            )
-        prev_sum = cur
-        resolved = (
-            eq.union(labels.map_batches(answers_and_jump,
-                                        batch_format="pyarrow"))
-            .groupby("part", num_partitions=num_partitions)
-            .map_groups(compose, batch_format="pyarrow")
-        )
-        labels = _bounded(
-            resolved.union(labels)
-            .groupby("node", num_partitions=num_partitions)
-            .aggregate(Min("lab", alias_name="lab"))
-        )
-    return labels
+                "connected-components BSP propagation did not converge")
+        outa = [_cc_wave_a.options(num_returns=P + 2).remote(
+            p, P, edges[p], nodes[p], labs[p],
+            *[replies[q][p] for q in range(P)]) for p in range(P)]
+        labs = [o[0] for o in outa]
+        shards = [o[2:] for o in outa]  # shards[p][q]: p → q
+        outb = [_cc_wave_b.options(num_returns=P + 2).remote(
+            p, P, nodes[p], labs[p],
+            *[shards[q][p] for q in range(P)]) for p in range(P)]
+        labs = [o[0] for o in outb]
+        replies = [o[2:] for o in outb]
+        ch = ray.get([o[1] for o in outa] + [o[1] for o in outb])
+        clean = 0 if any(ch) else clean + 1
+    return rd.from_arrow_refs([_cc_emit.remote(nodes[p], labs[p])
+                               for p in range(P)])
 
 
 # Above this many drop rows the keep-stage switches from a ray.put
