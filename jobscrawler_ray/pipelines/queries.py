@@ -1122,7 +1122,12 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
             [_cc_local_task.remote(*pairs.to_arrow_refs())])
 
     if num_partitions is None:
-        num_partitions = int(min(32, max(4, m // 250_000 + 1)))
+        # default cap sized to THIS box (32 CPUs; each partition holds
+        # ~2m/P directed edges in one numpy block). On a multi-node
+        # cluster raise it via JCR_CC_BSP_PARTS so per-partition blocks
+        # stay within a worker's heap (waves are P concurrent tasks).
+        num_partitions = (int(os.environ.get("JCR_CC_BSP_PARTS", "0"))
+                          or int(min(32, max(4, m // 250_000 + 1))))
     P = max(2, int(num_partitions))
 
     if pairs.num_blocks() > 64:

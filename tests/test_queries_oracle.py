@@ -403,6 +403,46 @@ class TestConnectedComponents:
             want = {v: min(ms) for ms in comps.values() for v in ms}
             assert got == want
 
+    def test_cc_bsp_midsize_graph(self, ray_session, monkeypatch):
+        """A 15k-edge seeded random graph on the FORCED BSP path with
+        8 partitions — large enough that every wave-A/wave-B shard
+        route (pushes, jump requests, replies) carries real traffic,
+        vs a vectorized union-find twin."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jobscrawler_ray.pipelines import queries
+        from jobscrawler_ray.pipelines.queries import _cc_min_labels
+
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", 0)
+        rng = np.random.default_rng(11)
+        n, m = 5000, 15000
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array(a, type=pa.int64()),
+            "id_b": pa.array(b, type=pa.int64())}))
+        got = {int(r["node"]): int(r["lab"])
+               for r in _cc_min_labels(pairs, num_partitions=8).take_all()}
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        nodes = np.unique(np.concatenate([a, b]))
+        roots = {}
+        for v in nodes.tolist():
+            roots.setdefault(find(v), []).append(v)
+        want = {v: min(ms) for ms in roots.values() for v in ms}
+        assert got == want
+
 
 class TestDistributedKeepPath:
     """The dedup-KEEP anti-join dispatches on drop-set size: broadcast
