@@ -429,9 +429,10 @@ def dupstress() -> None:
     dup_every=4) with the drop-set broadcast DISABLED — proves the
     keep path stays distributed end-to-end (no driver drop-set, no
     label dicts) with flat driver RSS at a drop volume that is
-    corpus-scale. Also runs tfidf over a long-tail vocabulary (50
-    doc-unique terms per doc → n×50 distinct terms, naturally above
-    ``_DF_BCAST_LIMIT`` at the default 200k docs → 10M terms), which
+    corpus-scale. Also runs tfidf over a long-tail vocabulary (100
+    doc-unique terms per doc → n×100 distinct terms, naturally above
+    ``_DF_BCAST_LIMIT`` at the default 100k tfidf docs → 10M terms),
+    which
     forces the distributed DF-attach path. Results are consumed with
     ``.count()`` — pulling the kept corpus to the driver would defeat
     the measurement."""

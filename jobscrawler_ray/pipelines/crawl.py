@@ -305,7 +305,11 @@ def get_fetch_backend(name: str, world_params: WorldParams):
     if b is None:
         from ..sources.fetch_backends import FETCH_BACKENDS
 
-        b = FETCH_BACKENDS[name](allow_network=True)
+        # each backend's opt-in flag differs: HTTP must be told the
+        # network is allowed, the browser seam that a driver is wanted
+        kwargs = {"http": {"allow_network": True},
+                  "browser": {"allow_browser": True}}.get(name, {})
+        b = FETCH_BACKENDS[name](**kwargs)
         _BACKEND_CACHE[key] = b
     return b
 
@@ -1204,6 +1208,7 @@ def run_crawl(
                 summary["seen_membership"] = seen.membership()
             seen.shutdown()
             pol.shutdown()
+            _notify(cfg, summary)  # resumed-complete still alerts S12
             return summary
         pol.load_states(prior.politeness_states)
         start_wave = prior.wave + 1

@@ -853,6 +853,36 @@ def q_minhash_lsh(sf_dir: str):
 _CC_EMPTY = np.empty(0, dtype=np.int64)
 
 
+def _cc_split_owner(key: np.ndarray, P: int, *cols: np.ndarray):
+    """Sort rows by owner partition (``key % P``) and slice into P
+    pieces — the one split idiom shared by the edge shuffle, the push
+    shards, and the jump-request shards. Returns P tuples of
+    per-column slices (key first)."""
+    part = key % P
+    order = np.argsort(part, kind="stable")
+    key, part = key[order], part[order]
+    cols = tuple(c[order] for c in cols)
+    bounds = np.searchsorted(part, np.arange(P + 1))
+    return [tuple(arr[bounds[q]:bounds[q + 1]] for arr in (key, *cols))
+            for q in range(P)]
+
+
+def _cc_propagate(ia: np.ndarray, ib: np.ndarray, n: int) -> np.ndarray:
+    """Index-space min-label propagation with pointer jumping over
+    edges (ia, ib) on n nodes — the local-CC kernel shared by the
+    single-task solver and per-partition assembly. Returns the label
+    INDEX per node."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        prev = int(lab.sum())
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = lab[lab]  # pointer jump
+        if int(lab.sum()) == prev:
+            break
+    return lab
+
+
 def _cc_shard_mins(dst: np.ndarray, cand: np.ndarray, P: int):
     """Pre-aggregate candidate labels to min-per-target and split by
     the target's owner partition (``dst % P``) — the combiner that
@@ -865,13 +895,7 @@ def _cc_shard_mins(dst: np.ndarray, cand: np.ndarray, P: int):
     first = np.ones(len(dst), dtype=bool)
     first[1:] = dst[1:] != dst[:-1]
     starts = np.flatnonzero(first)
-    tgt, mins = dst[starts], cand[starts]
-    part = tgt % P
-    order = np.argsort(part, kind="stable")
-    tgt, mins, part = tgt[order], mins[order], part[order]
-    bounds = np.searchsorted(part, np.arange(P + 1))
-    return [(tgt[bounds[q]:bounds[q + 1]], mins[bounds[q]:bounds[q + 1]])
-            for q in range(P)]
+    return _cc_split_owner(dst[starts], P, cand[starts])
 
 
 def _cc_apply(nodes: np.ndarray, lab: np.ndarray,
@@ -923,14 +947,9 @@ def _cc_split_block(tab: pa.Table, P: int):
                                                           copy=False)
     b = tab["id_b"].to_numpy(zero_copy_only=False).astype(np.int64,
                                                           copy=False)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    part = src % P
-    order = np.argsort(part, kind="stable")
-    src, dst, part = src[order], dst[order], part[order]
-    bounds = np.searchsorted(part, np.arange(P + 1))
-    return [(src[bounds[q]:bounds[q + 1]].copy(),
-             dst[bounds[q]:bounds[q + 1]].copy()) for q in range(P)]
+    return [(s.copy(), d.copy()) for s, d in
+            _cc_split_owner(np.concatenate([a, b]), P,
+                            np.concatenate([b, a]))]
 
 
 @ray.remote(num_returns=3)
@@ -954,16 +973,8 @@ def _cc_assemble(p: int, *pieces):
     src, dst = src[keep], dst[keep]
     nodes = np.unique(src)
     uni = np.unique(np.concatenate([src, dst]))
-    ia = np.searchsorted(uni, src)
-    ib = np.searchsorted(uni, dst)
-    loc = np.arange(len(uni), dtype=np.int64)
-    while True:
-        prev = int(loc.sum())
-        np.minimum.at(loc, ia, loc[ib])
-        np.minimum.at(loc, ib, loc[ia])
-        loc = loc[loc]
-        if int(loc.sum()) == prev:
-            break
+    loc = _cc_propagate(np.searchsorted(uni, src),
+                        np.searchsorted(uni, dst), len(uni))
     lab = uni[loc][np.searchsorted(uni, nodes)]
     ns = src != dst  # self-loops carry nothing once nodes are known
     return (src[ns], dst[ns]), nodes, lab
@@ -1002,12 +1013,7 @@ def _cc_wave_a(p: int, P: int, edges, nodes, lab, *replies):
         pushes = [(_CC_EMPTY, _CC_EMPTY)] * P
     if len(lab):
         lv = np.unique(lab)
-        lv = lv[lv % P != p]
-        part = lv % P
-        order = np.argsort(part, kind="stable")
-        lv, part = lv[order], part[order]
-        bounds = np.searchsorted(part, np.arange(P + 1))
-        reqs = [lv[bounds[q]:bounds[q + 1]] for q in range(P)]
+        reqs = [r[0] for r in _cc_split_owner(lv[lv % P != p], P)]
     else:
         reqs = [_CC_EMPTY] * P
     return [lab, changed] + [(pushes[q][0], pushes[q][1], reqs[q])
@@ -1070,16 +1076,8 @@ def _cc_local_task(*tables: pa.Table) -> pa.Table:
     a = edges["id_a"].to_numpy(zero_copy_only=False)
     b = edges["id_b"].to_numpy(zero_copy_only=False)
     nodes = np.unique(np.concatenate([a, b]))
-    ia = np.searchsorted(nodes, a)
-    ib = np.searchsorted(nodes, b)
-    lab = np.arange(len(nodes), dtype=np.int64)
-    while True:
-        prev = int(lab.sum())
-        np.minimum.at(lab, ia, lab[ib])
-        np.minimum.at(lab, ib, lab[ia])
-        lab = lab[lab]  # pointer jump
-        if int(lab.sum()) == prev:
-            break
+    lab = _cc_propagate(np.searchsorted(nodes, a),
+                        np.searchsorted(nodes, b), len(nodes))
     return pa.table({"node": pa.array(nodes, type=pa.int64()),
                      "lab": pa.array(nodes[lab], type=pa.int64())})
 
@@ -2562,23 +2560,25 @@ def q_tfidf_top_terms(sf_dir: str):
     # full-vocab groupby the dispatch exists to avoid.
     from ..functions import sketch
 
+    # ONE corpus tokenize pass: the HLL registers hash the SAME
+    # per-batch distinct terms the DF partials already emit (HLL is
+    # duplicate-insensitive, so partial rows repeating a term across
+    # batches don't bias the estimate) — materialized so the dispatch
+    # sketch and the later DF groupby both read the partial rows
+    # instead of re-splitting every document.
     df_partials = _tbl(sf_dir, "documents", ["text"]).map_batches(
-        _df_partial("df"), batch_format="pandas")
+        _df_partial("df"), batch_format="pandas").materialize()
 
-    def term_hll(df: pd.DataFrame) -> pa.Table:
-        terms: set[str] = set()
-        for txt in df["text"]:
-            terms.update(txt.split(" "))
-        keys = pd.util.hash_array(
-            np.asarray(sorted(terms), dtype=object)).view(np.int64)
+    def term_hll(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        keys = pd.util.hash_array(terms).view(np.int64)
         regs = sketch.hll_registers(keys)
         nz = np.nonzero(regs)[0]
         return pa.table({"reg": pa.array(nz, pa.int64()),
                          "rank": pa.array(regs[nz], pa.int64())})
 
     hll_rows = (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(term_hll, batch_format="pandas")
+        df_partials.map_batches(term_hll, batch_format="pyarrow")
         .groupby("reg")
         .aggregate(Max("rank", alias_name="rank"))
     ).to_pandas()

@@ -181,8 +181,11 @@ class BrowserFetcher:
         return self._driver
 
     def fetch(self, url: str) -> tuple[int, bytes]:
+        # construction failures (selenium/Chrome absent) must surface
+        # loudly, not degrade into empty fetches — keep _ensure OUTSIDE
+        # the navigation try
+        d = self._ensure()
         try:
-            d = self._ensure()
             d.get(url)
             html = d.page_source
             return 200, html.encode("utf-8", "replace")

@@ -94,6 +94,27 @@ class TestBrowserFetcherSeam:
         bf = BrowserFetcher(driver_factory=Boom)
         assert bf.fetch("http://x/1") == (0, b"")
 
+    def test_construction_failure_surfaces_loudly(self):
+        """Driver-construction errors (selenium/Chrome absent) must
+        raise on fetch, not degrade into empty responses that let a
+        crawl 'succeed' with zero records."""
+        from jobscrawler_ray.sources.fetch_backends import BrowserFetcher
+
+        bf = BrowserFetcher(allow_browser=True)  # lazy selenium factory
+        with pytest.raises(RuntimeError, match="selenium"):
+            bf.fetch("http://x/1")
+
+    def test_config_wiring_constructs(self):
+        """CrawlConfig.fetch_backend='browser' must reach the backend
+        with ITS opt-in kwarg (regression: the shared constructor call
+        passed allow_network, a kwarg BrowserFetcher rejects)."""
+        from jobscrawler_ray.pipelines.crawl import get_fetch_backend
+        from jobscrawler_ray.sources.fetch_backends import BrowserFetcher
+        from jobscrawler_ray.synth.world import WorldParams
+
+        b = get_fetch_backend("browser", WorldParams(seed=3))
+        assert isinstance(b, BrowserFetcher)
+
 
 class TestProxyPoolSeam:
     """S11: proxy rotation (reference scrapes a proxy list —
@@ -417,3 +438,9 @@ class TestWebhookNotifierSeam:
             s2 = run_crawl(params, str(tmp_path / "c2"),
                            CrawlConfig(notify_webhook="http://127.0.0.1:1/x"))
         assert s2["job_records"] == s["job_records"]
+        # resumed-complete runs alert too (regression: the early-return
+        # path skipped _notify)
+        n_before = len(bodies)
+        s3 = run_crawl(params, str(tmp_path / "c1"),
+                       CrawlConfig(notify_webhook=url), resume=True)
+        assert s3.get("resumed_complete") and len(bodies) > n_before
