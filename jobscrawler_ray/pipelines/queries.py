@@ -31,7 +31,6 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import dedupe, textstats
-from ..functions.urlnorm import hash64
 from ..functions.arrowio import arrow_out as _arrow_out
 from ..stages.location import build_alias_map, tag_location
 from ..synth.locations import WORLD_LOCATIONS
@@ -3107,7 +3106,7 @@ def q_phash_dedup_keep(sf_dir: str):
     way ``minhash_dedup_keep`` does for text: phash LSH pairs →
     DISTRIBUTED connected components → DISTRIBUTED representative
     recovery → threshold-dispatched anti-join over the combined
-    image-id set. The CC runs over ``hash64``-mapped node ids
+    image-id set. The CC runs over siphash-mapped 63-bit node ids
     (``_cc_min_labels`` needs an integer label sum for its fixpoint
     test); representative recovery stays distributed — (node→pid)
     rows joined with the CC labels, ``groupby(lab).Min(pid)`` picks
@@ -3124,10 +3123,20 @@ def q_phash_dedup_keep(sf_dir: str):
     golden oracle in ``goldens.py``."""
     pairs_str = q_phash_neardup(sf_dir).materialize()  # bounded: pairs
 
+    def _pid_hash(vals) -> np.ndarray:
+        # vectorized 63-bit node id per pid — pandas' C siphash (stable
+        # across processes), sign-cleared so % P ownership arithmetic
+        # stays nonnegative. The pair set is corpus-scale at real dup
+        # rates, so a per-row Python hash loop here would be a hot-path
+        # scalar stage; collision space (63-bit) and failure mode
+        # (over-merged component) are identical to the scalar hash64.
+        return (pd.util.hash_array(np.asarray(vals, dtype=object))
+                .view(np.int64) & np.int64(0x7FFF_FFFF_FFFF_FFFF))
+
     def to_hashed(df: pd.DataFrame) -> pd.DataFrame:
         return _arrow_out(pd.DataFrame({
-            "id_a": pd.Series([hash64(x) for x in df["id_a"]], dtype=np.int64),
-            "id_b": pd.Series([hash64(x) for x in df["id_b"]], dtype=np.int64),
+            "id_a": pd.Series(_pid_hash(df["id_a"]), dtype=np.int64),
+            "id_b": pd.Series(_pid_hash(df["id_b"]), dtype=np.int64),
         }))
 
     labels = _cc_min_labels(
@@ -3151,8 +3160,7 @@ def q_phash_dedup_keep(sf_dir: str):
 
     def pid_queries(df: pd.DataFrame) -> pd.DataFrame:
         pid = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
-        key = np.fromiter((hash64(x) for x in pid), dtype=np.int64,
-                          count=len(pid))
+        key = _pid_hash(pid)
         return _arrow_out(pd.DataFrame({
             "part": key % P, "key": key,
             "lab": np.zeros(len(pid), dtype=np.int64), "pid": pid,
