@@ -157,7 +157,9 @@ def main() -> dict:
         delta = {
             k: round(100.0 * (timed[k] / b - 1.0), 1)
             for k, b in budgets.get("quiet_host_sec", {}).items()
-            if k in timed
+            # a zero/null/negative budget entry must not crash the
+            # whole bench at report time — skip it instead
+            if k in timed and isinstance(b, (int, float)) and b > 0
         }
         noise = budgets.get("noise_pct", 35)
         out["budget_delta_pct"] = delta
@@ -241,19 +243,21 @@ def synth_docs(n: int, out_path: str, seed: int = 13,
     pq.write_table(tbl, out_path, row_group_size=8192)
 
 
-def synth_vecs(n: int, out_path: str, dim: int = 64, seed: int = 17) -> None:
+def synth_vecs(n: int, out_path: str, dim: int = 64, seed: int = 17,
+               dup_every: int = 100) -> None:
     """Deterministic embeddings table at stress scale (same schema as
-    testdata: vec_id, embedding FLOAT[dim], label). Every 100th vector
-    is its predecessor plus 1% noise → a planted ~1% near-dup rate at
-    cosine ≈ 0.9999. Small row groups keep the vec_id-pruned query-side
-    reads (kNN, IVF probes) cheap."""
+    testdata: vec_id, embedding FLOAT[dim], label). Every
+    ``dup_every``-th vector is its predecessor plus 1% noise → a
+    planted ~1/dup_every near-dup rate at cosine ≈ 0.9999 (default 1%;
+    --dupstress uses 4 for a realistic 25%). Small row groups keep the
+    vec_id-pruned query-side reads (kNN, IVF probes) cheap."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((n, dim)).astype(np.float32)
-    dup = np.arange(99, n, 100)
+    dup = np.arange(dup_every - 1, n, dup_every)
     mat[dup] = mat[dup - 1] + 0.01 * rng.standard_normal(
         (dup.size, dim)).astype(np.float32)
     tbl = pa.table({
@@ -464,6 +468,15 @@ def dupstress() -> None:
         synth_images(n_imgs, iout, dup_every=4)
         print(f"# synthesized {n_imgs} images in {time.time() - t0:.1f}s",
               file=sys.stderr)
+    # embedding keep at 25% planted dup rate: above _EMB_KEEP_EXACT_LIMIT
+    # the pair source auto-dispatches to the LSH-ANN detector — this run
+    # proves the LAST all-pairs kernel is off every stress-scale path
+    n_vecs = int(os.environ.get("GRAFT_DUP_VECS_N", "200000"))
+    vdir = f"/tmp/bench_dup_vecs_{n_vecs}"
+    os.makedirs(vdir, exist_ok=True)
+    if not os.path.exists(os.path.join(vdir, "embeddings.parquet")):
+        synth_vecs(n_vecs, os.path.join(vdir, "embeddings.parquet"),
+                   dim=256, dup_every=4)
 
     from jobscrawler_ray.pipelines import queries as q
 
@@ -483,6 +496,7 @@ def dupstress() -> None:
     times, rows, rss = {}, {}, {"start": rss_mb()}
     for name, sf in (("minhash_dedup_keep", ddir),
                      ("phash_dedup_keep", idir),
+                     ("embedding_dedup_keep", vdir),
                      ("tfidf_top_terms", tdir)):
         t0 = time.time()
         rows[name] = int(q.QUERIES[name](sf).count())
@@ -493,7 +507,8 @@ def dupstress() -> None:
         "metric": "dedup-keep + tfidf at 25% planted dup rate / 10M-term "
                   "vocab, distributed paths forced",
         "num_cpus": NUM_CPUS, "n_docs": n_docs, "n_imgs": n_imgs,
-        "n_tfidf_docs": n_tfidf, "queries": times, "rows": rows,
+        "n_vecs": n_vecs, "n_tfidf_docs": n_tfidf,
+        "queries": times, "rows": rows,
         "driver_rss_mb": rss,
     }))
 

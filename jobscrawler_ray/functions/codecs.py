@@ -31,6 +31,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """Encode an ``(h, w, 3) uint8`` array into the named format."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    if fmt == "png":  # STANDARD format, native (std_codecs.py)
+        from . import std_codecs
+
+        return std_codecs.encode_png(pixels)
     h, w = pixels.shape[:2]
     head = bytes([MAGIC[fmt]]) + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
     if fmt == "raw":
@@ -44,7 +48,16 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(buf: bytes) -> tuple[np.ndarray, str]:
-    """Decode any of the three formats; returns ``(pixels, fmt)``."""
+    """Decode any of the three self-built formats — or a STANDARD one
+    (PNG natively, JPEG via the Pillow-guarded branch; see
+    functions/std_codecs.py): returns ``(pixels, fmt)``. The standard
+    magics (0x89 'PNG', 0xff JPEG SOI) don't collide with the
+    one-byte self-built magics {0,1,2}."""
+    from . import std_codecs
+
+    ext = std_codecs.sniff_image(buf)
+    if ext is not None:
+        return std_codecs.decode_image_external(buf, ext), ext
     magic = buf[0]
     w = int.from_bytes(buf[1:5], "little")
     h = int.from_bytes(buf[5:9], "little")

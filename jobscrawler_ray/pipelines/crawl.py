@@ -273,6 +273,18 @@ class CrawlConfig:
     #   to this webhook URL on completion (sources/notify.py;
     #   Discord-compatible payload, loopback-tested). Best-effort —
     #   failures warn, never abort the crawl.
+    proxies: tuple[str, ...] | None = None  # S11 seam: rotating proxy
+    #   pool for the "http" backend (sources/fetch_backends.ProxyPool).
+    #   A tuple (not list) so the config stays hashable for the
+    #   per-process backend cache key. Ignored by other backends.
+    out_min_rows_per_file: int | None = None  # assembly-sink file-size
+    out_max_rows_per_file: int | None = None
+    #   targeting: forwarded to write_parquet(min/max_rows_per_file)
+    #   on the image_caption + job_records sinks. At 100 TB an
+    #   image-heavy bucket would otherwise emit one file per output
+    #   block (thousand-file sprays) or, after coalescing, multi-GB
+    #   blocks; bound both ends instead. None = Ray's block-per-file
+    #   default (right for the small worlds tests/bench run).
 
 
 # --------------------------------------------------------------------------
@@ -294,22 +306,32 @@ def get_world(params: WorldParams) -> World:
 _BACKEND_CACHE: dict[tuple, Any] = {}
 
 
-def get_fetch_backend(name: str, world_params: WorldParams):
+def get_fetch_backend(name: str, world_params: WorldParams,
+                      proxies: tuple[str, ...] | None = None):
     """Per-process fetch backend (sources/fetch_backends.py seam). The
     synthetic backend shares the process World cache; other backends
-    are constructed once per process (session reuse)."""
+    are constructed once per process (session reuse). ``proxies``
+    (CrawlConfig.proxies) reaches the "http" backend's rotating
+    ProxyPool (S11); backends exposing ``close()`` (browser/session
+    teardown) are released at process exit so a real Selenium driver
+    never leaks one browser per actor."""
     if name == "synthetic":
         return get_world(world_params)
-    key = (name, astuple(world_params))
+    key = (name, astuple(world_params), proxies)
     b = _BACKEND_CACHE.get(key)
     if b is None:
         from ..sources.fetch_backends import FETCH_BACKENDS
 
         # each backend's opt-in flag differs: HTTP must be told the
         # network is allowed, the browser seam that a driver is wanted
-        kwargs = {"http": {"allow_network": True},
+        kwargs = {"http": {"allow_network": True,
+                           "proxies": list(proxies) if proxies else None},
                   "browser": {"allow_browser": True}}.get(name, {})
         b = FETCH_BACKENDS[name](**kwargs)
+        if hasattr(b, "close"):
+            import atexit
+
+            atexit.register(b.close)
         _BACKEND_CACHE[key] = b
     return b
 
@@ -490,7 +512,8 @@ def make_fetch_parse_fn(world_params: WorldParams, wave: int, cfg: CrawlConfig,
             self.c = {k: [] for k in _NEW_FIELDS}
 
     def fetch_parse(batch: pa.Table):
-        world = get_fetch_backend(cfg.fetch_backend, world_params)
+        world = get_fetch_backend(cfg.fetch_backend, world_params,
+                                  cfg.proxies)
         if batch.num_rows == 0:
             return
         gate = np.asarray(batch["gate"].to_pylist())
@@ -952,7 +975,14 @@ def make_cands_to_frontier_fn(seen_handles: list, prev_wave: int, cfg: CrawlConf
 
     def _with_cols(base: pa.Table, **repl) -> pa.Table:
         """Copy of ``base`` with named columns replaced, preserving
-        column order (so the per-segment tables concat cleanly)."""
+        column order (so the per-segment tables concat cleanly). A
+        replacement whose name is not in ``base`` would otherwise be
+        silently dropped — fail loudly instead."""
+        missing = set(repl) - set(base.column_names)
+        if missing:
+            raise KeyError(
+                f"_with_cols: replacement column(s) {sorted(missing)} "
+                f"not in base schema {base.column_names}")
         cols = {name: repl.get(name, base[name])
                 for name in base.column_names}
         return pa.table(cols)
@@ -1768,7 +1798,9 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
             return _arrow_out(df)
 
         recs.map_batches(_clean_tag_stamp, batch_format="pandas").write_parquet(
-            job_dir, partition_cols=["bucket"]
+            job_dir, partition_cols=["bucket"],
+            min_rows_per_file=cfg.out_min_rows_per_file,
+            max_rows_per_file=cfg.out_max_rows_per_file,
         )
     summary["job_records"] = dir_num_rows(job_dir) if rec_dirs else 0
 
@@ -1798,10 +1830,17 @@ def _assemble(out_dir: str, cfg: CrawlConfig) -> dict:
             )
 
         imgs.map_batches(_to_caption, batch_format="pyarrow").write_parquet(
-            cap_dir, partition_cols=["bucket"]
+            cap_dir, partition_cols=["bucket"],
+            min_rows_per_file=cfg.out_min_rows_per_file,
+            max_rows_per_file=cfg.out_max_rows_per_file,
         )
     summary["image_caption"] = dir_num_rows(cap_dir) if img_dirs else 0
     return summary
+
+
+# all 256 two-char lowercase hex prefixes, in value order — index_in
+# against this set IS int(s[:2], 16), fully inside Arrow
+_HEX2_PREFIXES = pa.array([f"{i:02x}" for i in range(256)])
 
 
 def _dedup_by_sha(ds, order_cols: list[str]):
@@ -1809,10 +1848,16 @@ def _dedup_by_sha(ds, order_cols: list[str]):
     groups → a real shuffle but no per-key task explosion), then a
     vectorized sort + drop_duplicates inside each bucket."""
 
-    def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
-        df["dedup_bucket"] = [int(s[:2], 16) for s in df["url_sha1"]]
-        return _arrow_out(df)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-native bucket derivation (the old per-row
+        # [int(s[:2], 16) ...] loop was the only row-Python in the
+        # assembly path): slice the first two code units and look them
+        # up in the ordered prefix set — the match index equals the
+        # hex value
+        pref = pc.utf8_slice_codeunits(t["url_sha1"], 0, 2)
+        bucket = pc.cast(pc.index_in(pref, value_set=_HEX2_PREFIXES),
+                         pa.int64())
+        return t.append_column("dedup_bucket", bucket)
 
     def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["url_sha1", *order_cols], kind="stable")
@@ -1821,7 +1866,7 @@ def _dedup_by_sha(ds, order_cols: list[str]):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("dedup_bucket", num_partitions=32)
         .map_groups(first_per_key, batch_format="pandas")
     )

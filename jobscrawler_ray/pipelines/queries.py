@@ -1279,15 +1279,41 @@ def q_minhash_dedup_keep(sf_dir: str):
     return _keep_corpus(_tbl(sf_dir, "documents", ["doc_id"]), "doc_id", drops)
 
 
+# Pair-source dispatch for the embedding dedup-KEEP: up to this many
+# corpus rows the EXACT blocked all-pairs kernel supplies the pairs
+# (it is the oracle the driver's correctness gate compares against,
+# and at bounded N its B(B+1)/2 block-pair tasks are cheap); above it
+# the kernel's task count grows quadratically (~6e10 block pairs at
+# 1e9 vectors), so the LSH-bucketed ANN detector — recall-tested
+# against the exact kernel — takes over. Same bounded-size dispatch
+# pattern as _CC_LOCAL_EDGE_LIMIT / _DROP_BCAST_LIMIT.
+_EMB_KEEP_EXACT_LIMIT = int(os.environ.get("JCR_EMB_KEEP_EXACT_LIMIT",
+                                           "100000"))
+
+
 def q_embedding_dedup_keep(sf_dir: str):
     """Embedding-cosine near-dup REMOVAL — completes the keep/removal
     trio (minhash for text, phash for images, cosine for embeddings):
-    exact blocked all-pairs (``q_embedding_neardup``) → distributed
-    connected components over the bounded pair set → distributed
-    drop-set → threshold-dispatched anti-join over the corpus
-    (``_keep_corpus``). Same shape as ``q_minhash_dedup_keep``; the
-    pair ids are already int64 so the CC runs on them directly."""
-    drops = _cc_drop_ds(q_embedding_neardup(sf_dir))
+    near-dup pairs → distributed connected components over the bounded
+    pair set → distributed drop-set → threshold-dispatched anti-join
+    over the corpus (``_keep_corpus``). Same shape as
+    ``q_minhash_dedup_keep``; the pair ids are already int64 so the CC
+    runs on them directly.
+
+    The pair SOURCE is size-dispatched (``_EMB_KEEP_EXACT_LIMIT``):
+    exact blocked all-pairs (``q_embedding_neardup``) below the limit —
+    that is the oracle-matching kernel — and the LSH-bucketed ANN
+    detector (``q_embedding_neardup_ann``) above it, where all-pairs'
+    O((N/block)²) task count is the one remaining scale-killer. ANN
+    pairs are a subset of the exact pairs (precision 1.0 — within-
+    bucket verification is exact cosine), so the ANN-path keep set is
+    a SUPERSET of the exact keep set: nothing is over-dropped, and
+    missed drops taper with the recall-tested band parameters."""
+    n_rows = papq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    pair_src = (q_embedding_neardup if n_rows <= _EMB_KEEP_EXACT_LIMIT
+                else q_embedding_neardup_ann)
+    drops = _cc_drop_ds(pair_src(sf_dir))
     return _keep_corpus(_tbl(sf_dir, "embeddings", ["vec_id"]), "vec_id", drops)
 
 
@@ -3173,8 +3199,20 @@ def q_phash_dedup_keep(sf_dir: str):
         akey = ans["key"].to_numpy(zero_copy_only=False)
         alab = ans["lab"].to_numpy(zero_copy_only=False)
         order = np.argsort(akey, kind="stable")
-        idx = np.searchsorted(akey[order],
-                              q["key"].to_numpy(zero_copy_only=False))
+        qkey = q["key"].to_numpy(zero_copy_only=False)
+        if len(qkey) == 0:
+            return pa.table({"pid": pa.array([], type=pa.string()),
+                             "lab": pa.array([], type=pa.int64())})
+        idx = np.searchsorted(akey[order], qkey)
+        # every query key MUST have an answer in its partition (CC
+        # emits a label for every pair endpoint); verify instead of
+        # indexing blindly — an unmatched key would otherwise raise
+        # IndexError or silently take a neighbor's label
+        np.minimum(idx, max(len(akey) - 1, 0), out=idx)
+        if len(akey) == 0 or not np.array_equal(akey[order][idx], qkey):
+            raise RuntimeError(
+                "phash label compose: query key missing from its "
+                "partition's answer set (CC node emission broke)")
         return pa.table({"pid": q["pid"],
                          "lab": pa.array(alab[order][idx], type=pa.int64())})
 

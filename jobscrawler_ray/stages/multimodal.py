@@ -10,8 +10,10 @@ Audio and video are real too, over this repo's own container formats
 (``functions/av_codecs.py``: ``jaud`` delta-PCM, ``jvid`` per-frame
 image container) — decode, RMS/duration features, and frame-sampling
 all run on actual bytes. ``_decode_audio`` / ``_decode_video`` keep a
-magic-dispatch seam: buffers in an EXTERNAL format (wav/mp4/...) raise
-``NotImplementedError`` until soundfile/PyAV is plugged in there — the
+magic-dispatch seam to STANDARD formats (functions/std_codecs.py):
+WAV PCM16 and PNG decode natively (stdlib), while jpeg/flac/mp4 route
+through import-guarded Pillow/soundfile/PyAV branches that raise
+``NotImplementedError`` with remediation until the lib exists — the
 one seam a real deployment swaps, same pattern as the fetch backend
 registry. The plumbing and codecs are tested (tests/test_multimodal_embed.py).
 """
@@ -21,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions import av_codecs, codecs
+from ..functions import av_codecs, codecs, std_codecs
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -107,23 +109,26 @@ class ResizeImages:
 
 def _decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
     """Magic-dispatch decode seam → ``(int16 waveform, sample_rate)``.
-    External formats plug in here (soundfile/ffmpeg) in a real
-    deployment; this repo's own ``jaud`` decodes natively."""
+    ``jaud`` and STANDARD WAV (RIFF/WAVE PCM16, stdlib ``wave``) decode
+    natively; flac/ogg go through the soundfile-guarded branch
+    (functions/std_codecs.py) and raise NotImplementedError with
+    remediation until the lib exists."""
     if buf[:4] == av_codecs.AUDIO_MAGIC:
         return av_codecs.decode_audio(buf)
-    raise NotImplementedError(
-        "external audio format (wav/flac/...): plug soundfile/ffmpeg here"
-    )
+    return std_codecs.decode_audio_external(buf)
 
 
 def _decode_video(buf: bytes) -> list[np.ndarray]:
     """Magic-dispatch decode seam → list of ``(h, w, 3) uint8`` frames.
-    External formats plug in here (PyAV/ffmpeg); this repo's own
-    ``jvid`` decodes natively."""
+    This repo's own ``jvid`` decodes natively; mp4/webm go through the
+    PyAV-guarded branch (functions/std_codecs.py)."""
     if buf[:4] == av_codecs.VIDEO_MAGIC:
         return av_codecs.decode_video(buf)
+    if std_codecs.is_external_video(buf):
+        return std_codecs.decode_video_external(buf)
     raise NotImplementedError(
-        "external video format (mp4/webm/...): plug PyAV/ffmpeg here"
+        "unrecognized video container: native = jvid, PyAV handles "
+        "mp4/webm off-sandbox"
     )
 
 

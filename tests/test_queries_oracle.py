@@ -464,6 +464,37 @@ class TestDistributedKeepPath:
         dist = sorted(_to_pandas(queries.QUERIES[name](SF_DIR))[col])
         assert dist == bcast
 
+    def test_embedding_keep_ann_pair_source(self, ray_session,
+                                            monkeypatch):
+        """``embedding_dedup_keep`` dispatches its PAIR source on
+        corpus size (``_EMB_KEEP_EXACT_LIMIT``): exact blocked
+        all-pairs below, the LSH-bucketed ANN detector above — the
+        scale path for the one remaining O(N²) kernel. Force the ANN
+        source and check the containment the dispatch relies on: ANN
+        pairs ⊆ exact pairs (precision 1.0) implies the ANN drop-set
+        is a SUBSET of the exact drop-set (an edge-subset refines
+        components; every non-min member of an ANN subcomponent is
+        also non-min in its exact supercomponent), so the ANN keep
+        set is a SUPERSET of the exact keep — nothing over-dropped —
+        with drop recall bounded by the recall-tested band params."""
+        from jobscrawler_ray.pipelines import queries
+
+        exact_kept = set(
+            _to_pandas(queries.QUERIES["embedding_dedup_keep"](SF_DIR))["vec_id"])
+        monkeypatch.setattr(queries, "_EMB_KEEP_EXACT_LIMIT", 0)
+        ann_kept = set(
+            _to_pandas(queries.QUERIES["embedding_dedup_keep"](SF_DIR))["vec_id"])
+        assert ann_kept >= exact_kept, (
+            f"ANN path over-dropped: {sorted(exact_kept - ann_kept)[:5]}")
+        all_ids = set(range(500))
+        exact_drops = all_ids - exact_kept
+        ann_drops = all_ids - ann_kept
+        assert ann_drops <= exact_drops
+        if exact_drops:
+            recall = len(ann_drops) / len(exact_drops)
+            assert recall >= 0.8, (
+                f"ANN drop recall {recall} over {len(exact_drops)} drops")
+
     def test_tfidf_distributed_df_matches_broadcast(self, ray_session,
                                                     monkeypatch):
         """Forcing the distributed DF-attach path (no driver-side

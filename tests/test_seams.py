@@ -1,6 +1,9 @@
 """Contract tests for the real-deployment seams (fetch backend, bs4
 registry extension, durable sinks) — pure unit tests, no Ray session."""
 
+import os
+import uuid
+
 import pyarrow as pa
 import pytest
 
@@ -358,6 +361,79 @@ class TestPostgresSinksViaSqliteTwin:
             assert json.loads(cur.fetchone()[0]) == [9.0, 9.0]
             cur.execute("SELECT count(*) FROM embeddings")
             assert cur.fetchone() == (2,)
+
+
+class TestLivePostgres:
+    """OPTIONAL live-Postgres integration (reference
+    ``src/crawler.py:172-244``): runs the UNMODIFIED sink grammar
+    against a real database when ``JCR_PG_DSN`` is set — e.g.
+
+        JCR_PG_DSN=postgresql://user:pw@host/db pytest -k LivePostgres
+
+    Skips cleanly in this sandbox (no psycopg2, no DB). The sqlite
+    twin above exercises the same code path; this proves it against
+    genuine Postgres semantics (true ON CONFLICT, transactions)."""
+
+    @pytest.fixture()
+    def pg(self):
+        dsn = os.environ.get("JCR_PG_DSN")
+        if not dsn:
+            pytest.skip("set JCR_PG_DSN to run live-Postgres integration")
+        psycopg2 = pytest.importorskip("psycopg2")
+        conn = psycopg2.connect(dsn)
+        tbl = f"jcr_it_{uuid.uuid4().hex[:8]}"
+        with conn.cursor() as cur:
+            cur.execute(
+                f"CREATE TABLE {tbl} (url TEXT UNIQUE, title TEXT)")
+        conn.commit()
+        try:
+            yield conn, tbl
+        finally:
+            with conn.cursor() as cur:
+                cur.execute(f"DROP TABLE IF EXISTS {tbl}")
+            conn.commit()
+            conn.close()
+
+    def test_record_sink_against_live_db(self, pg):
+        from jobscrawler_ray.sources.db_sink import PostgresRecordSink
+
+        conn, tbl = pg
+        sink = PostgresRecordSink(table=tbl, columns=["url", "title"],
+                                  key_col="url", conn=conn)
+        sink.write_batch(pa.table({"url": ["u1", "u2"],
+                                   "title": ["a", "b"]}))
+        # replay + one fresh row: the conflict must DO NOTHING
+        sink.write_batch(pa.table({"url": ["u1", "u3"],
+                                   "title": ["A2", "c"]}))
+        with conn.cursor() as cur:
+            cur.execute(f"SELECT url, title FROM {tbl} ORDER BY url")
+            assert cur.fetchall() == [("u1", "a"), ("u2", "b"), ("u3", "c")]
+
+    def test_pgvector_sink_against_live_db(self, pg):
+        conn, _ = pg
+        from jobscrawler_ray.sources.db_sink import PgVectorEmbeddingSink
+
+        tbl = f"jcr_vec_{uuid.uuid4().hex[:8]}"
+        with conn.cursor() as cur:
+            try:
+                cur.execute("CREATE EXTENSION IF NOT EXISTS vector")
+                cur.execute(f"CREATE TABLE {tbl} "
+                            f"(id integer UNIQUE, embedding vector(2))")
+            except Exception:
+                conn.rollback()
+                pytest.skip("pgvector extension unavailable on this DB")
+        conn.commit()
+        try:
+            sink = PgVectorEmbeddingSink(table=tbl, conn=conn)
+            sink.write_batch(pa.table({"id": [1], "embedding": [[1.0, 2.0]]}))
+            sink.write_batch(pa.table({"id": [1], "embedding": [[9.0, 9.0]]}))
+            with conn.cursor() as cur:
+                cur.execute(f"SELECT embedding FROM {tbl} WHERE id=1")
+                assert "9" in str(cur.fetchone()[0])
+        finally:
+            with conn.cursor() as cur:
+                cur.execute(f"DROP TABLE IF EXISTS {tbl}")
+            conn.commit()
 
 
 class TestWebhookNotifierSeam:
