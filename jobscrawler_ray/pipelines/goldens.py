@@ -511,6 +511,21 @@ def golden_multimodal_resize(sf_dir: str, out_w: int = 32, out_h: int = 32) -> p
         {"w": np.int32, "h": np.int32, "thumb_phash": np.int64})
 
 
+def golden_png_export(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_png_export``: same decode → encode_png →
+    re-decode round-trip per crawled image, orchestration-free loop."""
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        px, _ = codecs.decode(buf)
+        png = codecs.encode(px, "png")
+        back, fmt = codecs.decode(png)
+        rows.append((iid, len(png),
+                     bool(fmt == "png" and np.array_equal(back, px))))
+    return pd.DataFrame(rows, columns=["image_id", "png_size", "exact"]
+                        ).astype({"png_size": np.int64})
+
+
 def golden_audio_features(sf_dir: str) -> pd.DataFrame:
     """Sequential audio path: same synthesis + codec round-trip +
     feature kernels as the engine's leaves, orchestration-free loop."""
@@ -665,6 +680,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["multimodal_resize"] = values_sql(golden_multimodal_resize(sf_dir), {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "thumb_phash": "BIGINT"})
+    out["png_export"] = values_sql(golden_png_export(sf_dir), {
+        "image_id": "VARCHAR", "png_size": "BIGINT", "exact": "BOOLEAN"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {

@@ -498,16 +498,19 @@ def q_token_truncate(sf_dir: str):
     """M16: token counting + truncation at N tokens
     (``e5_base_v2_utils.py:37-51``), whitespace tokenizer."""
 
-    def trunc(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "truncated": [textstats.truncate_tokens(t, 100) for t in df["text"]],
+                "doc_id": t["doc_id"],
+                "truncated": pa.array(
+                    [textstats.truncate_tokens(x, 100)
+                     for x in t["text"].to_pylist()],
+                    type=pa.string()),
             }
         )
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        trunc, batch_format="pandas"
+        trunc, batch_format="pyarrow"
     )
 
 
@@ -527,20 +530,22 @@ def q_token_counts(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        s = textstats.quality_scores(df["text"].tolist())
-        return pd.DataFrame(
+    def score(t: pa.Table) -> pa.Table:
+        s = textstats.quality_scores(t["text"].to_pylist())
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_chars": s["n_chars"],
-                "n_tokens": s["n_tokens"],
-                "chars_per_token": _round_half_up(s["chars_per_token"], 4),
-                "stopword_ratio": _round_half_up(s["stopword_ratio"], 4),
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(s["n_chars"]),
+                "n_tokens": pa.array(s["n_tokens"]),
+                "chars_per_token": pa.array(
+                    _round_half_up(s["chars_per_token"], 4)),
+                "stopword_ratio": pa.array(
+                    _round_half_up(s["stopword_ratio"], 4)),
             }
         )
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        score, batch_format="pandas"
+        score, batch_format="pyarrow"
     )
 
 
@@ -556,21 +561,22 @@ def q_quality_filter(sf_dir: str):
     map-side (one vectorized pass, no shuffle); emits the kept doc ids
     with their scores."""
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        s = textstats.quality_scores(df["text"].tolist())
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": s["n_tokens"],
-            "chars_per_token": _round_half_up(s["chars_per_token"], 4),
-            "stopword_ratio": _round_half_up(s["stopword_ratio"], 4),
+    def keep(t: pa.Table) -> pa.Table:
+        s = textstats.quality_scores(t["text"].to_pylist())
+        cpt = _round_half_up(s["chars_per_token"], 4)
+        stop = _round_half_up(s["stopword_ratio"], 4)
+        m = ((s["n_tokens"] >= _QF_MIN_TOKENS)
+             & (cpt <= _QF_MAX_CPT) & (stop >= _QF_MIN_STOP))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_tokens": pa.array(s["n_tokens"][m]),
+            "chars_per_token": pa.array(cpt[m]),
+            "stopword_ratio": pa.array(stop[m]),
         })
-        m = ((out["n_tokens"] >= _QF_MIN_TOKENS)
-             & (out["chars_per_token"] <= _QF_MAX_CPT)
-             & (out["stopword_ratio"] >= _QF_MIN_STOP))
-        return out[m].reset_index(drop=True)
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        keep, batch_format="pandas"
+        keep, batch_format="pyarrow"
     )
 
 
@@ -609,17 +615,19 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic (stopword/charset) — no SQL equivalent;
     rows-only check."""
 
-    def lid(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def lid(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "lang": df["lang"],
-                "lang_pred": [textstats.lang_id(t) for t in df["text"]],
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(
+                    [textstats.lang_id(x) for x in t["text"].to_pylist()],
+                    type=pa.string()),
             }
         )
 
     return _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
-        lid, batch_format="pandas"
+        lid, batch_format="pyarrow"
     )
 
 
@@ -627,17 +635,22 @@ def q_fingerprints(sf_dir: str):
     """Document fingerprinting: whole-doc rolling hash + winnowing
     count — rows-only (not SQL-expressible)."""
 
-    def fp(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "fingerprint": [textstats.fingerprint64(t) for t in df["text"]],
-                "n_winnow": [len(textstats.winnow_fingerprints(t)) for t in df["text"]],
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    [textstats.fingerprint64(x) for x in texts],
+                    type=pa.int64()),
+                "n_winnow": pa.array(
+                    [len(textstats.winnow_fingerprints(x)) for x in texts],
+                    type=pa.int64()),
             }
         )
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fp, batch_format="pandas"
+        fp, batch_format="pyarrow"
     )
 
 
@@ -745,31 +758,36 @@ def q_minhash_lsh(sf_dir: str):
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
     bands = _MH_BANDS
-    parts = 16  # coarse shuffle key: hash partition of band_key
+    parts = 32  # coarse shuffle key: hash partition of band_key —
+    # sized to keep every core busy in the run-detection stage (the
+    # pair output is invariant to parts; 16 left half the box idle)
 
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_doc = [], []
-        for did, text in zip(df["doc_id"], df["text"]):
+    def band_rows(t: pa.Table) -> pa.Table:
+        # Arrow in/out (no pandas object Series round-trip); the
+        # per-doc shingle+signature loop remains — MinHash is
+        # inherently per-document, and the sha1 shingle hashing
+        # dominates it, not the loop
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        keys = np.empty(len(texts) * bands, dtype=np.int64)
+        for i, text in enumerate(texts):
             sig = hasher.signature(dedupe.shingle_set(text, k=_MH_SHINGLE_K))
-            for key in hasher.band_keys(sig, bands):
-                out_band.append(key)
-                out_doc.append(did)
-        bk = pd.Series(out_band, dtype=np.int64)
-        return _arrow_out(
-            pd.DataFrame({"band_key": bk,
-                          "part": (bk % parts).astype(np.int64),
-                          "doc_id": pd.Series(out_doc, dtype=np.int64)})
-        )
+            keys[i * bands:(i + 1) * bands] = hasher.band_keys(sig, bands)
+        return pa.table({
+            "band_key": pa.array(keys),
+            "part": pa.array(keys % parts),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+        })
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(t: pa.Table) -> pa.Table:
         """Same-band pairs for one COARSE hash partition, via vectorized
         run detection over the whole partition. Grouping on band_key
         itself hands map_groups one pandas group per bucket — at 200k
         docs that is ~3M mostly-singleton groups whose per-group
         iteration alone cost ~100s; per-partition (16 groups) the same
         work is one lexsort + a loop over only the multi-doc runs."""
-        bk = g["band_key"].to_numpy()
-        did = g["doc_id"].to_numpy()
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((did, bk))
         bk, did = bk[order], did[order]
         starts, ends = _key_runs(bk)
@@ -781,8 +799,8 @@ def q_minhash_lsh(sf_dir: str):
             for i in range(ids.size - 1):
                 out_a.extend([int(ids[i])] * (ids.size - 1 - i))
                 out_b.extend(ids[i + 1:].tolist())
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
-                             "id_b": pd.Series(out_b, dtype=np.int64)})
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64())})
 
     # materialize the candidate PAIRS (not the corpus): the set is
     # bounded by the near-dup rate, and the checkpoint lets the
@@ -793,9 +811,9 @@ def q_minhash_lsh(sf_dir: str):
     # stress scale, push-based past ~6M docs.
     with _shuffle_scaled(_tbl_rows(sf_dir, "documents") * bands * 24):
         cand = (
-            docs.map_batches(band_rows, batch_format="pandas")
+            docs.map_batches(band_rows, batch_format="pyarrow")
             .groupby("part", num_partitions=parts)
-            .map_groups(partition_pairs, batch_format="pandas")
+            .map_groups(partition_pairs, batch_format="pyarrow")
         ).materialize()
 
     # global pair dedup in ONE coalesced worker task (pairs are tiny
@@ -1023,15 +1041,18 @@ def _cc_wave_a(p: int, P: int, edges, nodes, lab, *replies):
 def _cc_wave_b(p: int, P: int, nodes, lab, *shards):
     """Second half of a BSP round: apply the min-combined neighbor
     candidates to owned nodes and answer jump requests from current
-    labels. Returns ``[lab, changed, reply_0 … reply_{P-1}]`` with
-    replies routed back to the asking partition."""
+    labels. Returns ``[lab, changed, reply_0 … reply_{n-1}]``, one
+    reply per INCOMING shard — routed back to the asking partition
+    (plain mode, n = P) or to the asking GROUP (tree-combine mode,
+    n = ceil(P/k); every group member folds the same reply, and
+    ``_cc_apply_by_label`` ignores labels a member doesn't hold)."""
     lab = lab.copy()
     changed = False
     for tgt, mins, _ in shards:
         changed |= _cc_apply(nodes, lab, tgt, mins)
     replies = []
-    for q in range(P):
-        rq = shards[q][2]
+    for sh in shards:
+        rq = sh[2]
         if len(rq) == 0 or len(nodes) == 0:
             replies.append((_CC_EMPTY, _CC_EMPTY))
             continue
@@ -1040,6 +1061,36 @@ def _cc_wave_b(p: int, P: int, nodes, lab, *shards):
         ok = nodes[idx] == rq
         replies.append((rq[ok], lab[idx][ok]))
     return [lab, changed] + replies
+
+
+# Tree-combine of same-target message shards: above _CC_COMBINE_P
+# partitions, the P×P per-round shard fan-out (10⁴-10⁵ objects per
+# round at cluster-scale P) is merged k-ary per target BEFORE wave B —
+# P²/k distinct objects, wave-B fan-in bounded by ceil(P/k), and the
+# merged pushes dedup per-target minima across sources so wave B
+# applies each target once instead of P times.
+_CC_COMBINE_P = int(os.environ.get("JCR_CC_COMBINE_P", "32"))
+_CC_COMBINE_K = int(os.environ.get("JCR_CC_COMBINE_K", "8"))
+
+
+@ray.remote
+def _cc_combine_shards(*shards):
+    """Min-combine k same-target shards ``(push_t, push_m, req)`` into
+    one: pushes keep the min candidate per target, requests union."""
+    ts = [s[0] for s in shards if len(s[0])]
+    if ts:
+        t = np.concatenate(ts)
+        m = np.concatenate([s[1] for s in shards if len(s[0])])
+        order = np.lexsort((m, t))
+        t, m = t[order], m[order]
+        first = np.ones(len(t), dtype=bool)
+        first[1:] = t[1:] != t[:-1]
+        t, m = t[first], m[first]
+    else:
+        t = m = _CC_EMPTY
+    rs = [s[2] for s in shards if len(s[2])]
+    r = np.unique(np.concatenate(rs)) if rs else _CC_EMPTY
+    return (t, m, r)
 
 
 @ray.remote
@@ -1138,8 +1189,23 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
     nodes = [a[1] for a in asm]
     labs = [a[2] for a in asm]
 
+    # tree-combine grouping: above _CC_COMBINE_P partitions each
+    # target's P incoming shards are merged _CC_COMBINE_K-ary first;
+    # group replies are shared ObjectRefs (one per group, folded by
+    # every member — safe, apply-by-label skips absent labels)
+    if P > _CC_COMBINE_P:
+        K = max(2, _CC_COMBINE_K)
+        groups = [list(range(g, min(g + K, P))) for g in range(0, P, K)]
+    else:
+        groups = [[p] for p in range(P)]
+    gidx = np.empty(P, dtype=np.int64)  # partition → its group index
+    for j, grp in enumerate(groups):
+        for s in grp:
+            gidx[s] = j
+    G = len(groups)
+
     empty = ray.put((_CC_EMPTY, _CC_EMPTY))
-    replies = [[empty] * P for _ in range(P)]  # replies[q][p]: q → p
+    replies = [[empty] * G for _ in range(P)]  # replies[q][j]: q → group j
     clean, rounds = 0, 0
     while clean < 2:
         rounds += 1
@@ -1148,12 +1214,17 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
                 "connected-components BSP propagation did not converge")
         outa = [_cc_wave_a.options(num_returns=P + 2).remote(
             p, P, edges[p], nodes[p], labs[p],
-            *[replies[q][p] for q in range(P)]) for p in range(P)]
+            *[replies[q][gidx[p]] for q in range(P)]) for p in range(P)]
         labs = [o[0] for o in outa]
         shards = [o[2:] for o in outa]  # shards[p][q]: p → q
-        outb = [_cc_wave_b.options(num_returns=P + 2).remote(
-            p, P, nodes[p], labs[p],
-            *[shards[q][p] for q in range(P)]) for p in range(P)]
+        if G < P:
+            inbound = [[_cc_combine_shards.remote(
+                *[shards[s][q] for s in grp]) for grp in groups]
+                for q in range(P)]
+        else:
+            inbound = [[shards[s][q] for s in range(P)] for q in range(P)]
+        outb = [_cc_wave_b.options(num_returns=G + 2).remote(
+            q, P, nodes[q], labs[q], *inbound[q]) for q in range(P)]
         labs = [o[0] for o in outb]
         replies = [o[2:] for o in outb]
         ch = ray.get([o[1] for o in outa] + [o[1] for o in outb])
@@ -1321,18 +1392,18 @@ def q_simhash(sf_dir: str):
     """SimHash fingerprints (rows-only; near-dup = small Hamming
     distance, asserted in tests)."""
 
-    def sh(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def sh(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "simhash": pd.Series(
-                    dedupe.simhash64_batch(list(df["text"])), dtype=np.int64
-                ),
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(
+                    dedupe.simhash64_batch(t["text"].to_pylist()),
+                    type=pa.int64()),
             }
         )
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        sh, batch_format="pandas"
+        sh, batch_format="pyarrow"
     )
 
 
@@ -1340,7 +1411,7 @@ _SIMHASH_TAU = 7  # ≤7 of 64 bits: EXACT recall with 8×8-bit banding
 
 
 def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
-                          id_dtype, parts: int = 16,
+                          id_dtype, parts: int = 32,
                           est_rows: int | None = None):
     """Shared 8-band × 8-bit Hamming near-dup pipeline (phash and
     simhash): band explode → coarse hash-partition groupby (grouping on
@@ -1355,26 +1426,41 @@ def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
     parquet metadata) sizes the band exchange for the shuffle-strategy
     pick; None keeps the default strategy."""
 
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        h = df[hash_col].to_numpy().astype(np.uint64)
+    id_patype = pa.string() if id_dtype is object else pa.int64()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        # Arrow end to end (was pandas with OBJECT-dtype id tiling —
+        # the object arrays then forced Python-compare lexsorts in the
+        # pair stage, the docstress top cost): the ×8 repetition
+        # concatenates Arrow arrays, never numpy object copies
+        h = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         bands = np.concatenate([
             (((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
              + (b << 8))
             for b in range(8)
         ])
-        return _arrow_out(pd.DataFrame({
-            "band": bands,
-            "part": bands % parts,
-            "nid": np.tile(df[id_col].to_numpy(dtype=object), 8),
-            "h64": np.tile(df[hash_col].to_numpy(), 8),
-        }))
+        ids = t[id_col].combine_chunks()
+        h64 = t[hash_col].combine_chunks()
+        return pa.table({
+            "band": pa.array(bands),
+            "part": pa.array(bands % parts),
+            "nid": pa.concat_arrays([ids] * 8),
+            "h64": pa.concat_arrays([h64] * 8),
+        })
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        band = g["band"].to_numpy()
-        nid = g["nid"].to_numpy(dtype=object)
-        h = g["h64"].to_numpy().astype(np.int64)
-        order = np.lexsort((h, nid, band))
-        band, nid, h = band[order], nid[order], h[order]
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=id_patype),
+                          "id_b": pa.array([], type=id_patype),
+                          "hamming": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # Arrow's C++ sort; string ids compare as UTF-8 bytes, which
+        # preserves the codepoint order the old numpy object sort used
+        t = t.sort_by([("band", "ascending"), ("nid", "ascending"),
+                       ("h64", "ascending")])
+        band = t["band"].to_numpy()
+        nid = t["nid"].to_numpy(zero_copy_only=False)
+        h = t["h64"].to_numpy(zero_copy_only=False).astype(np.int64)
         starts, ends = _key_runs(band)
         out_a: list = []
         out_b: list = []
@@ -1387,20 +1473,18 @@ def _banded_hamming_pairs(hashed, id_col: str, hash_col: str, max_d: int,
             out_b.append(b)
             out_d.append(dd)
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
-                                 "id_b": pd.Series([], dtype=id_dtype),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
-            "id_a": pd.Series(np.concatenate(out_a), dtype=id_dtype),
-            "id_b": pd.Series(np.concatenate(out_b), dtype=id_dtype),
-            "hamming": pd.Series(np.concatenate(out_d), dtype=np.int64),
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=id_patype),
+            "id_b": pa.array(np.concatenate(out_b), type=id_patype),
+            "hamming": pa.array(np.concatenate(out_d), type=pa.int64()),
         })
 
     with _shuffle_scaled((est_rows or 0) * 8 * 70):
         banded = (
-            hashed.map_batches(band_rows, batch_format="pandas")
+            hashed.map_batches(band_rows, batch_format="pyarrow")
             .groupby("part", num_partitions=parts)
-            .map_groups(partition_pairs, batch_format="pandas")
+            .map_groups(partition_pairs, batch_format="pyarrow")
             .materialize()
         )
     return banded.map_batches(
@@ -3017,6 +3101,38 @@ def q_embed_documents(sf_dir: str):
     return ds.map_batches(norms, batch_format="pandas")
 
 
+def q_png_export(sf_dir: str):
+    """STANDARD-format interchange: decode every crawled image (the
+    self-built raw/pngz/qjpg codecs) and re-encode as REAL PNG
+    (RFC 2083 wire bytes, functions/std_codecs.py — stdlib-native, no
+    Pillow) — the export step a corpus consumer runs before handing
+    images to external tooling. PNG is lossless, so the re-decoded
+    pixels must be identical (``exact`` per row); the byte size is
+    deterministic (fixed zlib level), golden-checked. Actor-pool-shaped
+    map_batches over the binary column, small batches (wide rows)."""
+    from ..functions import codecs as _c
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes"])
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids, sizes, exact = [], [], []
+        for iid, buf in zip(t["image_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            px, _ = _c.decode(buf)
+            png = _c.encode(px, "png")
+            back, fmt = _c.decode(png)
+            ids.append(iid)
+            sizes.append(len(png))
+            exact.append(bool(fmt == "png" and np.array_equal(back, px)))
+        return pa.table({"image_id": pa.array(ids, type=pa.string()),
+                         "png_size": pa.array(sizes, type=pa.int64()),
+                         "exact": pa.array(exact, type=pa.bool_())})
+
+    return ds.map_batches(to_png, batch_format="pyarrow", batch_size=64)
+
+
 def q_multimodal_resize(sf_dir: str):
     """Decode → nearest-neighbor 32×32 thumbnail → re-encode, as an
     actor-pool stage over the binary image column (rows-only)."""
@@ -3703,18 +3819,18 @@ def q_decontaminate_docs(sf_dir: str):
     scan is pure map-side."""
     ref = _decon_bench_ref(sf_dir)
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
+    def keep(t: pa.Table) -> pa.Table:
         bs = _bget(ref)
-        mask = [
-            i >= _DECON_BENCH and not (_word_grams(t, _DECON_GRAM) & bs)
-            for i, t in zip(df["doc_id"], df["text"])
-        ]
-        return _arrow_out(pd.DataFrame(
-            {"doc_id": df["doc_id"][mask].astype(np.int64)}))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (i >= _DECON_BENCH and not (_word_grams(x, _DECON_GRAM) & bs)
+             for i, x in zip(ids, t["text"].to_pylist())),
+            dtype=bool, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids[mask])})
 
     return (
         _tbl(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(keep, batch_format="pandas")
+        .map_batches(keep, batch_format="pyarrow")
     )
 
 
@@ -3739,21 +3855,22 @@ def q_repetition_filter(sf_dir: str):
     excluded (mirrors the SQL, where they produce no bigram rows)."""
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pa.Table:
         ids, fracs = [], []
-        for i, t in zip(df["doc_id"], df["text"]):
-            toks = t.split(" ")
+        for i, x in zip(t["doc_id"].to_numpy(zero_copy_only=False),
+                        t["text"].to_pylist()):
+            toks = x.split(" ")
             if len(toks) < 2:
                 continue
             f = _dup_bigram_frac(toks)
             if f <= _REP_TAU:
-                ids.append(i)
+                ids.append(int(i))
                 fracs.append(f)
-        return _arrow_out(pd.DataFrame(
-            {"doc_id": pd.Series(ids, dtype=np.int64),
-             "dup_frac": pd.Series(fracs, dtype=np.float64)}))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "dup_frac": pa.array(fracs, type=pa.float64())})
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def q_curate_corpus(sf_dir: str):
@@ -3769,37 +3886,37 @@ def q_curate_corpus(sf_dir: str):
     survivors. Output: the kept (doc_id, source, n_tokens) manifest."""
     ref = _decon_bench_ref(sf_dir)
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
+    def gate(t: pa.Table) -> pa.Table:
         bs = _bget(ref)
-        s = textstats.quality_scores(df["text"].tolist())
-        nt = np.asarray(s["n_tokens"])
-        cpt = np.asarray(_round_half_up(s["chars_per_token"], 4))
-        stop = np.asarray(_round_half_up(s["stopword_ratio"], 4))
-        ids = df["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        s = textstats.quality_scores(texts)
+        nt = s["n_tokens"]
+        cpt = _round_half_up(s["chars_per_token"], 4)
+        stop = _round_half_up(s["stopword_ratio"], 4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         fast = ((nt >= _QF_MIN_TOKENS) & (cpt <= _QF_MAX_CPT)
                 & (stop >= _QF_MIN_STOP)
-                & (df["lang"].to_numpy() == "en")
+                & pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
                 & (ids >= _DECON_BENCH))
         keep_idx = []
         for j in np.nonzero(fast)[0]:
-            t = df["text"].iloc[j]
+            x = texts[j]
             # n_tokens >= 30 gate already ensures >= 1 bigram
-            if _dup_bigram_frac(t.split(" ")) > _REP_TAU:
+            if _dup_bigram_frac(x.split(" ")) > _REP_TAU:
                 continue
-            if _word_grams(t, _DECON_GRAM) & bs:
+            if _word_grams(x, _DECON_GRAM) & bs:
                 continue
             keep_idx.append(j)
-        sub = df.iloc[keep_idx]
-        return _arrow_out(pd.DataFrame({
-            "doc_id": sub["doc_id"].astype(np.int64),
-            "source": sub["source"].astype(object),
-            "n_tokens": pd.Series(nt[keep_idx], dtype=np.int64,
-                                  index=sub.index),
-        }))
+        sel = pa.array(keep_idx, type=pa.int64())
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], sel),
+            "source": pc.take(t["source"], sel),
+            "n_tokens": pa.array(nt[keep_idx], type=pa.int64()),
+        })
 
     return _tbl(sf_dir, "documents",
                 ["doc_id", "text", "lang", "source"]).map_batches(
-        gate, batch_format="pandas")
+        gate, batch_format="pyarrow")
 
 
 # per-source sampling rates (hash thresholds): even-numbered sources
@@ -3817,18 +3934,20 @@ def q_mixture_sample(sf_dir: str):
     that makes the sample reproducible across runs AND resumable
     mid-corpus. Pure map-side."""
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["doc_id"].to_numpy().astype(np.int64) * _HASH_MULT) % _HASH_MOD
-        suffix = df["source"].str.slice(3).astype(np.int64).to_numpy()
+    def pick(t: pa.Table) -> pa.Table:
+        h = (t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+             * _HASH_MULT) % _HASH_MOD
+        suffix = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99),
+                         pa.int64()).to_numpy(zero_copy_only=False)
         thr = np.where(suffix % 2 == 0, _MIX_THR_EVEN, _MIX_THR_ODD)
-        sub = df[h < thr]
-        return _arrow_out(pd.DataFrame({
-            "doc_id": sub["doc_id"].astype(np.int64),
-            "source": sub["source"].astype(object),
-        }))
+        mask = pa.array(h < thr)
+        return pa.table({
+            "doc_id": pc.filter(t["doc_id"], mask),
+            "source": pc.filter(t["source"], mask),
+        })
 
     return _tbl(sf_dir, "documents", ["doc_id", "source"]).map_batches(
-        pick, batch_format="pandas")
+        pick, batch_format="pyarrow")
 
 
 _SHUF_SHARDS = 8  # shard count (training output files per epoch)
@@ -3976,6 +4095,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_customers_by_spend": q_top_customers_by_spend,
     "embed_documents": q_embed_documents,
     "multimodal_resize": q_multimodal_resize,
+    "png_export": q_png_export,
     "phash_neardup": q_phash_neardup,
     "phash_dedup_keep": q_phash_dedup_keep,
     "curate_image_corpus": q_curate_image_corpus,

@@ -87,7 +87,7 @@ GOLDEN_NAMES = [
     "cm_counts_users", "audio_features", "video_frames",
     "curate_image_corpus", "aspect_buckets", "phash_knn",
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
-    "ann_ivfpq", "image_training_manifest",
+    "ann_ivfpq", "image_training_manifest", "png_export",
 ]
 
 
@@ -442,6 +442,43 @@ class TestConnectedComponents:
             roots.setdefault(find(v), []).append(v)
         want = {v: min(ms) for ms in roots.values() for v in ms}
         assert got == want
+
+    def test_cc_bsp_tree_combine_matches_plain(self, ray_session,
+                                               monkeypatch):
+        """Above ``_CC_COMBINE_P`` partitions the per-round P×P shard
+        fan-out merges k-ary per target (``_cc_combine_shards``) and
+        replies are shared per GROUP. Forcing the combine path (P=12 >
+        threshold 0, k=4 → 3 groups) must produce exactly the plain
+        path's labels on a graph with cross-partition chains + a hub."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jobscrawler_ray.pipelines import queries
+        from jobscrawler_ray.pipelines.queries import _cc_min_labels
+
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", 0)
+        rng = np.random.default_rng(23)
+        n = 4000
+        # chain through all partitions + hub + random noise edges
+        chain = np.arange(n - 1)
+        a = np.concatenate([chain, np.zeros(500, dtype=np.int64),
+                            rng.integers(0, n, size=3000)])
+        b = np.concatenate([chain + 1, rng.integers(1, n, size=500),
+                            rng.integers(0, n, size=3000)])
+        pairs = pa.table({"id_a": pa.array(a, type=pa.int64()),
+                          "id_b": pa.array(b, type=pa.int64())})
+
+        def run():
+            return {int(r["node"]): int(r["lab"]) for r in _cc_min_labels(
+                rd.from_arrow(pairs), num_partitions=12).take_all()}
+
+        plain = run()  # P=12 <= default threshold 32 → plain fan-out
+        monkeypatch.setattr(queries, "_CC_COMBINE_P", 0)
+        monkeypatch.setattr(queries, "_CC_COMBINE_K", 4)
+        combined = run()
+        assert combined == plain
+        # the chain makes every node one component rooted at 0
+        assert set(plain.values()) == {0}
 
 
 class TestDistributedKeepPath:
