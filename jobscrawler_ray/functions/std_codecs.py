@@ -116,17 +116,41 @@ def decode_png(buf: bytes) -> np.ndarray:
                    ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             rec = line + prior  # uint8 wraps mod 256, as the spec wants
-        elif f == 3:  # Average — sequential in x (depends on rec[x-ch])
-            rec = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(rec[x - ch]) if x >= ch else 0
-                rec[x] = (int(line[x]) + (left + int(prior[x])) // 2) % 256
-        elif f == 4:  # Paeth — sequential in x
-            rec = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(rec[x - ch]) if x >= ch else 0
-                ul = int(prior[x - ch]) if x >= ch else 0
-                rec[x] = (int(line[x]) + _paeth(left, int(prior[x]), ul)) % 256
+        elif f in (3, 4):  # Average / Paeth — sequential in x, so this
+            # is the one unavoidable Python loop; it runs on plain-int
+            # lists (numpy scalar indexing was ~8× slower per byte) and
+            # only for adaptive-filtered EXTERNAL PNGs when Pillow is
+            # absent — decode_image_external prefers Pillow when it
+            # imports, and our own encoder emits filter 0.
+            ln, pr = line.tolist(), prior.tolist()
+            rc = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    left = rc[x - ch] if x >= ch else 0
+                    rc[x] = (ln[x] + ((left + pr[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = rc[x - ch] if x >= ch else 0
+                    ul = pr[x - ch] if x >= ch else 0
+                    up = pr[x]
+                    p = left + up - ul
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - up
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rc[x] = (ln[x] + pred) & 0xFF
+            rec = np.asarray(rc, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y], prior = rec, rec
@@ -151,7 +175,13 @@ def _pillow_decode(buf: bytes, what: str) -> np.ndarray:
 def decode_image_external(buf: bytes, fmt: str) -> np.ndarray:
     """Dispatch an externally-formatted image buffer → (h, w, 3)."""
     if fmt == "png":
-        return decode_png(buf)
+        try:
+            # Pillow's C filter reconstruction beats the native path on
+            # adaptive-filtered (Average/Paeth) rows; same pixels either
+            # way — PNG decode is lossless.
+            return _pillow_decode(buf, "png")
+        except NotImplementedError:
+            return decode_png(buf)
     return _pillow_decode(buf, fmt)  # jpeg and friends
 
 
@@ -175,7 +205,13 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     channel input is averaged to mono (the feature stages are mono)."""
     import wave as _wave
 
-    with _wave.open(io.BytesIO(buf), "rb") as f:
+    try:
+        f = _wave.open(io.BytesIO(buf), "rb")
+    except _wave.Error:
+        # stdlib wave only speaks PCM containers — IEEE-float (format
+        # tag 3) and compressed WAVs land here, on the guarded seam.
+        return _soundfile_decode(buf, "wav (non-PCM format tag)")
+    with f:
         nch, width, sr = f.getnchannels(), f.getsampwidth(), f.getframerate()
         if width != 2:
             return _soundfile_decode(buf, f"wav pcm{width * 8}")

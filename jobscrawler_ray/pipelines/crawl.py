@@ -317,6 +317,8 @@ def get_fetch_backend(name: str, world_params: WorldParams,
     never leaks one browser per actor."""
     if name == "synthetic":
         return get_world(world_params)
+    # accept a list too — the cache key must stay hashable
+    proxies = tuple(proxies) if proxies else None
     key = (name, astuple(world_params), proxies)
     b = _BACKEND_CACHE.get(key)
     if b is None:

@@ -1038,7 +1038,7 @@ def _cc_wave_a(p: int, P: int, edges, nodes, lab, *replies):
 
 
 @ray.remote
-def _cc_wave_b(p: int, P: int, nodes, lab, *shards):
+def _cc_wave_b(nodes, lab, *shards):
     """Second half of a BSP round: apply the min-combined neighbor
     candidates to owned nodes and answer jump requests from current
     labels. Returns ``[lab, changed, reply_0 … reply_{n-1}]``, one
@@ -1224,7 +1224,7 @@ def _cc_min_labels(pairs, num_partitions: int | None = None):
         else:
             inbound = [[shards[s][q] for s in range(P)] for q in range(P)]
         outb = [_cc_wave_b.options(num_returns=G + 2).remote(
-            q, P, nodes[q], labs[q], *inbound[q]) for q in range(P)]
+            nodes[q], labs[q], *inbound[q]) for q in range(P)]
         labs = [o[0] for o in outb]
         replies = [o[2:] for o in outb]
         ch = ray.get([o[1] for o in outa] + [o[1] for o in outb])
@@ -1380,8 +1380,7 @@ def q_embedding_dedup_keep(sf_dir: str):
     bucket verification is exact cosine), so the ANN-path keep set is
     a SUPERSET of the exact keep set: nothing is over-dropped, and
     missed drops taper with the recall-tested band parameters."""
-    n_rows = papq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    n_rows = _tbl_rows(sf_dir, "embeddings")
     pair_src = (q_embedding_neardup if n_rows <= _EMB_KEEP_EXACT_LIMIT
                 else q_embedding_neardup_ann)
     drops = _cc_drop_ds(pair_src(sf_dir))

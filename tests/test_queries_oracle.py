@@ -243,9 +243,11 @@ class TestRowsOnly:
         id of each connected component is kept."""
         from jobscrawler_ray.pipelines.queries import QUERIES
 
+        from jobscrawler_ray.pipelines.queries import _tbl_rows
+
         pairs = _to_pandas(QUERIES["minhash_lsh"](SF_DIR))
         kept = set(_to_pandas(QUERIES["minhash_dedup_keep"](SF_DIR))["doc_id"])
-        all_ids = set(range(500))
+        all_ids = set(range(_tbl_rows(SF_DIR, "documents")))
         dropped = all_ids - kept
         in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
         assert dropped <= in_pairs
@@ -523,7 +525,7 @@ class TestDistributedKeepPath:
             _to_pandas(queries.QUERIES["embedding_dedup_keep"](SF_DIR))["vec_id"])
         assert ann_kept >= exact_kept, (
             f"ANN path over-dropped: {sorted(exact_kept - ann_kept)[:5]}")
-        all_ids = set(range(500))
+        all_ids = set(range(queries._tbl_rows(SF_DIR, "embeddings")))
         exact_drops = all_ids - exact_kept
         ann_drops = all_ids - ann_kept
         assert ann_drops <= exact_drops
