@@ -177,6 +177,24 @@ class TestStandardFormats:
         with pytest.raises(NotImplementedError, match="PyAV"):
             std_codecs.decode_video_external(b"\x00\x00\x00\x18ftypmp42")
 
+    def test_float_wav_routes_to_guarded_seam(self):
+        """IEEE-float WAV (format tag 3 — common in real corpora) must
+        reach the soundfile seam, not crash with wave.Error before the
+        seam check runs (regression)."""
+        import struct
+
+        from jobscrawler_ray.functions import std_codecs
+
+        data = np.linspace(-1, 1, 64, dtype="<f4").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            std_codecs.decode_wav(buf)
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            std_codecs.decode_audio_external(buf)
+
 
 class TestAVCodecs:
     def test_audio_roundtrip_bit_exact(self):

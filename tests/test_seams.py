@@ -118,6 +118,21 @@ class TestBrowserFetcherSeam:
         b = get_fetch_backend("browser", WorldParams(seed=3))
         assert isinstance(b, BrowserFetcher)
 
+    def test_proxies_accepted_as_list(self):
+        """The backend cache key must stay hashable when proxies
+        arrive as a list (the natural type — ProxyPool/HttpFetcher
+        both take list[str]); regression: TypeError in every fetch
+        task."""
+        from jobscrawler_ray.pipelines.crawl import get_fetch_backend
+        from jobscrawler_ray.sources.fetch_backends import HttpFetcher
+        from jobscrawler_ray.synth.world import WorldParams
+
+        wp = WorldParams(seed=4)
+        b = get_fetch_backend("http", wp, ["http://127.0.0.1:1/"])
+        assert isinstance(b, HttpFetcher) and b.proxies is not None
+        # list and tuple spellings resolve to the same cached backend
+        assert get_fetch_backend("http", wp, ("http://127.0.0.1:1/",)) is b
+
 
 class TestProxyPoolSeam:
     """S11: proxy rotation (reference scrapes a proxy list —
