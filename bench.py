@@ -300,7 +300,8 @@ def _stress(query_names: list[str], table_dir: str, metric: str,
 
 
 VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
-                     "kmeans_assign", "pq_encode", "ann_pq", "ann_ivfpq"]
+                     "kmeans_assign", "semantic_dedup",
+                     "pq_encode", "ann_pq", "ann_ivfpq"]
 
 
 def vecstress() -> None:
@@ -409,9 +410,9 @@ def imgstress() -> None:
 
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
-                     "decontaminate_docs", "shuffle_shards", "minhash_lsh",
-                     "minhash_dedup_keep", "simhash", "simhash_neardup",
-                     "langid", "fingerprints"]
+                     "decontaminate_docs", "dsir_weights", "shuffle_shards",
+                     "minhash_lsh", "minhash_dedup_keep", "simhash",
+                     "simhash_neardup", "langid", "fingerprints"]
 
 
 def docstress() -> None:

@@ -316,6 +316,59 @@ def golden_kmeans_assign(sf_dir: str) -> pd.DataFrame:
                          "cluster": pd.Series(assign, dtype=np.int64)})
 
 
+def golden_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """Sequential DSIR twin of ``queries.q_dsir_weights``: same crc32
+    bucket hash, same integer bincounts (order-free), same Laplace
+    log-ratio table, same per-doc text-order gram sum rounded 4."""
+    from .queries import (_DSIR_BUCKETS, _DSIR_TARGET, _dsir_grams,
+                          _round_half_up)
+
+    ids, texts, _ = _documents(sf_dir)
+    tcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    rcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    raw_grams: list[tuple[int, np.ndarray]] = []
+    for i, x in zip(ids, texts):
+        g = _dsir_grams(x)
+        if i < _DSIR_TARGET:
+            if g.size:
+                tcnt += np.bincount(g, minlength=_DSIR_BUCKETS)
+        else:
+            if g.size:
+                rcnt += np.bincount(g, minlength=_DSIR_BUCKETS)
+                raw_grams.append((int(i), g))
+    llr = (np.log((tcnt + 1.0) / (tcnt.sum() + _DSIR_BUCKETS))
+           - np.log((rcnt + 1.0) / (rcnt.sum() + _DSIR_BUCKETS)))
+    return pd.DataFrame({
+        "doc_id": pd.Series([i for i, _ in raw_grams], dtype=np.int64),
+        "dsir_w": pd.Series(
+            [float(_round_half_up(float(llr[g].sum()), 4))
+             for _, g in raw_grams], dtype=np.float64),
+    })
+
+
+def golden_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """Sequential SemDeDup twin of ``queries.q_semantic_dedup``: same
+    strided-seed + one-quantized-Lloyd centroids, same argmax
+    assignment, same id-sorted within-cluster cosine prune at the
+    same ``_COS_TAU`` — engine and golden compare the identical
+    ordered rows, so the float comparisons agree bit-for-bit."""
+    ids, mat = _embeddings(sf_dir)
+    nlist, _ = _ivf_params(len(ids))
+    cn = _norm_rows(_golden_ivf_centroids(ids, mat, nlist))
+    normed = _norm_rows(mat)
+    assign = np.argmax(normed @ cn.T, axis=1)
+    keep_ids, keep_cl = [], []
+    for c in np.unique(assign):
+        rows = np.nonzero(assign == c)[0]
+        rows = rows[np.argsort(ids[rows], kind="stable")]
+        x = normed[rows]
+        drop = np.triu(x @ x.T >= _COS_TAU, k=1).any(axis=0)
+        keep_ids.extend(int(i) for i in ids[rows][~drop])
+        keep_cl.extend([int(c)] * int((~drop).sum()))
+    return pd.DataFrame({"vec_id": pd.Series(keep_ids, dtype=np.int64),
+                         "cluster": pd.Series(keep_cl, dtype=np.int64)})
+
+
 def golden_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """Sequential IVF: strided seed centroids, ONE int64-quantized Lloyd
     step (bit-identical to the distributed partial-sum merge), per-query
@@ -658,6 +711,10 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"})
     out["kmeans_assign"] = values_sql(golden_kmeans_assign(sf_dir), {
         "vec_id": "BIGINT", "cluster": "BIGINT"})
+    out["semantic_dedup"] = values_sql(golden_semantic_dedup(sf_dir), {
+        "vec_id": "BIGINT", "cluster": "BIGINT"})
+    out["dsir_weights"] = values_sql(golden_dsir_weights(sf_dir), {
+        "doc_id": "BIGINT", "dsir_w": "DOUBLE"})
     out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
         "vec_id": "BIGINT", "pq_code": "BIGINT"})
     out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {

@@ -2538,6 +2538,75 @@ def q_kmeans_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=512)
 
 
+# Coarse bucket count for the semantic-dedup shuffle: clusters hash
+# into a FIXED number of groups (one map_groups task each holding
+# whole clusters), so task count doesn't grow with nlist at scale.
+_SEM_PARTS = int(os.environ.get("JCR_SEM_PARTS", "64"))
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-prune semantic dedup, per the public
+    method: k-means the embedding space, drop near-identical vectors
+    within each cluster): centroids from the shared distributed Lloyd
+    step (``_ivf_centroids`` — strided seeds, one int64-quantized
+    round, order-free partial sums), assignment map-side with
+    broadcast centroids, then ONE shuffle keyed on a coarse cluster
+    bucket and a per-cluster O(m²) cosine prune inside ``map_groups``
+    (vector j drops when some i<j in its cluster has cosine ≥
+    ``_COS_TAU``; the lowest id of every near-dup ball survives —
+    deterministic on any cluster size). Σm² replaces the corpus
+    O(N²): ``_ivf_params`` grows nlist as √N so expected cluster size
+    stays bounded, and the bucket key (cluster % ``_SEM_PARTS``)
+    keeps the group count fixed instead of one task per cluster —
+    raise ``JCR_SEM_PARTS`` with the cluster count at corpus scale so
+    one bucket's rows (embeddings included) fit a worker's heap.
+    Output: kept (vec_id, cluster)."""
+    n_rows = _tbl_rows(sf_dir, "embeddings")
+    nlist, _ = _ivf_params(n_rows)
+    ds = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cn = _norm_rows(_ivf_centroids(sf_dir, ds, nlist))
+    cref = ray.put(cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"vec_id": e, "cluster": e, "bucket": e,
+                             "embedding": t["embedding"]})
+        c = _bget(cref)
+        mat = _emb_matrix(t["embedding"])
+        cl = np.argmax(_norm_rows(mat) @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(cl),
+                         "bucket": pa.array(cl % _SEM_PARTS),
+                         "embedding": t["embedding"]})
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g["cluster"].to_numpy(zero_copy_only=False)
+        mat = _norm_rows(_emb_matrix(g["embedding"]))
+        keep_ids: list[np.ndarray] = []
+        keep_cl: list[np.ndarray] = []
+        for c in np.unique(cl):
+            rows = np.nonzero(cl == c)[0]
+            # id-sorted rows: the golden compares in the same order,
+            # so the sims matrix (and the float comparisons) agree
+            rows = rows[np.argsort(ids[rows], kind="stable")]
+            x = mat[rows]
+            drop = np.triu(x @ x.T >= _COS_TAU, k=1).any(axis=0)
+            keep_ids.append(ids[rows][~drop])
+            keep_cl.append(np.full(int((~drop).sum()), c, dtype=np.int64))
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(keep_ids) if keep_ids
+                               else np.array([], dtype=np.int64)),
+            "cluster": pa.array(np.concatenate(keep_cl) if keep_cl
+                                else np.array([], dtype=np.int64)),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=512)
+            .groupby("bucket")
+            .map_groups(prune, batch_format="pyarrow"))
+
+
 # Knuth multiplicative hash over doc_id: deterministic, RNG-free, and
 # expressible in ANSI SQL ((doc_id * 2654435761) % 2^32) so split/sample
 # decisions are identical on any engine and any cluster size.
@@ -3833,6 +3902,87 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+# DSIR (data selection with importance resampling, per the public
+# hashed-n-gram method): weight = target-vs-raw log-likelihood ratio
+# over hashed word bigrams. crc32 (not Python hash()) keeps bucket
+# ids identical across processes and PYTHONHASHSEED values.
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = 20  # doc_id < this is the high-quality "target" set
+
+
+def _dsir_grams(text: str) -> np.ndarray:
+    """Hashed word-bigram bucket ids of a doc, in text order — the
+    per-doc score sums over this array on both engine and golden, so
+    the float64 sums agree bit-for-bit."""
+    import zlib
+
+    toks = text.split(" ")
+    return np.fromiter(
+        (zlib.crc32(f"{a} {b}".encode()) % _DSIR_BUCKETS
+         for a, b in zip(toks, toks[1:])),
+        dtype=np.int64, count=max(0, len(toks) - 1))
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR data selection: score every raw doc by the Laplace-
+    smoothed log-likelihood ratio of a small high-quality TARGET set
+    (docs < ``_DSIR_TARGET``) vs the RAW corpus, over hashed word
+    bigrams. Target counts come from one row-group-pruned read
+    (driver-side, tiny); raw counts are integer per-batch bincount
+    partials → a ``_DSIR_BUCKETS``-row groupby → a broadcast log-ratio
+    table (integer sums are order-free, so any cluster size produces
+    identical counts); scoring is pure map-side. Two passes over the
+    corpus by construction — DSIR needs the raw distribution before it
+    can score — but both are map-only: no corpus shuffle, and only the
+    4096-float ratio table ever reaches the driver. Output:
+    (doc_id, dsir_w) for raw docs with ≥1 bigram, rounded 4."""
+    import pyarrow.dataset as pads
+
+    tgt = _tbl(sf_dir, "documents", ["doc_id", "text"],
+               filter=(pads.field("doc_id") < _DSIR_TARGET)).take_all()
+    tcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    for r in tgt:
+        g = _dsir_grams(r["text"])
+        if g.size:
+            tcnt += np.bincount(g, minlength=_DSIR_BUCKETS)
+
+    raw = _tbl(sf_dir, "documents", ["doc_id", "text"],
+               filter=(pads.field("doc_id") >= _DSIR_TARGET))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        for x in t["text"].to_pylist():
+            g = _dsir_grams(x)
+            if g.size:
+                c += np.bincount(g, minlength=_DSIR_BUCKETS)
+        nz = np.nonzero(c)[0]
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "n": pa.array(c[nz], type=pa.int64())})
+
+    rcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    for r in (raw.map_batches(partial, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("n", alias_name="n")).take_all()):
+        rcnt[int(r["b"])] = int(r["n"])
+    llr = (np.log((tcnt + 1.0) / (tcnt.sum() + _DSIR_BUCKETS))
+           - np.log((rcnt + 1.0) / (rcnt.sum() + _DSIR_BUCKETS)))
+    wref = ray.put(llr)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = _bget(wref)
+        ids, ws = [], []
+        for i, x in zip(t["doc_id"].to_numpy(zero_copy_only=False),
+                        t["text"].to_pylist()):
+            g = _dsir_grams(x)
+            if g.size == 0:
+                continue
+            ids.append(int(i))
+            ws.append(float(_round_half_up(float(w[g].sum()), 4)))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "dsir_w": pa.array(ws, type=pa.float64())})
+
+    return raw.map_batches(score, batch_format="pyarrow")
+
+
 _REP_TAU = 0.04  # max duplicate-bigram fraction (Gopher-style gate)
 
 
@@ -4047,6 +4197,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_filter": q_quality_filter,
     "repetition_filter": q_repetition_filter,
     "decontaminate_docs": q_decontaminate_docs,
+    "dsir_weights": q_dsir_weights,
     "curate_corpus": q_curate_corpus,
     "mixture_sample": q_mixture_sample,
     "shuffle_shards": q_shuffle_shards,
@@ -4073,6 +4224,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multimodal_features": q_multimodal_features,
     "vocab_top_terms": q_vocab_top_terms,
     "kmeans_assign": q_kmeans_assign,
+    "semantic_dedup": q_semantic_dedup,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "bottomk_sample": q_bottomk_sample,

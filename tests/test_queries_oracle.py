@@ -88,6 +88,7 @@ GOLDEN_NAMES = [
     "curate_image_corpus", "aspect_buckets", "phash_knn",
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
     "ann_ivfpq", "image_training_manifest", "png_export",
+    "semantic_dedup", "dsir_weights",
 ]
 
 
