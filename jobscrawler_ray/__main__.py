@@ -173,6 +173,10 @@ def cmd_query(args: argparse.Namespace) -> int:
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     if isinstance(df, np.ndarray):  # pragma: no cover - defensive
         df = pd.DataFrame(df)
+    if getattr(args, "stats", False) and hasattr(res, "stats"):
+        # per-operator wall/CPU/rows from the executed plan — the
+        # first thing to read when a stage dominates a pipeline
+        print(res.stats(), file=sys.stderr)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         df.to_parquet(args.out)
@@ -229,6 +233,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", default=None, help="write parquet instead of printing")
     p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage Ray Data execution stats to stderr")
     p.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

@@ -74,6 +74,14 @@ class TestCli:
         assert duckdb.sql(
             f"SELECT sum(n) FROM read_parquet('{dst}')").fetchone()[0] == 500
 
+    def test_query_stats_flag_prints_plan(self, cli_run, capsys):
+        rc = main(["query", "length_histogram",
+                   "--sf-dir", "/root/testdata/sf0.001", "--stats"])
+        assert rc == 0
+        err = capsys.readouterr().err
+        # the executed plan's per-operator block, not an empty string
+        assert "Operator" in err or "Stage" in err
+
     def test_query_unknown_name_errors(self, cli_run, capsys):
         assert main(["query", "not_a_query"]) == 2
         assert "choices" in capsys.readouterr().err
