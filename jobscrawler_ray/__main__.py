@@ -174,8 +174,9 @@ def cmd_query(args: argparse.Namespace) -> int:
     if isinstance(df, np.ndarray):  # pragma: no cover - defensive
         df = pd.DataFrame(df)
     if getattr(args, "stats", False) and hasattr(res, "stats"):
-        # per-operator wall/CPU/rows from the executed plan — the
-        # first thing to read when a stage dominates a pipeline
+        # per-operator wall/CPU/rows of the RETURNED plan; queries
+        # that execute earlier passes eagerly (centroid training, the
+        # DSIR counts pass) show only their final pipeline here
         print(res.stats(), file=sys.stderr)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -234,7 +235,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default=None, help="write parquet instead of printing")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--stats", action="store_true",
-                   help="print per-stage Ray Data execution stats to stderr")
+                   help="print the returned pipeline's per-stage Ray Data "
+                        "execution stats to stderr (eager pre-passes of "
+                        "multi-pass queries are not included)")
     p.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

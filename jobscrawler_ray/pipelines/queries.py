@@ -19,6 +19,7 @@ groupbys that genuinely need them.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Any, Callable
 
 import numpy as np
@@ -3914,8 +3915,6 @@ def _dsir_grams(text: str) -> np.ndarray:
     """Hashed word-bigram bucket ids of a doc, in text order — the
     per-doc score sums over this array on both engine and golden, so
     the float64 sums agree bit-for-bit."""
-    import zlib
-
     toks = text.split(" ")
     return np.fromiter(
         (zlib.crc32(f"{a} {b}".encode()) % _DSIR_BUCKETS
@@ -3938,11 +3937,14 @@ def q_dsir_weights(sf_dir: str):
     (doc_id, dsir_w) for raw docs with ≥1 bigram, rounded 4."""
     import pyarrow.dataset as pads
 
-    tgt = _tbl(sf_dir, "documents", ["doc_id", "text"],
-               filter=(pads.field("doc_id") < _DSIR_TARGET)).take_all()
+    # target side is ~_DSIR_TARGET rows: plain driver-side pruned read,
+    # no Ray job (the raw corpus below is where the distribution is)
+    tgt = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"],
+        filters=[("doc_id", "<", _DSIR_TARGET)])
     tcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-    for r in tgt:
-        g = _dsir_grams(r["text"])
+    for x in tgt["text"].to_pylist():
+        g = _dsir_grams(x)
         if g.size:
             tcnt += np.bincount(g, minlength=_DSIR_BUCKETS)
 
