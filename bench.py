@@ -410,7 +410,8 @@ def imgstress() -> None:
 
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
-                     "decontaminate_docs", "dsir_weights", "shuffle_shards",
+                     "decontaminate_docs", "dsir_weights",
+                     "substring_dup_spans", "shuffle_shards",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints"]
 

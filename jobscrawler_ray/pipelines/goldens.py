@@ -316,6 +316,33 @@ def golden_kmeans_assign(sf_dir: str) -> pd.DataFrame:
                          "cluster": pd.Series(assign, dtype=np.int64)})
 
 
+def golden_substring_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_substring_dup_spans``: same
+    ``_sub_gram_hashes`` kernel, global distinct-doc count per gram,
+    per-doc duplicated-gram stats, same rounding."""
+    from collections import Counter
+
+    from .queries import _round_half_up, _sub_gram_hashes
+
+    ids, texts, _ = _documents(sf_dir)
+    per_doc = {int(i): _sub_gram_hashes(x) for i, x in zip(ids, texts)}
+    cnt: Counter = Counter()
+    for g in per_doc.values():
+        cnt.update(int(h) for h in g)
+    dups = {h for h, n in cnt.items() if n >= 2}
+    rows = []
+    for i, g in per_doc.items():
+        if g.size == 0:
+            continue
+        dg = sum(1 for h in g if int(h) in dups)
+        rows.append((i, int(g.size), dg,
+                     float(_round_half_up(dg / g.size, 4))))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_grams", "dup_grams", "dup_frac"]).astype(
+        {"doc_id": np.int64, "n_grams": np.int64,
+         "dup_grams": np.int64, "dup_frac": np.float64})
+
+
 def golden_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """Sequential DSIR twin of ``queries.q_dsir_weights``: same crc32
     bucket hash, same integer bincounts (order-free), same Laplace
@@ -715,6 +742,10 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "vec_id": "BIGINT", "cluster": "BIGINT"})
     out["dsir_weights"] = values_sql(golden_dsir_weights(sf_dir), {
         "doc_id": "BIGINT", "dsir_w": "DOUBLE"})
+    out["substring_dup_spans"] = values_sql(
+        golden_substring_dup_spans(sf_dir), {
+            "doc_id": "BIGINT", "n_grams": "BIGINT",
+            "dup_grams": "BIGINT", "dup_frac": "DOUBLE"})
     out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
         "vec_id": "BIGINT", "pq_code": "BIGINT"})
     out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {

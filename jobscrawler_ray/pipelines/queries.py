@@ -18,8 +18,10 @@ groupbys that genuinely need them.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import zlib
+from functools import lru_cache
 from typing import Any, Callable
 
 import numpy as np
@@ -3903,6 +3905,142 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+# Exact substring duplication (the "deduplicating training data"
+# method in its word-n-gram formulation): a doc span is duplicated
+# when the same _SUB_GRAM-word sequence appears in ≥2 distinct docs.
+_SUB_GRAM = 8
+# coarse-partition count override (0 = size from the doc count) —
+# lets tests prove the statistic is partition-count invariant
+_SUB_PARTS = int(os.environ.get("JCR_SUB_PARTS", "0"))
+_SUB_ROLL_B = np.uint64(1099511628211)  # FNV-1a prime rolling base
+
+
+@lru_cache(maxsize=1 << 20)
+def _word_h64(w: str) -> int:
+    """sha1-derived 64-bit word hash, memoized — Zipf word reuse means
+    most lookups hit the cache instead of re-digesting."""
+    return int.from_bytes(hashlib.sha1(w.encode("utf-8")).digest()[:8],
+                          "big")
+
+
+def _sub_gram_hashes(text: str) -> np.ndarray:
+    """Sorted DISTINCT 63-bit hashes of a doc's ``_SUB_GRAM``-word
+    grams — one kernel shared by the engine and the golden so the
+    duplication statistic can never drift. Each WORD is sha1-hashed
+    once (cached); the 8-word window combines as a vectorized uint64
+    polynomial roll — ~8× less digest input than hashing each joined
+    gram string, and the window combine is numpy, not Python."""
+    toks = text.split(" ")
+    m = len(toks) - _SUB_GRAM + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    wh = np.fromiter((_word_h64(w) for w in toks),
+                     dtype=np.uint64, count=len(toks))
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(_SUB_GRAM):
+        acc = acc * _SUB_ROLL_B + wh[j:j + m]
+    return np.unique(
+        (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64))
+
+
+def q_substring_dup_spans(sf_dir: str):
+    """Cross-doc exact substring-duplication detection: per doc, how
+    many of its distinct ``_SUB_GRAM``-word grams also appear in at
+    least one OTHER doc. Map-side, each doc emits per-doc-distinct
+    (gram_hash, doc_id) pairs; ONE coarse hash partition on the gram
+    hash co-locates every occurrence of a gram, so "seen in ≥2 docs"
+    is decidable locally per partition (the minhash banding
+    run-detection pattern — NOT ``Dataset.join``, which acero-crashes
+    on sparse partitions, see ``_keep_corpus``, and NOT a broadcast
+    dup set, which re-hashes the corpus in a second pass and measured
+    2.2× slower at 200k docs); each partition emits per-doc
+    (n_grams, dup_grams) bincount partials and a doc-keyed groupby of
+    ≤ n_docs × parts tiny rows sums them. The corpus text is read
+    once and never shuffles — only (int64, int64) gram pairs — and no
+    per-gram structure ever lands on the driver. Output per doc with
+    ≥1 gram: (doc_id, n_grams, dup_grams, dup_frac rounded 4);
+    removal policy composes downstream (gate on dup_frac exactly like
+    ``repetition_filter``)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _tbl_rows(sf_dir, "documents")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hs, ds = [], []
+        for i, x in zip(t["doc_id"].to_numpy(zero_copy_only=False),
+                        t["text"].to_pylist()):
+            g = _sub_gram_hashes(x)
+            if g.size:
+                hs.append(g)
+                ds.append(np.full(g.size, int(i), dtype=np.int64))
+        if not hs:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"h": e, "doc_id": e})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ds))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": t["n_grams"],
+            "dup_grams": t["dup_grams"],
+            "dup_frac": pa.array(_round_half_up(
+                t["dup_grams"].to_numpy(zero_copy_only=False)
+                / t["n_grams"].to_numpy(zero_copy_only=False), 4),
+                type=pa.float64()),
+        })
+
+    # parts sized so a partition (~grams/parts × 16 B) fits a worker
+    # heap at scale
+    parts = _SUB_PARTS or int(min(256, max(16, n_docs // 50_000 + 16)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = pairs(t)
+        return t.append_column("part", pa.array(
+            t["h"].to_numpy(zero_copy_only=False) % parts,
+            type=pa.int64()))
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        isdup = (cnt >= 2)[inv]  # pairs are doc-distinct ⇒ cnt = docs
+        ud, dinv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(ud),
+            "dpart": pa.array(ud % parts),
+            "ng": pa.array(np.bincount(dinv).astype(np.int64)),
+            "dg": pa.array(np.bincount(
+                dinv, weights=isdup).astype(np.int64)),
+        })
+
+    # the per-doc merge is ANOTHER coarse-key groupby + local bincount
+    # combine — Ray's sort-aggregate on the raw 200k-distinct doc_id
+    # key measured 289 core-s where this shape costs ~2 (the partials
+    # are ≤ n_docs × parts tiny rows, so the exchange is small)
+    def doc_combine(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        ud, dinv = np.unique(d, return_inverse=True)
+        return finish(pa.table({
+            "doc_id": pa.array(ud),
+            "n_grams": pa.array(np.bincount(
+                dinv, weights=t["ng"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "dup_grams": pa.array(np.bincount(
+                dinv, weights=t["dg"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+        }))
+
+    with _shuffle_scaled(n_docs * 160 * 16):  # ~grams/doc × 16 B rows
+        return (
+            docs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part", num_partitions=parts)
+            .map_groups(part_stats, batch_format="pyarrow")
+            .groupby("dpart", num_partitions=parts)
+            .map_groups(doc_combine, batch_format="pyarrow")
+        )
+
+
 # DSIR (data selection with importance resampling, per the public
 # hashed-n-gram method): weight = target-vs-raw log-likelihood ratio
 # over hashed word bigrams. crc32 (not Python hash()) keeps bucket
@@ -4200,6 +4338,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repetition_filter": q_repetition_filter,
     "decontaminate_docs": q_decontaminate_docs,
     "dsir_weights": q_dsir_weights,
+    "substring_dup_spans": q_substring_dup_spans,
     "curate_corpus": q_curate_corpus,
     "mixture_sample": q_mixture_sample,
     "shuffle_shards": q_shuffle_shards,

@@ -88,7 +88,7 @@ GOLDEN_NAMES = [
     "curate_image_corpus", "aspect_buckets", "phash_knn",
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
     "ann_ivfpq", "image_training_manifest", "png_export",
-    "semantic_dedup", "dsir_weights",
+    "semantic_dedup", "dsir_weights", "substring_dup_spans",
 ]
 
 
@@ -534,6 +534,21 @@ class TestDistributedKeepPath:
             recall = len(ann_drops) / len(exact_drops)
             assert recall >= 0.8, (
                 f"ANN drop recall {recall} over {len(exact_drops)} drops")
+
+    def test_substring_dup_partition_count_invariant(self, ray_session,
+                                                     monkeypatch):
+        """The duplication statistic must not depend on the coarse
+        partition count: every occurrence of a gram lands in one
+        partition for ANY parts value, so 1 partition (everything
+        local) and the auto-sized default must agree exactly."""
+        from jobscrawler_ray.pipelines import queries
+
+        auto = _normalize(_to_pandas(
+            queries.QUERIES["substring_dup_spans"](SF_DIR)))
+        monkeypatch.setattr(queries, "_SUB_PARTS", 1)
+        one = _normalize(_to_pandas(
+            queries.QUERIES["substring_dup_spans"](SF_DIR)))
+        pd.testing.assert_frame_equal(auto, one)
 
     def test_tfidf_distributed_df_matches_broadcast(self, ray_session,
                                                     monkeypatch):
