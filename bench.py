@@ -383,8 +383,8 @@ def synth_images(n: int, out_dir: str, seed: int = 23,
 
 
 IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
-                     "image_training_manifest", "phash_knn",
-                     "phash_neardup", "phash_dedup_keep"]
+                     "image_training_manifest", "clip_align",
+                     "phash_knn", "phash_neardup", "phash_dedup_keep"]
 
 
 def imgstress() -> None:

@@ -606,6 +606,23 @@ def golden_png_export(sf_dir: str) -> pd.DataFrame:
                         ).astype({"png_size": np.int64})
 
 
+def golden_clip_align(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_clip_align``: the same ``ClipAlign``
+    tower kernels (shared class — per-row scores are batch-composition
+    independent by construction), same rounding, same threshold."""
+    from ..stages.multimodal import ClipAlign
+    from .queries import _CLIP_THRESHOLD, _round_half_up
+
+    img = _crawl_oracle(sf_dir)["images"]
+    ca = ClipAlign()
+    rows = []
+    for iid, buf, cap in zip(img["image_id"], img["bytes"],
+                             img["caption"]):
+        s = float(_round_half_up(ca.score(buf, cap), 6))
+        rows.append((iid, s, bool(s >= _CLIP_THRESHOLD)))
+    return pd.DataFrame(rows, columns=["image_id", "clip_score", "kept"])
+
+
 def golden_audio_features(sf_dir: str) -> pd.DataFrame:
     """Sequential audio path: same synthesis + codec round-trip +
     feature kernels as the engine's leaves, orchestration-free loop."""
@@ -770,6 +787,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "thumb_phash": "BIGINT"})
     out["png_export"] = values_sql(golden_png_export(sf_dir), {
         "image_id": "VARCHAR", "png_size": "BIGINT", "exact": "BOOLEAN"})
+    out["clip_align"] = values_sql(golden_clip_align(sf_dir), {
+        "image_id": "VARCHAR", "clip_score": "DOUBLE",
+        "kept": "BOOLEAN"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {

@@ -3204,6 +3204,43 @@ def q_png_export(sf_dir: str):
     return ds.map_batches(to_png, batch_format="pyarrow", batch_size=64)
 
 
+def q_clip_align(sf_dir: str):
+    """CLIP-score-style image-caption alignment gate (the LAION
+    curation signal; a training-data-pipeline extension — the
+    reference has no CLIP stage): two-tower cosine per (image,
+    caption) row via an actor-pool stage (projections built once per
+    actor in ``__init__``, decode dominating the per-row loop), then
+    a vectorized rounding + threshold map. Map-only end to end — no
+    shuffle, streams at any corpus size. The gate keeps rows whose
+    ROUNDED score clears the threshold, so the engine and the
+    sequential golden can never disagree in the last ulp."""
+    from ..stages.multimodal import ClipAlign
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes", "caption"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = _round_half_up(
+            t["raw_score"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "image_id": t["image_id"],
+            "clip_score": pa.array(s, type=pa.float64()),
+            "kept": pa.array(s >= _CLIP_THRESHOLD),
+        })
+
+    return (ds.map_batches(ClipAlign, batch_format="pyarrow",
+                           batch_size=64,
+                           concurrency=(2, 16), num_cpus=1)
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+# keep/drop boundary for the stand-in CLIP gate: scores are cosines of
+# independent random projections (mean ~0), so 0.0 splits the corpus
+# into two non-trivial classes deterministically
+_CLIP_THRESHOLD = 0.0
+
+
 def q_multimodal_resize(sf_dir: str):
     """Decode → nearest-neighbor 32×32 thumbnail → re-encode, as an
     actor-pool stage over the binary image column (rows-only)."""
@@ -4388,6 +4425,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embed_documents": q_embed_documents,
     "multimodal_resize": q_multimodal_resize,
     "png_export": q_png_export,
+    "clip_align": q_clip_align,
     "phash_neardup": q_phash_neardup,
     "phash_dedup_keep": q_phash_dedup_keep,
     "curate_image_corpus": q_curate_image_corpus,

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import av_codecs, codecs, std_codecs
+from ..functions.urlnorm import hash64
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -188,4 +189,57 @@ class FrameSample:
             "frame_idx": pa.array(out["frame_idx"], type=pa.int64()),
             "frame_bytes": pa.array(out["frame_bytes"], type=pa.binary()),
             "frame_phash": pa.array(out["frame_phash"], type=pa.int64()),
+        })
+
+
+class ClipAlign:
+    """CLIP-style image-caption alignment scorer (two-tower cosine) —
+    the LAION-style curation signal (reference has no CLIP stage; this
+    is a training-data-pipeline extension). The towers are
+    deterministic stand-ins (no torch in this sandbox — the seam
+    mirrors stages/embed.py's guarded real-model branch): the text
+    tower hashes caption words into a fixed seeded projection, the
+    image tower area-resamples the decoded pixels to one 8×8 block
+    through another. Both projections build ONCE per actor in
+    ``__init__``; ``__call__`` scores a batch (decode dominates the
+    per-row loop, the DecodeImages idiom).
+
+    Float determinism: the text tower sums projection rows in sorted
+    bucket order (take + axis-0 sum — never a shape-varying gemm) and
+    the image tower is a fixed-shape (192,)@(192,D) gemv, so a row's
+    score is identical regardless of batch composition — the
+    sequential golden reproduces scores bit-for-bit."""
+
+    DIM = 64
+    TXT_BUCKETS = 4096
+
+    def __init__(self, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.tproj = rng.standard_normal((self.TXT_BUCKETS, self.DIM))
+        self.iproj = rng.standard_normal((8 * 8 * 3, self.DIM))
+
+    def text_vec(self, caption: str) -> np.ndarray:
+        idx = np.sort(np.fromiter(
+            (hash64(tok) % self.TXT_BUCKETS for tok in caption.split(" ")),
+            dtype=np.int64))
+        v = (self.tproj[idx].sum(axis=0) if idx.size
+             else np.zeros(self.DIM))
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    def img_vec(self, buf: bytes) -> np.ndarray:
+        px, _ = codecs.decode(buf)
+        block = resize_area(px, 8, 8).astype(np.float64).ravel() / 255.0
+        v = block @ self.iproj
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    def score(self, buf: bytes, caption: str) -> float:
+        return float(np.dot(self.img_vec(buf), self.text_vec(caption)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        scores = [self.score(b, c) for b, c in
+                  zip(t["bytes"].to_pylist(), t["caption"].to_pylist())]
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "raw_score": pa.array(scores, type=pa.float64()),
         })

@@ -52,6 +52,23 @@ class TestImages:
         for orig, thumb in zip(dec["phash"].to_pylist(), th["thumb_phash"].to_pylist()):
             assert hamming64(orig, thumb) <= 10  # avg-hash is resize-robust
 
+    def test_clip_align_batch_composition_independent(self):
+        """A row's CLIP-stand-in score must not depend on which batch
+        it arrives in (the golden-parity invariant): scoring a row
+        alone, and inside a 6-row batch, must agree bit-for-bit."""
+        from jobscrawler_ray.stages.multimodal import ClipAlign
+
+        t = _img_table().append_column(
+            "caption", pa.array([f"caption words number {i} here"
+                                 for i in range(6)]))
+        ca = ClipAlign()
+        batch = ca(t)["raw_score"].to_pylist()
+        for i in range(6):
+            solo = ca(t.slice(i, 1))["raw_score"].to_pylist()[0]
+            assert solo == batch[i]
+        # two actors (fresh __init__) agree: the towers are seeded
+        assert ClipAlign()(t)["raw_score"].to_pylist() == batch
+
     def test_external_format_seam_raises(self):
         # buffers in formats needing an absent lib (PyAV, soundfile)
         # hit the guarded NotImplementedError seam with remediation

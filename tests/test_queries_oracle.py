@@ -89,6 +89,7 @@ GOLDEN_NAMES = [
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
     "ann_ivfpq", "image_training_manifest", "png_export",
     "semantic_dedup", "dsir_weights", "substring_dup_spans",
+    "clip_align",
 ]
 
 
