@@ -18,7 +18,6 @@ groupbys that genuinely need them.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import zlib
 from functools import lru_cache
@@ -34,6 +33,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import dedupe, textstats
+from ..functions.urlnorm import hash64
 from ..functions.arrowio import arrow_out as _arrow_out
 from ..stages.location import build_alias_map, tag_location
 from ..synth.locations import WORLD_LOCATIONS
@@ -3952,12 +3952,12 @@ _SUB_PARTS = int(os.environ.get("JCR_SUB_PARTS", "0"))
 _SUB_ROLL_B = np.uint64(1099511628211)  # FNV-1a prime rolling base
 
 
-@lru_cache(maxsize=1 << 20)
-def _word_h64(w: str) -> int:
-    """sha1-derived 64-bit word hash, memoized — Zipf word reuse means
-    most lookups hit the cache instead of re-digesting."""
-    return int.from_bytes(hashlib.sha1(w.encode("utf-8")).digest()[:8],
-                          "big")
+# urlnorm.hash64 memoized (ONE word-hash primitive in the repo): Zipf
+# word reuse means most lookups hit the cache instead of re-digesting.
+# The bound stays modest — Ray workers are long-lived and shared by
+# the whole catalog, so an unbounded cache would permanently tax every
+# later query's heap.
+_word_h64 = lru_cache(maxsize=1 << 17)(hash64)
 
 
 def _sub_gram_hashes(text: str) -> np.ndarray:
