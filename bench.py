@@ -411,7 +411,8 @@ def imgstress() -> None:
 
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "dsir_weights",
-                     "substring_dup_spans", "shuffle_shards",
+                     "substring_dup_spans", "substring_dedup_rewrite",
+                     "shuffle_shards",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints"]
 

@@ -343,6 +343,54 @@ def golden_substring_dup_spans(sf_dir: str) -> pd.DataFrame:
          "dup_grams": np.int64, "dup_frac": np.float64})
 
 
+def golden_substring_dedup_rewrite(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_substring_dedup_rewrite``: the
+    global cross-doc dup-hash set via a Counter over per-doc DISTINCT
+    grams, then the same ``_sub_rewrite_doc`` kernel per doc (passing
+    the global set is equivalent to the engine's per-doc subsets —
+    matching is by membership)."""
+    from collections import Counter
+
+    from .queries import _sub_gram_hashes, _sub_rewrite_doc
+
+    ids, texts, _ = _documents(sf_dir)
+    cnt: Counter = Counter()
+    for x in texts:
+        cnt.update(int(h) for h in _sub_gram_hashes(x))
+    dup = np.array(sorted(h for h, n in cnt.items() if n >= 2),
+                   dtype=np.int64)
+    rows = []
+    for i, x in zip(ids, texts):
+        out, nw, rm = _sub_rewrite_doc(x, dup)
+        rows.append((int(i), nw, rm, out))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_words", "removed_words", "text"]).astype(
+        {"doc_id": np.int64, "n_words": np.int64,
+         "removed_words": np.int64})
+
+
+def golden_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Sequential BM25 twin of ``queries.q_bm25_topk``: same shared
+    tf/score kernels on the whole corpus at once, same exact-int
+    avgdl/df constants, same rounded-score ranking order."""
+    from .queries import (_BM25_K, _bm25_scores, _bm25_tf_dl,
+                          _round_half_up)
+
+    ids, texts, _ = _documents(sf_dir)
+    tf, dl = _bm25_tf_dl(texts)
+    n = len(ids)
+    avgdl = int(dl.sum()) / n
+    df = (tf > 0).sum(axis=0).astype(np.float64)
+    s = _round_half_up(_bm25_scores(tf, dl, n, avgdl, df), 6)
+    ida = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((ida, -s))[:_BM25_K]
+    return pd.DataFrame({
+        "rank": pd.Series(np.arange(1, len(order) + 1), dtype=np.int64),
+        "doc_id": pd.Series(ida[order], dtype=np.int64),
+        "score": pd.Series(s[order], dtype=np.float64),
+    })
+
+
 def golden_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """Sequential DSIR twin of ``queries.q_dsir_weights``: same crc32
     bucket hash, same integer bincounts (order-free), same Laplace
@@ -763,6 +811,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         golden_substring_dup_spans(sf_dir), {
             "doc_id": "BIGINT", "n_grams": "BIGINT",
             "dup_grams": "BIGINT", "dup_frac": "DOUBLE"})
+    out["substring_dedup_rewrite"] = values_sql(
+        golden_substring_dedup_rewrite(sf_dir), {
+            "doc_id": "BIGINT", "n_words": "BIGINT",
+            "removed_words": "BIGINT", "text": "VARCHAR"})
+    out["bm25_topk"] = values_sql(golden_bm25_topk(sf_dir), {
+        "rank": "BIGINT", "doc_id": "BIGINT", "score": "DOUBLE"})
     out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
         "vec_id": "BIGINT", "pq_code": "BIGINT"})
     out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {

@@ -3960,14 +3960,13 @@ _SUB_ROLL_B = np.uint64(1099511628211)  # FNV-1a prime rolling base
 _word_h64 = lru_cache(maxsize=1 << 17)(hash64)
 
 
-def _sub_gram_hashes(text: str) -> np.ndarray:
-    """Sorted DISTINCT 63-bit hashes of a doc's ``_SUB_GRAM``-word
-    grams — one kernel shared by the engine and the golden so the
-    duplication statistic can never drift. Each WORD is sha1-hashed
-    once (cached); the 8-word window combines as a vectorized uint64
-    polynomial roll — ~8× less digest input than hashing each joined
-    gram string, and the window combine is numpy, not Python."""
-    toks = text.split(" ")
+def _sub_pos_hashes(toks: list[str]) -> np.ndarray:
+    """POSITIONAL 63-bit hashes of every ``_SUB_GRAM``-word window of
+    ``toks`` (entry ``p`` covers words ``[p, p+_SUB_GRAM)``). Each WORD
+    is sha1-hashed once (cached); the 8-word window combines as a
+    vectorized uint64 polynomial roll — ~8× less digest input than
+    hashing each joined gram string, and the window combine is numpy,
+    not Python."""
     m = len(toks) - _SUB_GRAM + 1
     if m <= 0:
         return np.empty(0, dtype=np.int64)
@@ -3976,8 +3975,58 @@ def _sub_gram_hashes(text: str) -> np.ndarray:
     acc = np.zeros(m, dtype=np.uint64)
     for j in range(_SUB_GRAM):
         acc = acc * _SUB_ROLL_B + wh[j:j + m]
-    return np.unique(
-        (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64))
+    return (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
+
+def _sub_gram_hashes(text: str) -> np.ndarray:
+    """Sorted DISTINCT 63-bit hashes of a doc's ``_SUB_GRAM``-word
+    grams — one kernel shared by the engine and the golden so the
+    duplication statistic can never drift."""
+    return np.unique(_sub_pos_hashes(text.split(" ")))
+
+
+def _sub_pairs_part(t: pa.Table, parts: int) -> pa.Table:
+    """Doc-distinct (gram-hash, doc_id) pairs + coarse ``h % parts``
+    partition key — the map-side kernel shared by the detection and
+    rewrite queries (every occurrence of a gram lands in exactly one
+    partition, so cross-doc duplication is decidable locally)."""
+    hs, ds = [], []
+    for i, x in zip(t["doc_id"].to_numpy(zero_copy_only=False),
+                    t["text"].to_pylist()):
+        g = _sub_gram_hashes(x)
+        if g.size:
+            hs.append(g)
+            ds.append(np.full(g.size, int(i), dtype=np.int64))
+    if not hs:
+        e = pa.array([], type=pa.int64())
+        return pa.table({"h": e, "doc_id": e, "part": e})
+    h = np.concatenate(hs)
+    return pa.table({"h": pa.array(h),
+                     "doc_id": pa.array(np.concatenate(ds)),
+                     "part": pa.array(h % parts)})
+
+
+def _sub_rewrite_doc(text: str, dup_hs: np.ndarray) -> tuple[str, int, int]:
+    """Rewrite ONE doc by deleting every word covered by a duplicated
+    gram occurrence (interval cover via a vectorized difference array —
+    no Python per-position loop). Returns (text_out, n_words,
+    removed_words). Shared by the engine and the golden; passing a
+    superset of the doc's duplicated hashes (e.g. the global dup set)
+    yields the identical rewrite, since matching is by membership."""
+    toks = text.split(" ")
+    n = len(toks)
+    seq = _sub_pos_hashes(toks)
+    if seq.size == 0 or dup_hs.size == 0:
+        return text, n, 0
+    pos = np.flatnonzero(np.isin(seq, dup_hs))
+    if pos.size == 0:
+        return text, n, 0
+    delta = np.zeros(n + 1, dtype=np.int64)
+    delta[pos] += 1  # pos entries are unique (flatnonzero)
+    np.add.at(delta, np.minimum(pos + _SUB_GRAM, n), -1)  # ends can clip
+    covered = np.cumsum(delta[:-1]) > 0
+    kept = np.array(toks, dtype=object)[~covered]
+    return " ".join(kept.tolist()), n, int(covered.sum())
 
 
 def q_substring_dup_spans(sf_dir: str):
@@ -4001,20 +4050,6 @@ def q_substring_dup_spans(sf_dir: str):
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     n_docs = _tbl_rows(sf_dir, "documents")
 
-    def pairs(t: pa.Table) -> pa.Table:
-        hs, ds = [], []
-        for i, x in zip(t["doc_id"].to_numpy(zero_copy_only=False),
-                        t["text"].to_pylist()):
-            g = _sub_gram_hashes(x)
-            if g.size:
-                hs.append(g)
-                ds.append(np.full(g.size, int(i), dtype=np.int64))
-        if not hs:
-            e = pa.array([], type=pa.int64())
-            return pa.table({"h": e, "doc_id": e})
-        return pa.table({"h": pa.array(np.concatenate(hs)),
-                         "doc_id": pa.array(np.concatenate(ds))})
-
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t["doc_id"],
@@ -4029,12 +4064,6 @@ def q_substring_dup_spans(sf_dir: str):
     # parts sized so a partition (~grams/parts × 16 B) fits a worker
     # heap at scale
     parts = _SUB_PARTS or int(min(256, max(16, n_docs // 50_000 + 16)))
-
-    def add_part(t: pa.Table) -> pa.Table:
-        t = pairs(t)
-        return t.append_column("part", pa.array(
-            t["h"].to_numpy(zero_copy_only=False) % parts,
-            type=pa.int64()))
 
     def part_stats(t: pa.Table) -> pa.Table:
         h = t["h"].to_numpy(zero_copy_only=False)
@@ -4070,12 +4099,233 @@ def q_substring_dup_spans(sf_dir: str):
 
     with _shuffle_scaled(n_docs * 160 * 16):  # ~grams/doc × 16 B rows
         return (
-            docs.map_batches(add_part, batch_format="pyarrow")
+            docs.map_batches(lambda t: _sub_pairs_part(t, parts),
+                             batch_format="pyarrow")
             .groupby("part", num_partitions=parts)
             .map_groups(part_stats, batch_format="pyarrow")
             .groupby("dpart", num_partitions=parts)
             .map_groups(doc_combine, batch_format="pyarrow")
         )
+
+
+# broadcast-vs-cogroup dispatch threshold for the rewrite's per-doc
+# dup-hash sets (rows of (doc_id, h) int64 pairs ≈ 16 B each)
+_SUBDUP_BCAST_LIMIT = int(os.environ.get("JCR_SUBDUP_BCAST_LIMIT",
+                                         "2000000"))
+
+
+def q_substring_dedup_rewrite(sf_dir: str):
+    """Exact substring-duplication REMOVAL (the rewrite companion of
+    ``substring_dup_spans``, i.e. the "deduplicating training data"
+    method's edit step in its word-n-gram formulation): every word
+    covered by a gram that also appears in ≥1 OTHER doc is deleted,
+    and the doc re-joined from the surviving words. Detection reuses
+    the same map-side pair kernel + ONE coarse gram-hash partition;
+    the per-partition step then emits only the DUPLICATED (doc_id, h)
+    rows — the per-doc dup-hash sets, a small subset of the pair
+    stream. Getting those sets back to the text dispatches on size
+    (the ``_keep_corpus`` pattern): below ``_SUBDUP_BCAST_LIMIT`` rows
+    they broadcast once via ``ray.put`` as doc-sorted arrays and the
+    corpus is rewritten in a map-only second read (per doc, a
+    searchsorted slice → positional re-hash → vectorized interval
+    cover; the corpus text never shuffles); above it, both sides
+    coarse-hash-partition on doc_id through one cogroup exchange, so
+    neither the dup sets nor the corpus ever land on the driver.
+    Output per doc (all docs, changed or not): (doc_id, n_words,
+    removed_words, text). Within-doc-only repeats are NOT removed —
+    the duplication predicate is cross-doc, matching the detection
+    query."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _tbl_rows(sf_dir, "documents")
+    parts = _SUB_PARTS or int(min(256, max(16, n_docs // 50_000 + 16)))
+
+    def dup_rows(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        sel = (cnt >= 2)[inv]  # pairs are doc-distinct ⇒ cnt = docs
+        return pa.table({
+            "doc_id": pa.array(d[sel]),
+            "h": pa.array(h[sel]),
+            "dpart": pa.array(d[sel] % parts),
+        })
+
+    def rewrite_tbl(ids: np.ndarray, texts: list[str],
+                    d_ids: np.ndarray, d_hs: np.ndarray) -> pa.Table:
+        """Rewrite a run of docs against doc-sorted dup arrays."""
+        outs: list[str] = []
+        nws = np.empty(len(texts), dtype=np.int64)
+        rms = np.empty(len(texts), dtype=np.int64)
+        for k, (i, x) in enumerate(zip(ids, texts)):
+            lo = np.searchsorted(d_ids, i, "left")
+            hi = np.searchsorted(d_ids, i, "right")
+            o, nw, rm = _sub_rewrite_doc(x, d_hs[lo:hi])
+            outs.append(o)
+            nws[k] = nw
+            rms[k] = rm
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "n_words": pa.array(nws),
+            "removed_words": pa.array(rms),
+            "text": pa.array(outs, type=pa.string()),
+        })
+
+    with _shuffle_scaled(n_docs * 160 * 16):
+        dups = (
+            docs.map_batches(lambda t: _sub_pairs_part(t, parts),
+                             batch_format="pyarrow")
+            .groupby("part", num_partitions=parts)
+            .map_groups(dup_rows, batch_format="pyarrow")
+        ).materialize()
+    ndup = dups.count()
+
+    if ndup <= _SUBDUP_BCAST_LIMIT:
+        tbls = [t for t in ray.get(dups.to_arrow_refs())
+                if t.num_rows > 0]
+        if tbls:
+            dt = pa.concat_tables(tbls)
+            di = dt["doc_id"].to_numpy(zero_copy_only=False)
+            dh = dt["h"].to_numpy(zero_copy_only=False)
+            order = np.argsort(di, kind="stable")
+            dref = ray.put((di[order], dh[order]))
+        else:
+            e = np.empty(0, dtype=np.int64)
+            dref = ray.put((e, e))
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            d_ids, d_hs = _bget(dref)
+            return rewrite_tbl(
+                t["doc_id"].to_numpy(zero_copy_only=False),
+                t["text"].to_pylist(), d_ids, d_hs)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow")
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "h": pa.nulls(t.num_rows, pa.int64()),
+            "dpart": pa.array(d % parts),
+        })
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "h": t["h"],
+            "dpart": t["dpart"],
+        })
+
+    def rewrite_group(t: pa.Table) -> pa.Table:
+        isdoc = pc.is_valid(t["text"])
+        doc_t = t.filter(isdoc)
+        dup_t = t.filter(pc.invert(isdoc))
+        di = dup_t["doc_id"].to_numpy(zero_copy_only=False)
+        dh = dup_t["h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(di, kind="stable")
+        return rewrite_tbl(
+            doc_t["doc_id"].to_numpy(zero_copy_only=False),
+            doc_t["text"].to_pylist(), di[order], dh[order])
+
+    with _shuffle_scaled(n_docs * 400):  # corpus text + small dup rows
+        return (
+            docs.map_batches(tag_docs, batch_format="pyarrow")
+            .union(dups.map_batches(tag_dups, batch_format="pyarrow"))
+            .groupby("dpart", num_partitions=parts)
+            .map_groups(rewrite_group, batch_format="pyarrow")
+        )
+
+
+# BM25 retrieval (Robertson/Okapi, Lucene's +1 idf form) — the IR op a
+# decontamination / data-selection pipeline needs: rank the corpus
+# against a query by term relevance.
+_BM25_QUERY = ("hash", "join", "merge", "sort")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 50
+
+
+def _bm25_tf_dl(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc term-frequency matrix over ``_BM25_QUERY`` + doc lengths
+    — ONE kernel shared by the engine and the golden so the scores are
+    bit-identical. ``list.count`` is a C-speed scan; the query is a
+    handful of terms, so this is T linear passes per doc, not a Python
+    per-token loop."""
+    n_terms = len(_BM25_QUERY)
+    tf = np.zeros((len(texts), n_terms), dtype=np.float64)
+    dl = np.empty(len(texts), dtype=np.float64)
+    for k, x in enumerate(texts):
+        toks = x.split(" ")
+        dl[k] = len(toks)
+        for j, term in enumerate(_BM25_QUERY):
+            tf[k, j] = toks.count(term)
+    return tf, dl
+
+
+def _bm25_scores(tf: np.ndarray, dl: np.ndarray, n_docs: int,
+                 avgdl: float, df: np.ndarray) -> np.ndarray:
+    """Vectorized BM25: idf_t · tf/(tf + k1·(1-b+b·dl/avgdl)), summed
+    in fixed term order (axis-1 over a width-T matrix — the summation
+    order cannot vary with batching, so per-doc scores are
+    batch-composition independent)."""
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+    return (idf[None, :] * tf / (tf + norm[:, None])).sum(axis=1)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-``_BM25_K`` retrieval over the documents table for the
+    fixed ``_BM25_QUERY`` terms. Two linear passes, no corpus shuffle:
+    (1) map-side partials (docs, total tokens, per-term df) reduced by
+    a Sum aggregate — a handful of ints, so the global idf/avgdl
+    constants are exact and identical on every worker via closure
+    capture; (2) map-only scoring + batch-local top-k in the oracle's
+    total order (rounded score desc, doc_id asc), merged through a
+    single-group ``map_groups`` over ≤ blocks × k tiny partial rows
+    (the ``knn_cosine`` shape). Scores round half-up at 6 before
+    ranking so ties are decided identically everywhere."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_terms = len(_BM25_QUERY)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tf, dl = _bm25_tf_dl(t["text"].to_pylist())
+        row: dict[str, list[int]] = {"n": [t.num_rows],
+                                     "tl": [int(dl.sum())]}
+        for j in range(n_terms):
+            row[f"df{j}"] = [int((tf[:, j] > 0).sum())]
+        return pa.table(row)
+
+    agg = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n"), Sum("tl"), *(Sum(f"df{j}") for j in range(n_terms)))
+    n_docs = int(agg["sum(n)"])
+    avgdl = int(agg["sum(tl)"]) / n_docs
+    df = np.array([float(agg[f"sum(df{j})"]) for j in range(n_terms)])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf, dl = _bm25_tf_dl(t["text"].to_pylist())
+        s = _round_half_up(_bm25_scores(tf, dl, n_docs, avgdl, df), 6)
+        order = np.lexsort((ids, -s))[:_BM25_K]
+        return pa.table({
+            "q": pa.array(np.zeros(len(order), dtype=np.int64)),
+            "doc_id": pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(s[order], type=pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable").head(_BM25_K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rank", "doc_id", "score"]].astype(
+            {"rank": np.int64, "doc_id": np.int64, "score": np.float64})
+
+    return (
+        docs.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 # DSIR (data selection with importance resampling, per the public
@@ -4376,6 +4626,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "dsir_weights": q_dsir_weights,
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dedup_rewrite": q_substring_dedup_rewrite,
+    "bm25_topk": q_bm25_topk,
     "curate_corpus": q_curate_corpus,
     "mixture_sample": q_mixture_sample,
     "shuffle_shards": q_shuffle_shards,

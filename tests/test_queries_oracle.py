@@ -89,7 +89,7 @@ GOLDEN_NAMES = [
     "simhash_neardup", "embedding_dedup_keep", "pq_encode", "ann_pq",
     "ann_ivfpq", "image_training_manifest", "png_export",
     "semantic_dedup", "dsir_weights", "substring_dup_spans",
-    "clip_align",
+    "substring_dedup_rewrite", "bm25_topk", "clip_align",
 ]
 
 
@@ -550,6 +550,38 @@ class TestDistributedKeepPath:
         one = _normalize(_to_pandas(
             queries.QUERIES["substring_dup_spans"](SF_DIR)))
         pd.testing.assert_frame_equal(auto, one)
+
+    def test_substring_rewrite_dispatch_invariant(self, ray_session,
+                                                  monkeypatch):
+        """The rewrite must be identical whichever way the per-doc
+        dup-hash sets travel: broadcast (default at this scale) or the
+        forced doc_id-cogroup exchange (`_SUBDUP_BCAST_LIMIT = 0`)."""
+        from jobscrawler_ray.pipelines import queries
+
+        bcast = _normalize(_to_pandas(
+            queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
+        monkeypatch.setattr(queries, "_SUBDUP_BCAST_LIMIT", 0)
+        cogroup = _normalize(_to_pandas(
+            queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
+        pd.testing.assert_frame_equal(bcast, cogroup, check_exact=True)
+
+    def test_substring_rewrite_consistent_with_detection(self,
+                                                         ray_session):
+        """A doc loses words iff the detection query says it has ≥1
+        duplicated gram, and rewriting never grows a doc."""
+        from jobscrawler_ray.pipelines import queries
+
+        det = _to_pandas(
+            queries.QUERIES["substring_dup_spans"](SF_DIR)).set_index(
+            "doc_id")
+        rew = _to_pandas(
+            queries.QUERIES["substring_dedup_rewrite"](SF_DIR))
+        assert (rew.removed_words <= rew.n_words).all()
+        for _, r in rew.iterrows():
+            dg = (det.loc[r.doc_id, "dup_grams"]
+                  if r.doc_id in det.index else 0)
+            assert (r.removed_words > 0) == (dg > 0), int(r.doc_id)
+            assert len(r.text.split(" ")) <= r.n_words
 
     def test_tfidf_distributed_df_matches_broadcast(self, ray_session,
                                                     monkeypatch):
