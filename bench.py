@@ -412,7 +412,7 @@ def imgstress() -> None:
 DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "decontaminate_docs", "dsir_weights",
                      "substring_dup_spans", "substring_dedup_rewrite",
-                     "shuffle_shards",
+                     "bm25_topk", "shuffle_shards",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints"]
 
