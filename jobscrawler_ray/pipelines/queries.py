@@ -127,16 +127,22 @@ def _max_ts(ds, col: str) -> pd.Timestamp:
     return pd.Timestamp(final.take_all()[0][col])
 
 
-def _merge_topk(k: int):
-    """Per-query merge of partial top-k rows: the oracle's total order
-    (rounded score desc, neighbor_id asc) then ranks 1..k. Shared by
-    knn_cosine and ann_ivf so their tie-break semantics cannot drift."""
+def _merge_topk(k: int, id_col: str = "neighbor_id",
+                out_cols: tuple[str, ...] = ("query_id", "neighbor_id",
+                                             "rank")):
+    """Per-group merge of partial top-k rows: the oracle's total order
+    (rounded score desc, id asc) then ranks 1..k. ONE helper shared by
+    knn_cosine, ann_ivf and bm25_topk so their tie-break semantics
+    cannot drift; ``out_cols`` may include "score" to keep the float
+    column (all other outputs cast int64)."""
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+        g = g.sort_values(["score", id_col], ascending=[False, True],
                           kind="stable").head(k).copy()
         g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+        return g[list(out_cols)].astype(
+            {c: (np.float64 if c == "score" else np.int64)
+             for c in out_cols})
 
     return merge
 
@@ -4145,10 +4151,13 @@ def q_substring_dedup_rewrite(sf_dir: str):
         _, inv, cnt = np.unique(h, return_inverse=True,
                                 return_counts=True)
         sel = (cnt >= 2)[inv]  # pairs are doc-distinct ⇒ cnt = docs
+        # no dpart here: the broadcast path (the common case) never
+        # reads it, so materializing it would inflate the dup stream
+        # and the driver pull by 50% — the cogroup path derives it in
+        # tag_dups
         return pa.table({
             "doc_id": pa.array(d[sel]),
             "h": pa.array(h[sel]),
-            "dpart": pa.array(d[sel] % parts),
         })
 
     def rewrite_tbl(ids: np.ndarray, texts: list[str],
@@ -4211,11 +4220,12 @@ def q_substring_dedup_rewrite(sf_dir: str):
         })
 
     def tag_dups(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": t["doc_id"],
             "text": pa.nulls(t.num_rows, pa.string()),
             "h": t["h"],
-            "dpart": t["dpart"],
+            "dpart": pa.array(d % parts),
         })
 
     def rewrite_group(t: pa.Table) -> pa.Table:
@@ -4314,17 +4324,12 @@ def q_bm25_topk(sf_dir: str):
             "score": pa.array(s[order], type=pa.float64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
-                          kind="stable").head(_BM25_K).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["rank", "doc_id", "score"]].astype(
-            {"rank": np.int64, "doc_id": np.int64, "score": np.float64})
-
     return (
         docs.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("q")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(_merge_topk(_BM25_K, id_col="doc_id",
+                                out_cols=("rank", "doc_id", "score")),
+                    batch_format="pandas")
     )
 
 

@@ -560,7 +560,10 @@ class TestDistributedKeepPath:
 
         bcast = _normalize(_to_pandas(
             queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
-        monkeypatch.setattr(queries, "_SUBDUP_BCAST_LIMIT", 0)
+        # -1, not 0: `ndup <= limit` is then false even for a fixture
+        # with ZERO dup rows, so the forcing can never silently degrade
+        # to broadcast-vs-broadcast
+        monkeypatch.setattr(queries, "_SUBDUP_BCAST_LIMIT", -1)
         cogroup = _normalize(_to_pandas(
             queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
         pd.testing.assert_frame_equal(bcast, cogroup, check_exact=True)
