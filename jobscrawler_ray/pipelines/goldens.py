@@ -732,6 +732,63 @@ def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_caption_neardup(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_caption_neardup``: word-shingle
+    minhash banding over the oracle crawl's captions, candidate pairs
+    within buckets, exact-Jaccard verify — same tunables as the
+    documents-table minhash."""
+    img = _crawl_oracle(sf_dir)["images"]
+    hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
+    shingles: dict[str, np.ndarray] = {}
+    buckets: dict[int, set[str]] = {}
+    for pid, cap in zip(img["image_id"], img["caption"]):
+        s = dedupe.shingle_set(cap, k=_MH_SHINGLE_K)
+        shingles[pid] = s
+        sig = hasher.signature(s)
+        for key in hasher.band_keys(sig, _MH_BANDS):
+            buckets.setdefault(key, set()).add(pid)
+    cand: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cand.add((a, b))
+    rows = []
+    for a, b in sorted(cand):
+        jv = dedupe.jaccard(shingles[a], shingles[b])
+        if jv >= _MH_VERIFY_TAU:
+            rows.append((a, b, round(jv, 4)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jacc"]).astype(
+        {"jacc": np.float64})
+
+
+def golden_caption_dedup_images(sf_dir: str) -> pd.DataFrame:
+    """Union-find over the golden caption pairs; the
+    lexicographically-least image_id per component survives. Output
+    (pid, caption) for every kept image."""
+    pairs = golden_caption_neardup(sf_dir)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for node in set(pairs["id_a"]) | set(pairs["id_b"]):
+        comps.setdefault(find(node), []).append(node)
+    drops = {n for ms in comps.values() for n in ms if n != min(ms)}
+    img = _crawl_oracle(sf_dir)["images"]
+    kept = img[~img["image_id"].isin(drops)]
+    return pd.DataFrame({"pid": kept["image_id"].astype(object),
+                         "caption": kept["caption"].astype(object)})
+
+
 def golden_phash_dedup_keep(sf_dir: str) -> pd.DataFrame:
     """Sequential union-find over the golden phash pairs + keep the
     lexicographically-least member per component (originals sort
@@ -848,6 +905,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {
         "pid": "VARCHAR"})
+    out["caption_neardup"] = values_sql(golden_caption_neardup(sf_dir), {
+        "id_a": "VARCHAR", "id_b": "VARCHAR", "jacc": "DOUBLE"})
+    out["caption_dedup_images"] = values_sql(
+        golden_caption_dedup_images(sf_dir), {
+            "pid": "VARCHAR", "caption": "VARCHAR"})
     # Image-table ops where only the INPUT is a golden (the sequential
     # crawl); the gate/bucket/ranking logic itself is re-implemented in
     # SQL, so engine and oracle compute the operator independently.

@@ -3378,16 +3378,36 @@ def q_phash_dedup_keep(sf_dir: str):
     pipeline — measured 3× the query's dominant cost). Rows-only;
     golden oracle in ``goldens.py``."""
     pairs_str = q_phash_neardup(sf_dir).materialize()  # bounded: pairs
+    out = _crawl_out(sf_dir)
+    ids = rd.read_parquet(os.path.join(out, "image_caption"),
+                          columns=["image_id"])
 
-    def _pid_hash(vals) -> np.ndarray:
-        # vectorized 63-bit node id per pid — pandas' C siphash (stable
-        # across processes), sign-cleared so % P ownership arithmetic
-        # stays nonnegative. The pair set is corpus-scale at real dup
-        # rates, so a per-row Python hash loop here would be a hot-path
-        # scalar stage; collision space (63-bit) and failure mode
-        # (over-merged component) are identical to the scalar hash64.
-        return (pd.util.hash_array(np.asarray(vals, dtype=object))
-                .view(np.int64) & np.int64(0x7FFF_FFFF_FFFF_FFFF))
+    def all_ids(t: pa.Table) -> pa.Table:
+        orig = t["image_id"].combine_chunks()
+        thumb = pc.binary_join_element_wise(orig, "#thumb", "")
+        return pa.table({"pid": pa.concat_arrays([orig, thumb])})
+
+    return _pid_dedup_keep(
+        pairs_str, ids.map_batches(all_ids, batch_format="pyarrow"))
+
+
+def _pid_hash(vals) -> np.ndarray:
+    # vectorized 63-bit node id per pid — pandas' C siphash (stable
+    # across processes), sign-cleared so % P ownership arithmetic
+    # stays nonnegative. The pair set is corpus-scale at real dup
+    # rates, so a per-row Python hash loop here would be a hot-path
+    # scalar stage; collision space (63-bit) and failure mode
+    # (over-merged component) are identical to the scalar hash64.
+    return (pd.util.hash_array(np.asarray(vals, dtype=object))
+            .view(np.int64) & np.int64(0x7FFF_FFFF_FFFF_FFFF))
+
+
+def _pid_dedup_keep(pairs_str, corpus, id_col: str = "pid"):
+    """Dedup-KEEP tail over STRING-keyed near-dup pairs — ONE helper
+    shared by ``q_phash_dedup_keep`` and ``q_caption_dedup_images`` so
+    the CC/representative/anti-join semantics cannot drift. ``corpus``
+    is a Dataset whose ``id_col`` holds the full pid universe (extra
+    columns ride along into the kept output)."""
 
     def to_hashed(df: pd.DataFrame) -> pd.DataFrame:
         return _arrow_out(pd.DataFrame({
@@ -3441,7 +3461,7 @@ def q_phash_dedup_keep(sf_dir: str):
         np.minimum(idx, max(len(akey) - 1, 0), out=idx)
         if len(akey) == 0 or not np.array_equal(akey[order][idx], qkey):
             raise RuntimeError(
-                "phash label compose: query key missing from its "
+                "pid label compose: query key missing from its "
                 "partition's answer set (CC node emission broke)")
         return pa.table({"pid": q["pid"],
                          "lab": pa.array(alab[order][idx], type=pa.int64())})
@@ -3474,17 +3494,130 @@ def q_phash_dedup_keep(sf_dir: str):
         .map_groups(select_drops, batch_format="pyarrow")
     )
 
+    return _keep_corpus(corpus, id_col, drops)
+
+
+def q_caption_neardup(sf_dir: str):
+    """Caption near-dup pairs over the crawled image table — the
+    text-side dedup signal a LAION-style pipeline applies to
+    image+caption corpora (template captions dominate web data; pixel
+    dedup alone misses re-encoded images that share boilerplate
+    captions). Same distributed shape and tunables as
+    ``q_minhash_lsh``, keyed by the STRING image_id: word-shingle
+    minhash → band explode → coarse band-hash partition → run-detect
+    candidate pairs → parallel exact-Jaccard verify, each verify batch
+    fetching only ITS pairs' captions via an image_id-pruned parquet
+    read of the crawl output. Rows-only; golden oracle in
+    ``goldens.py``."""
     out = _crawl_out(sf_dir)
-    ids = rd.read_parquet(os.path.join(out, "image_caption"),
-                          columns=["image_id"])
+    img_dir = os.path.join(out, "image_caption")
+    imgs = rd.read_parquet(img_dir, columns=["image_id", "caption"])
+    hasher = dedupe.MinHasher(num_perm=_MH_PERMS, seed=_MH_SEED)
+    bands = _MH_BANDS
+    parts = 32
 
-    def all_ids(t: pa.Table) -> pa.Table:
-        orig = t["image_id"].combine_chunks()
-        thumb = pc.binary_join_element_wise(orig, "#thumb", "")
-        return pa.table({"pid": pa.concat_arrays([orig, thumb])})
+    def band_rows(t: pa.Table) -> pa.Table:
+        pids = t["image_id"].to_pylist()
+        caps = t["caption"].to_pylist()
+        keys = np.empty(len(caps) * bands, dtype=np.int64)
+        for i, cap in enumerate(caps):
+            sig = hasher.signature(
+                dedupe.shingle_set(cap, k=_MH_SHINGLE_K))
+            keys[i * bands:(i + 1) * bands] = hasher.band_keys(sig, bands)
+        return pa.table({
+            "band_key": pa.array(keys),
+            "part": pa.array(keys % parts),
+            "pid": pa.array(np.repeat(np.asarray(pids, dtype=object),
+                                      bands), type=pa.string()),
+        })
 
-    return _keep_corpus(
-        ids.map_batches(all_ids, batch_format="pyarrow"), "pid", drops)
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        # vectorized run detection per coarse partition (the
+        # q_minhash_lsh shape); the pid sort inside a run is an object
+        # sort, but runs are bounded by the bucket-collision rate
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        bk, pid = bk[order], pid[order]
+        starts, ends = _key_runs(bk)
+        multi = (ends - starts) >= 2
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for s, e in zip(starts[multi], ends[multi]):
+            ids = np.unique(pid[s:e])
+            for i in range(ids.size - 1):
+                out_a.extend([ids[i]] * (ids.size - 1 - i))
+                out_b.extend(ids[i + 1:].tolist())
+        return pa.table({"id_a": pa.array(out_a, type=pa.string()),
+                         "id_b": pa.array(out_b, type=pa.string())})
+
+    from .crawl import dir_num_rows
+
+    with _shuffle_scaled(dir_num_rows(img_dir) * bands * 40):
+        cand = (
+            imgs.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("part", num_partitions=parts)
+            .map_groups(partition_pairs, batch_format="pyarrow")
+        ).materialize()
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b, keep_j = [], [], []
+        if len(df):
+            ids = sorted(set(df["id_a"]) | set(df["id_b"]))
+            t = papq.read_table(img_dir, columns=["image_id", "caption"],
+                                filters=[("image_id", "in", ids)])
+            lut = dict(zip(t["image_id"].to_pylist(),
+                           t["caption"].to_pylist()))
+            cache: dict[str, np.ndarray] = {}
+
+            def sh(i: str) -> np.ndarray:
+                if i not in cache:
+                    cache[i] = dedupe.shingle_set(lut[i],
+                                                  k=_MH_SHINGLE_K)
+                return cache[i]
+
+            for a, b in zip(df["id_a"], df["id_b"]):
+                jv = dedupe.jaccard(sh(a), sh(b))
+                if jv >= _MH_VERIFY_TAU:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    keep_j.append(round(jv, 4))
+        return pd.DataFrame({"id_a": pd.Series(keep_a, dtype=object),
+                             "id_b": pd.Series(keep_b, dtype=object),
+                             "jacc": pd.Series(keep_j, dtype=np.float64)})
+
+    def dedup_split(df: pd.DataFrame):
+        df = df.drop_duplicates().sort_values(["id_a", "id_b"],
+                                              kind="stable")
+        step = 512
+        for lo in range(0, len(df), step):
+            yield _arrow_out(df.iloc[lo:lo + step])
+
+    return (
+        cand.map_batches(dedup_split, batch_format="pandas",
+                         batch_size=1 << 30)
+        .map_batches(verify, batch_format="pandas", batch_size=512)
+    )
+
+
+def q_caption_dedup_images(sf_dir: str):
+    """Caption near-dup REMOVAL over the image table: verified caption
+    pairs → the shared string-keyed dedup-KEEP tail
+    (``_pid_dedup_keep``: hashed-node CC → distributed representative
+    recovery, lexicographically-least image_id survives → size-
+    dispatched anti-join). The kept output carries the caption so a
+    downstream trainer consumes it directly. Rows-only; golden oracle
+    in ``goldens.py``."""
+    pairs = q_caption_neardup(sf_dir).materialize()
+    out = _crawl_out(sf_dir)
+    corpus = rd.read_parquet(
+        os.path.join(out, "image_caption"),
+        columns=["image_id", "caption"],
+    ).map_batches(
+        lambda t: pa.table({"pid": t["image_id"],
+                            "caption": t["caption"]}),
+        batch_format="pyarrow")
+    return _pid_dedup_keep(pairs, corpus)
 
 
 def _image_gate_mask(t: pa.Table):
@@ -4685,6 +4818,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "clip_align": q_clip_align,
     "phash_neardup": q_phash_neardup,
     "phash_dedup_keep": q_phash_dedup_keep,
+    "caption_neardup": q_caption_neardup,
+    "caption_dedup_images": q_caption_dedup_images,
     "curate_image_corpus": q_curate_image_corpus,
     "aspect_buckets": q_aspect_buckets,
     "image_training_manifest": q_image_training_manifest,
