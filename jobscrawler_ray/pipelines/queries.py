@@ -270,6 +270,158 @@ def q_windowed_events(sf_dir: str):
     )
 
 
+def q_asof_join_clicks(sf_dir: str):
+    """AS-OF join — the inequality join Ray Data has no operator for,
+    composed per the custom-operator recipe (map_batches prune →
+    ONE key-hash cogroup → vectorized per-partition kernel): each
+    'error' event joins the SAME user's most recent 'click' at or
+    before its timestamp. Both sides are pruned map-side to the two
+    event types, co-partitioned by ``user_id % parts`` through one
+    exchange (the documented partitioning assumption: a user's full
+    history fits its partition), and each partition runs pandas'
+    C-speed ``merge_asof(by=user_id, direction=backward)``. INNER
+    semantics (errors before a user's first click drop) keep the
+    output free of nullable columns; the elapsed gap is emitted as
+    EXACT integer microseconds, so there is no float rounding to
+    drift from the oracle (DuckDB's native ASOF JOIN)."""
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["error", "click"])))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(u % parts,
+                                                type=pa.int64()))
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "error"]
+        right = df[df["event_type"] == "click"]
+        if left.empty or right.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype=df["ts"].dtype),
+                "click_ts": pd.Series([], dtype=df["ts"].dtype),
+                "usecs_since_click": pd.Series([], dtype=np.int64),
+            })
+        right = pd.DataFrame({"ts": right["ts"],
+                              "user_id": right["user_id"],
+                              "click_ts": right["ts"]})
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]].sort_values(
+                "ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["click_ts"])
+        gap = (m["ts"].values.astype("datetime64[us]").astype(np.int64)
+               - m["click_ts"].values.astype("datetime64[us]").astype(
+                   np.int64))
+        return _arrow_out(pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64),
+            "user_id": m["user_id"].astype(np.int64),
+            "ts": m["ts"],
+            "click_ts": m["click_ts"],
+            "usecs_since_click": pd.Series(gap, index=m.index,
+                                           dtype=np.int64),
+        }))
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+_RJ_WIN_DAYS = 7  # range-join window width (and the bucket width)
+_US_DAY = 86_400_000_000
+
+
+def q_range_join_shipments(sf_dir: str):
+    """RANGE join — the other inequality join the Dataset API lacks:
+    count, per order, the lineitems (any order) shipped inside
+    ``[o_orderdate, o_orderdate + 7 days)``. The banded shape: both
+    sides hash to time buckets the width of the window, items to
+    exactly ONE bucket, orders REPLICATED to the ≤2 buckets their
+    window overlaps; per bucket a sorted-shipdate ``searchsorted``
+    pair counts each order's in-bucket items vectorized, and the ≤2
+    per-order partials merge in one coalesced task (the
+    ``windowed_events`` combiner pattern). Work scales with rows ×
+    window density, never all-pairs; the documented partitioning
+    assumption is that one bucket's rows fit a worker. INNER
+    semantics (orders with zero in-window shipments drop) — exact
+    integer counts, nothing to round."""
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = _tbl(sf_dir, "lineitem", ["l_shipdate"])
+    bw = _RJ_WIN_DAYS * _US_DAY
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        return col.cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64)
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        ship = _us(t["l_shipdate"])
+        return pa.table({
+            "bucket": pa.array(ship // bw, type=pa.int64()),
+            "okey": pa.nulls(t.num_rows, pa.int64()),
+            "start": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "ship": pa.array(ship),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        start = _us(t["o_orderdate"])
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        b0 = start // bw
+        b1 = (start + bw - 1) // bw  # last bucket the window touches
+        two = b1 != b0
+        bucket = np.concatenate([b0, b1[two]])
+        okey = np.concatenate([okey, okey[two]])
+        start = np.concatenate([start, start[two]])
+        return pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "okey": pa.array(okey.astype(np.int64)),
+            "start": pa.array(start),
+            "ship": pa.nulls(len(bucket), pa.int64()),
+        })
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        is_item = pc.is_valid(t["ship"])
+        ship = np.sort(t.filter(is_item)["ship"].to_numpy(
+            zero_copy_only=False))
+        o = t.filter(pc.invert(is_item))
+        start = o["start"].to_numpy(zero_copy_only=False)
+        n = (np.searchsorted(ship, start + bw, "left")
+             - np.searchsorted(ship, start, "left"))
+        sel = n > 0
+        return pa.table({
+            "o_orderkey": pa.array(o["okey"].to_numpy(
+                zero_copy_only=False)[sel]),
+            "n": pa.array(n[sel].astype(np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderkey", as_index=False).agg(
+            n_shipped=("n", "sum"))
+        return out.astype({"o_orderkey": np.int64,
+                           "n_shipped": np.int64})
+
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = int(min(64, max(4, n_rows // 500_000 + 4)))
+    with _shuffle_scaled(n_rows * 32):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders,
+                                      batch_format="pyarrow"))
+            .groupby("bucket", num_partitions=parts)
+            .map_groups(count_bucket, batch_format="pyarrow")
+            .map_batches(merge, batch_format="pandas",
+                         batch_size=1 << 30)
+        )
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary: the canonical pre-aggregate →
     groupby-sum pattern (partial combine inside map_batches)."""
@@ -4745,6 +4897,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "incremental_since_watermark": q_incremental_since_watermark,
     "windowed_events": q_windowed_events,
+    "asof_join_clicks": q_asof_join_clicks,
+    "range_join_shipments": q_range_join_shipments,
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
     "exact_dedup_events": q_exact_dedup_events,
@@ -4849,6 +5003,22 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n, "
         "round(sum(value), 4) AS sum_value FROM events "
         "GROUP BY user_id, date_trunc('day', ts)"
+    ),
+    "asof_join_clicks": (
+        "SELECT e.event_id AS event_id, e.user_id AS user_id, "
+        "e.ts AS ts, c.click_ts AS click_ts, "
+        "date_diff('microsecond', c.click_ts, e.ts) AS usecs_since_click "
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+        "ASOF JOIN (SELECT user_id, ts AS click_ts FROM events "
+        "WHERE event_type = 'click') c "
+        "ON e.user_id = c.user_id AND e.ts >= c.click_ts"
+    ),
+    "range_join_shipments": (
+        "SELECT o.o_orderkey AS o_orderkey, count(*) AS n_shipped "
+        "FROM orders o JOIN lineitem l "
+        "ON l.l_shipdate >= o.o_orderdate "
+        "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+        "GROUP BY o.o_orderkey"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
