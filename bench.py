@@ -299,6 +299,67 @@ def _stress(query_names: list[str], table_dir: str, metric: str,
     }))
 
 
+def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
+    """Deterministic events/orders/lineitem tables at join-stress
+    scale (only the columns the two inequality joins read). Written
+    as 256k-row files so the read fans out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    us_day = 86_400_000_000
+    base = np.int64(1_577_836_800_000_000)  # 2020-01-01 in epoch us
+    span = np.int64(730) * us_day
+
+    def _write(name: str, tbl: pa.Table) -> None:
+        path = os.path.join(out_dir, name)
+        step = 262_144
+        writer = pq.ParquetWriter(path, tbl.schema)
+        for lo in range(0, tbl.num_rows, step):
+            writer.write_table(tbl.slice(lo, step))
+        writer.close()
+
+    ts = (base + rng.integers(0, span, size=n)).astype("datetime64[us]")
+    _write("events.parquet", pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(rng.integers(0, max(n // 200, 1), size=n,
+                                         dtype=np.int64)),
+        "event_type": pa.array(
+            np.array(["click", "error", "view"], dtype=object)[
+                rng.integers(0, 3, size=n)], type=pa.string()),
+    }))
+    n_ord = max(n // 4, 1)
+    odate = (base + (rng.integers(0, span, size=n_ord) // us_day)
+             * us_day).astype("datetime64[us]")
+    _write("orders.parquet", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_orderdate": pa.array(odate),
+    }))
+    sdate = (base + (rng.integers(0, span, size=n) // us_day)
+             * us_day).astype("datetime64[us]")
+    _write("lineitem.parquet", pa.table({
+        "l_shipdate": pa.array(sdate),
+    }))
+
+
+def joinstress() -> None:
+    """Inequality-join stress: the as-of and banded range joins over
+    ~50× the sf0.1 events table (GRAFT_JOIN_N, default 5M events, 5M
+    lineitems, 1.25M orders). Reported rows/s per op → BASELINE.md."""
+    n = int(os.environ.get("GRAFT_JOIN_N", "5000000"))
+    d = f"/tmp/bench_join_{n}"
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        t0 = time.time()
+        synth_join_tables(n, d)
+        print(f"# synthesized join tables ({n} rows) in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    _stress(["asof_join_clicks", "range_join_shipments"], d,
+            f"inequality-join stress ({n} rows)", n, "rows")
+
+
 VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
                      "kmeans_assign", "semantic_dedup",
                      "pq_encode", "ann_pq", "ann_ivfpq"]
@@ -527,6 +588,8 @@ if __name__ == "__main__":
         dupstress()
     elif "--imgstress" in sys.argv:
         imgstress()
+    elif "--joinstress" in sys.argv:
+        joinstress()
     elif os.environ.get("GRAFT_CRAWL_ONLY"):
         import ray
         from ray.data import DataContext
