@@ -4885,6 +4885,192 @@ def q_bottomk_sample(sf_dir: str):
     )
 
 
+_MG_CAP = 512  # Misra-Gries summary capacity (counters per summary)
+
+
+def _mg_compress(terms: np.ndarray, cnts: np.ndarray,
+                 m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries compression: keep at most ``m`` counters by
+    subtracting the (m+1)-th largest count from all and dropping the
+    non-positive remainder. The decrement is ≤ n/(m+1) of the mass
+    ``n`` summarized, so any item with true count > n/(m+1) survives
+    with a positive counter."""
+    if len(cnts) <= m:
+        return terms, cnts
+    kth = np.partition(cnts, len(cnts) - m - 1)[len(cnts) - m - 1]
+    keep = cnts > kth
+    return terms[keep], cnts[keep] - kth
+
+
+def q_heavy_hitters_terms(sf_dir: str):
+    """Exact heavy hitters over the token stream in two linear passes
+    — the 100 TB shape for "which terms exceed x% of the corpus"
+    where a full term groupby would shuffle every token:
+
+    pass 1 (candidates): each batch builds an exact term-count table
+    and MG-compresses it to ``_MG_CAP`` counters (undercount ≤
+    n_batch/(cap+1)); one coalesced worker task sums the ≤ cap-per-
+    block partials and compresses once more (undercount ≤ N/(cap+1)).
+    Total undercount ≤ 2N/(cap+1), so the ≤ cap surviving terms are a
+    SUPERSET of every term with true count > 2N/(cap+1).
+
+    pass 2 (exact recount): the candidate set broadcasts via ray.put;
+    a map-only pass counts ONLY candidate terms (plus the batch token
+    total), and the final coalesced merge filters on the exact
+    threshold n > 2N/(cap+1). Output is exact, the shuffle never sees
+    the long tail, and the driver holds ≤ cap strings."""
+    from collections import Counter
+
+    docs = _tbl(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(t.split(" "))
+        terms = np.array(list(c.keys()), dtype=object)
+        cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        terms, cnts = _mg_compress(terms, cnts, _MG_CAP)
+        return _arrow_out(pd.DataFrame({"term": terms, "cnt": cnts}))
+
+    def merge_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["cnt"].sum()
+        terms, _ = _mg_compress(g["term"].to_numpy(object),
+                                g["cnt"].to_numpy(np.int64), _MG_CAP)
+        return pd.DataFrame({"term": terms})
+
+    cand = (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(merge_candidates, batch_format="pandas",
+                     batch_size=1 << 30)
+        .to_pandas()  # ≤ _MG_CAP rows — the one small driver hop
+    )
+    ref = ray.put(frozenset(cand["term"]))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        want = _bget(ref)
+        c: Counter = Counter()
+        total = 0
+        for t in df["text"]:
+            toks = t.split(" ")
+            total += len(toks)
+            c.update(tok for tok in toks if tok in want)
+        terms = list(c.keys()) + ["\x01__total__"]
+        cnts = list(c.values()) + [total]
+        return _arrow_out(pd.DataFrame({
+            "term": np.array(terms, dtype=object),
+            "n": np.array(cnts, dtype=np.int64)}))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["n"].sum()
+        tot = g.loc[g["term"] == "\x01__total__", "n"].iat[0]
+        g = g[g["term"] != "\x01__total__"]
+        g = g[g["n"] > 2.0 * tot / (_MG_CAP + 1)]
+        g = g.sort_values(["n", "term"], ascending=[False, True],
+                          ignore_index=True)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["term", "n"]]
+
+    return (
+        docs.map_batches(recount, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_HOP_US = 43_200_000_000  # 12 h hop; window = 2 hops = 1 day
+
+
+def q_hopping_windows(sf_dir: str):
+    """Hopping (sliding) window aggregate — 1-day windows advancing
+    every 12 h, so each event lands in exactly 2 overlapping windows.
+    The per-batch partial replicates each row into its 2 windows and
+    pre-aggregates, so the merge sees (window, type) partials — never
+    the event stream — and the window fan-out multiplies only the
+    partial table, not the shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64) // _HOP_US
+        frames = []
+        for off in (0, 1):
+            frames.append(pd.DataFrame({
+                "win": (b - off) * _HOP_US,
+                "event_type": df["event_type"],
+                "value": df["value"].to_numpy(np.float64),
+            }))
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["win", "event_type"], as_index=False)
+             .agg(n=("value", "size"), sum_value=("value", "sum")))
+        return _arrow_out(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["win", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum"))
+        return pd.DataFrame({
+            "win_start": g["win"].to_numpy(np.int64).view("datetime64[us]"),
+            "event_type": g["event_type"],
+            "n": g["n"].to_numpy(np.int64),
+            "sum_value": _round_half_up(g["sum_value"], 4),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_zscore_quality(sf_dir: str):
+    """Per-source z-score normalization of a quality signal (n_chars)
+    — the broadcast-stats pattern: a linear pass reduces to per-source
+    integer moment sums (n, Σx, Σx²), the tiny stats table broadcasts
+    via ray.put, and a second map-only pass standardizes every row.
+    No corpus shuffle; the moments are exact int64 sums so the float
+    mean/std derive bit-identically on any partitioning (the oracle
+    computes the same expression from the same integer sums)."""
+    stat_in = _tbl(sf_dir, "documents", ["source", "n_chars"])
+
+    def spartial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        g = (pd.DataFrame({"source": df["source"], "s1": x, "s2": x * x})
+             .groupby("source", as_index=False)
+             .agg(n=("s1", "size"), s1=("s1", "sum"), s2=("s2", "sum")))
+        return _arrow_out(g)
+
+    def smerge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+
+    stats = (
+        stat_in.map_batches(spartial, batch_format="pandas")
+        .map_batches(smerge, batch_format="pandas", batch_size=1 << 30)
+        .to_pandas()  # one row per source — the broadcast side
+    )
+    ref = ray.put({
+        r.source: (np.int64(r.n), np.int64(r.s1), np.int64(r.s2))
+        for r in stats.itertuples()
+    })
+
+    def zmap(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _bget(ref)
+        rows = df["source"].map(lut)
+        n = np.array([r[0] for r in rows], dtype=np.float64)
+        s1 = np.array([r[1] for r in rows], dtype=np.float64)
+        s2 = np.array([r[2] for r in rows], dtype=np.float64)
+        x = df["n_chars"].to_numpy(np.float64)
+        # expression mirrors the oracle SQL exactly: every op is an
+        # exactly-rounded IEEE op on exact integer inputs, so the two
+        # float paths agree bit-for-bit before rounding
+        z = (x - s1 / n) / np.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"],
+            "z": _round_half_up(z, 4),
+        })
+
+    return _tbl(sf_dir, "documents", ["doc_id", "source", "n_chars"]
+                ).map_batches(zmap, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -4980,6 +5166,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_knn": q_phash_knn,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "heavy_hitters_terms": q_heavy_hitters_terms,
+    "hopping_windows": q_hopping_windows,
+    "zscore_quality": q_zscore_quality,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -5319,5 +5508,28 @@ ORACLE_SQL: dict[str, str] = {
         "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
         "SELECT user_id, sid::BIGINT AS sid, count(*) AS n, "
         "min(ts) AS session_start FROM s GROUP BY user_id, sid"
+    ),
+    "heavy_hitters_terms": (
+        # threshold 2N/(cap+1) mirrors the engine's MG error bound
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term "
+        "FROM documents), tot AS (SELECT count(*)::DOUBLE AS nn FROM toks) "
+        "SELECT term, count(*)::BIGINT AS n FROM toks, tot "
+        "GROUP BY term, tot.nn HAVING count(*) > 2 * tot.nn / 513 "
+        "ORDER BY n DESC, term"
+    ),
+    "hopping_windows": (
+        "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 43200000000 "
+        "- o) * 43200000000) AS win_start, event_type, value FROM events "
+        "CROSS JOIN (VALUES (0), (1)) t(o)) "
+        "SELECT win_start, event_type, count(*)::BIGINT AS n, "
+        "round(sum(value), 4) AS sum_value FROM w GROUP BY 1, 2"
+    ),
+    "zscore_quality": (
+        "WITH s AS (SELECT source, count(*)::BIGINT AS n, "
+        "sum(n_chars)::BIGINT AS s1, sum(n_chars*n_chars)::BIGINT AS s2 "
+        "FROM documents GROUP BY source) "
+        "SELECT d.doc_id, d.source, round((d.n_chars - s.s1 / s.n) / "
+        "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS z "
+        "FROM documents d JOIN s USING (source)"
     ),
 }

@@ -169,6 +169,46 @@ class TestRowsOnly:
         assert (est >= exact).all()
         assert (est - exact).max() <= 2 * keys.size / sketch.CM_W
 
+    def test_mg_compress_superset_guarantee(self):
+        """Misra-Gries invariants in the compression regime (50k draws
+        from a zipf over ~3k distinct values, capacity 64): the
+        summary holds ≤ m counters, survivors undercount by ≤ n/(m+1),
+        and — the heavy-hitters contract — every value with true count
+        > n/(m+1) survives. Batched-compress-then-merge-compress (the
+        engine's two-level shape) keeps every value with true count
+        > 2n/(m+1)."""
+        import numpy as np
+
+        from jobscrawler_ray.pipelines.queries import _mg_compress
+
+        rng = np.random.default_rng(11)
+        draws = rng.zipf(1.3, size=50_000) % 3_000
+        vals, cnts = np.unique(draws, return_counts=True)
+        m, n = 64, draws.size
+        kv, kc = _mg_compress(vals.astype(object), cnts.astype(np.int64), m)
+        assert len(kv) <= m
+        exact = dict(zip(vals.tolist(), cnts.tolist()))
+        for v, c in zip(kv, kc):
+            assert 0 < c <= exact[v] and exact[v] - c <= n // (m + 1) + 1
+        survivors = set(kv.tolist())
+        for v, c in exact.items():
+            if c > n / (m + 1):
+                assert v in survivors, (v, c)
+        # two-level: per-chunk compress, merge, compress again
+        merged: dict = {}
+        for chunk in np.array_split(draws, 9):
+            cv, cc = np.unique(chunk, return_counts=True)
+            cv, cc = _mg_compress(cv.astype(object), cc.astype(np.int64), m)
+            for v, c in zip(cv, cc):
+                merged[v] = merged.get(v, 0) + int(c)
+        mv, _ = _mg_compress(np.array(list(merged), dtype=object),
+                             np.fromiter(merged.values(), np.int64,
+                                         len(merged)), m)
+        two_level = set(mv.tolist())
+        for v, c in exact.items():
+            if c > 2 * n / (m + 1):
+                assert v in two_level, (v, c)
+
     def test_hamming_pairs_blocked_matches_bruteforce(self, ray_session):
         """The double-blocked kernel must emit exactly the brute-force
         (i < j, d ≤ max_d) pair set for block sizes smaller than the
