@@ -5072,6 +5072,198 @@ def q_zscore_quality(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Relational reshapes + sampling + entity resolution (round 5 widening)
+# --------------------------------------------------------------------------
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot / wide aggregate — the reshape SQL expresses as FILTERed
+    aggregates: one row per day, one count column per event type plus
+    the day's purchase revenue. Map-side combiner: each batch reduces
+    to per-day partial rows (counts + EXACT integer cents, so the
+    money sum is order-free on any partitioning), then the tiny
+    per-day partial set merges in one coalesced task — no all-to-all.
+    Reference anchor: the per-strategy count report
+    (``src/crawler.py:376-377`` elapsed/insert logs) generalized to a
+    day × event-type matrix."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        cents = _round_half_up(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        out = pd.DataFrame({"day": df["ts"].dt.floor("D")})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        out["purchase_cents"] = np.where(et == "purchase", cents, 0)
+        return _arrow_out(out.groupby("day", as_index=False).sum())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", as_index=False).sum()
+        out["purchase_value"] = (
+            out.pop("purchase_cents").to_numpy(np.float64) / 100.0)
+        return out
+
+    return (
+        _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (sequential Poisson /
+    Ohlsson ordering): each doc draws priority key u/w where u is
+    the deterministic 32-bit multiplicative hash of doc_id (the same
+    uniform train_split uses — cluster-size-independent, resumable)
+    and w = n_chars; the k smallest keys are the sample, so inclusion
+    probability is ∝ weight. Map-side per-batch bottom-k partials →
+    one coalesced bottom-k merge; a single IEEE division per row, so
+    engine and oracle order identically bit-for-bit (doc_id breaks
+    the impossible-in-practice float tie deterministically)."""
+    k = 100
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+            "skey": u.astype(np.float64)
+            / df["n_chars"].to_numpy(np.float64),
+        })
+        return _arrow_out(
+            out.sort_values(["skey", "doc_id"], kind="stable").head(k))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["skey", "doc_id"], kind="stable").head(k)
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_GQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_group_quantiles(sf_dir: str):
+    """EXACT per-group quantiles (p25..p99 of l_extendedprice per
+    returnflag) without a distributed sort: map-side (flag, value)
+    count partials reduce each batch to its value histogram, one
+    coalesced merge sums them, and a tiny final kernel interpolates
+    each flag's quantiles from the sorted (value, count) histogram
+    using quantile_cont's exact lo*(1-f)+hi*f formula (verified
+    bit-for-bit vs DuckDB). The merged histogram is bounded by the
+    DOMAIN of the value (distinct cents), not the row count, so this
+    holds at 100 TB where a per-group sort would be an all-to-all."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_returnflag", "l_extendedprice"])
+             .size().rename("cnt").reset_index())
+        return _arrow_out(g)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_returnflag", "l_extendedprice"],
+                        as_index=False)["cnt"].sum())
+        rows = []
+        for flag, h in g.groupby("l_returnflag", sort=True):
+            h = h.sort_values("l_extendedprice", kind="stable")
+            vals = h["l_extendedprice"].to_numpy(np.float64)
+            cum = h["cnt"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            row = {"l_returnflag": flag}
+            for q in _GQ_QS:
+                h_pos = (n - 1) * q
+                lo = int(np.floor(h_pos))
+                fr = h_pos - lo
+                xlo = vals[np.searchsorted(cum, lo, side="right")]
+                xhi = vals[np.searchsorted(cum, min(lo + 1, n - 1),
+                                           side="right")]
+                # quantile_cont's interpolation: lo*(1-f) + hi*f —
+                # NOT lo + f*(hi-lo), which differs in the last ulp
+                row[f"p{int(q * 100)}"] = xlo * (1.0 - fr) + xhi * fr
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_FUZZY_JACC = 0.9
+
+
+def _charset_masks(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-string distinct-ASCII-char presence bitmasks (2×uint64 =
+    chars 0..127), the exact set DuckDB's ``jaccard()`` compares."""
+    lo = np.zeros(len(names), dtype=np.uint64)
+    hi = np.zeros(len(names), dtype=np.uint64)
+    one = np.uint64(1)
+    for i, s in enumerate(names):
+        l = h = np.uint64(0)
+        for b in set(s.encode()):
+            if b < 64:
+                l |= one << np.uint64(b)
+            else:
+                h |= one << np.uint64(b - 64)
+        lo[i], hi[i] = l, h
+    return lo, hi
+
+
+def q_fuzzy_join_names(sf_dir: str):
+    """Entity resolution as a BLOCKED fuzzy self-join: part pairs in
+    the same brand whose name char-set Jaccard ≥ 0.9 (DuckDB's
+    ``jaccard()`` semantics: distinct chars, case- and space-
+    sensitive). The blocking key (brand) bounds each comparison set,
+    turning the quadratic all-pairs into per-block kernels — ONE
+    cogroup exchange, then a vectorized 128-bit popcount matrix per
+    block (the phash/simhash SWAR kernel reused on char masks). The
+    documented partitioning assumption: block sizes stay worker-
+    bounded; at corpus scale the blocking key must be chosen to keep
+    them so (the same contract the minhash band buckets carry)."""
+    from ..functions.dedupe import popcount64
+
+    def add_masks(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = _charset_masks(df["p_name"].astype(str).tolist())
+        return _arrow_out(pd.DataFrame({
+            "p_partkey": df["p_partkey"].to_numpy(np.int64),
+            "p_brand": df["p_brand"],
+            "mlo": lo.view(np.int64), "mhi": hi.view(np.int64),
+        }))
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        lo = g["mlo"].to_numpy(np.int64)[order].view(np.uint64)
+        hi = g["mhi"].to_numpy(np.int64)[order].view(np.uint64)
+        inter = (popcount64(lo[:, None] & lo[None, :])
+                 + popcount64(hi[:, None] & hi[None, :]))
+        union = (popcount64(lo[:, None] | lo[None, :])
+                 + popcount64(hi[:, None] | hi[None, :]))
+        jacc = inter / union  # distinct chars ⇒ union ≥ 1
+        ia, ib = np.triu_indices(len(keys), k=1)
+        keep = jacc[ia, ib] >= _FUZZY_JACC
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame({
+            "id_a": keys[ia], "id_b": keys[ib],
+            "jacc": _round_half_up(jacc[ia, ib], 4),
+        })
+
+    return (
+        _tbl(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+        .map_batches(add_masks, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -5169,6 +5361,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "hopping_windows": q_hopping_windows,
     "zscore_quality": q_zscore_quality,
+    "pivot_events": q_pivot_events,
+    "weighted_sample": q_weighted_sample,
+    "group_quantiles": q_group_quantiles,
+    "fuzzy_join_names": q_fuzzy_join_names,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -5531,5 +5727,37 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT d.doc_id, d.source, round((d.n_chars - s.s1 / s.n) / "
         "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS z "
         "FROM documents d JOIN s USING (source)"
+    ),
+    "pivot_events": (
+        "SELECT date_trunc('day', ts) AS day, "
+        "count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click, "
+        "count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error, "
+        "count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase, "
+        "count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup, "
+        "count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view, "
+        "coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+        "FILTER (WHERE event_type = 'purchase'), 0) / 100.0 AS purchase_value "
+        "FROM events GROUP BY 1"
+    ),
+    "weighted_sample": (
+        "SELECT doc_id, n_chars, "
+        "CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / n_chars AS skey "
+        "FROM documents ORDER BY skey, doc_id LIMIT 100"
+    ),
+    "group_quantiles": (
+        "SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.25::DOUBLE) AS p25, "
+        "quantile_cont(l_extendedprice, 0.5::DOUBLE) AS p50, "
+        "quantile_cont(l_extendedprice, 0.75::DOUBLE) AS p75, "
+        "quantile_cont(l_extendedprice, 0.9::DOUBLE) AS p90, "
+        "quantile_cont(l_extendedprice, 0.99::DOUBLE) AS p99 "
+        "FROM lineitem GROUP BY 1"
+    ),
+    "fuzzy_join_names": (
+        "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+        "round(jaccard(a.p_name, b.p_name), 4) AS jacc "
+        "FROM part a JOIN part b "
+        "ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+        "WHERE jaccard(a.p_name, b.p_name) >= 0.9"
     ),
 }
