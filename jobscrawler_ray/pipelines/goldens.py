@@ -817,6 +817,67 @@ def golden_phash_dedup_keep(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"pid": pd.Series(kept, dtype=object)})
 
 
+def golden_ccnet_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Sequential CCNet twin of ``queries.q_ccnet_perplexity``: same
+    crc32 unigram buckets, Laplace-smoothed log-probs and per-doc
+    cross-entropy; training counts are exact int64 sums on both sides
+    so the float scores agree bit-for-bit."""
+    from .queries import _PPL_BUCKETS, _round_half_up, _uni_grams
+
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    cnt = np.zeros(_PPL_BUCKETS, dtype=np.int64)
+    for x, lang in zip(texts, t["lang"].to_pylist()):
+        if lang == "en":
+            g = _uni_grams(x)
+            if g.size:
+                cnt += np.bincount(g, minlength=_PPL_BUCKETS)
+    logp = np.log((cnt + 1.0) / (int(cnt.sum()) + _PPL_BUCKETS))
+    out_ids, ces = [], []
+    for i, x in zip(ids, texts):
+        g = _uni_grams(x)
+        if g.size:
+            out_ids.append(i)
+            ces.append(-np.mean(logp[g]))
+    return pd.DataFrame({
+        "doc_id": pd.Series(out_ids, dtype=np.int64),
+        "ce": _round_half_up(np.array(ces), 4),
+    })
+
+
+def golden_pagerank_orders(sf_dir: str) -> pd.DataFrame:
+    """Sequential PageRank twin of ``queries.q_pagerank_orders``: same
+    distinct edge set, node numbering, damping and INT64-quantized
+    contributions, so ranks match the distributed run bit-for-bit."""
+    from .queries import _PR_DAMP, _PR_ITERS, _PR_Q, _round_half_up
+
+    o = papq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_custkey"]).to_pandas()
+    li = papq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"]).to_pandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    e = pd.DataFrame({
+        "u": j["o_custkey"].to_numpy(np.int64) * 2,
+        "v": j["l_suppkey"].to_numpy(np.int64) * 2 + 1,
+    }).drop_duplicates()
+    nodes = np.unique(np.concatenate([e["u"].to_numpy(np.int64),
+                                      e["v"].to_numpy(np.int64)]))
+    ui = np.searchsorted(nodes, e["u"].to_numpy(np.int64))
+    vi = np.searchsorted(nodes, e["v"].to_numpy(np.int64))
+    deg = np.bincount(np.concatenate([ui, vi]),
+                      minlength=len(nodes)).astype(np.int64)
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        q = _round_half_up(r / deg * _PR_Q, 0).astype(np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, vi, q[ui])
+        np.add.at(s, ui, q[vi])
+        r = (1.0 - _PR_DAMP) / n + _PR_DAMP * (s.astype(np.float64) / _PR_Q)
+    return pd.DataFrame({"node_id": nodes, "pr": _round_half_up(r, 8)})
+
+
 # --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
@@ -984,4 +1045,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
     out["cm_counts_users"] = values_sql(
         golden_cm_counts_users(sf_dir), {"user_id": "BIGINT", "n_est": "BIGINT"})
+    out["ccnet_perplexity"] = values_sql(golden_ccnet_perplexity(sf_dir), {
+        "doc_id": "BIGINT", "ce": "DOUBLE"})
+    out["pagerank_orders"] = values_sql(golden_pagerank_orders(sf_dir), {
+        "node_id": "BIGINT", "pr": "DOUBLE"})
     return out

@@ -5264,6 +5264,180 @@ def q_fuzzy_join_names(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# LM quality scoring + graph ranking (round 5 widening)
+# --------------------------------------------------------------------------
+
+
+_PPL_BUCKETS = 1 << 16
+
+
+def _uni_grams(text: str) -> np.ndarray:
+    """Hashed unigram bucket ids in text order (crc32, like
+    ``_dsir_grams``) — per-doc scores sum over this array on both
+    engine and golden, so the float64 means agree bit-for-bit."""
+    toks = text.split(" ")
+    return np.fromiter(
+        (zlib.crc32(t.encode()) % _PPL_BUCKETS for t in toks),
+        dtype=np.int64, count=len(toks))
+
+
+def q_ccnet_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: train a Laplace-smoothed
+    hashed-unigram LM on the in-domain slice (lang='en', row-group-
+    pruned read), then score EVERY doc map-only with its per-token
+    cross-entropy under that LM (low = in-domain, the public CCNet
+    filter recipe with a hashed-unigram LM standing in for KenLM).
+    Training counts are integer per-batch bincount partials → one
+    coalesced merge (order-free ⇒ identical on any cluster size);
+    only the 65536-float log-prob table reaches the driver and
+    broadcasts back via ray.put. Both passes are map-only — no
+    corpus shuffle at any scale. Golden oracle: sequential twin
+    (goldens.golden_ccnet_perplexity) — np.log is libm-dependent, so
+    SQL ln() cannot be the oracle.
+    Reference anchor: the pre-embedding quality gate
+    (src/embeddings/embed_latest_crawled_data.py:80-95) generalized
+    to the published CCNet method."""
+    import pyarrow.dataset as pads
+
+    en = _tbl(sf_dir, "documents", ["text", "lang"],
+              filter=(pads.field("lang") == "en"))
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        c = np.zeros(_PPL_BUCKETS, dtype=np.int64)
+        for x in t["text"].to_pylist():
+            g = _uni_grams(x)
+            if g.size:
+                c += np.bincount(g, minlength=_PPL_BUCKETS)
+        nz = np.nonzero(c)[0]
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "c": pa.array(c[nz], type=pa.int64())})
+
+    def cmerge(t: pa.Table) -> pa.Table:
+        c = np.zeros(_PPL_BUCKETS, dtype=np.int64)
+        np.add.at(c, t["b"].to_numpy(zero_copy_only=False),
+                  t["c"].to_numpy(zero_copy_only=False))
+        return pa.table({"cnt": pa.array(c, type=pa.int64())})
+
+    cnt = (
+        en.map_batches(cpartial, batch_format="pyarrow")
+        .map_batches(cmerge, batch_format="pyarrow", batch_size=1 << 30)
+        .to_pandas()["cnt"].to_numpy(np.int64)
+    )
+    logp = np.log((cnt + 1.0) / (int(cnt.sum()) + _PPL_BUCKETS))
+    ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = _bget(ref)
+        ids, ces = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            g = _uni_grams(x)
+            if g.size:
+                ids.append(i)
+                ces.append(-np.mean(lp[g]))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ce": pa.array(_round_half_up(np.array(ces), 4),
+                           type=pa.float64()),
+        })
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_Q = 1e12
+
+
+def q_pagerank_orders(sf_dir: str):
+    """PageRank over the customer–supplier order graph (undirected
+    bipartite: one edge per DISTINCT (custkey, suppkey) pair sharing
+    an order; node ids 2·cust / 2·supp+1 keep the key spaces
+    disjoint). Edges come from one hash join + a distinct groupby and
+    materialize once (pair-bounded); each of the K=3 power iterations
+    is then a MAP-ONLY pass over the edge blocks: the driver
+    quantizes the per-node contribution r/deg to INT64 (×1e12, the
+    Lloyd-step trick) and broadcasts it with the sorted node-id
+    array, workers accumulate exact integer partial sums per node,
+    and one coalesced merge returns the node-sized vector. Integer
+    sums are order-free, so ranks are bit-identical on any
+    partitioning/cluster size — which is what lets a sequential twin
+    (goldens.golden_pagerank_orders) be the oracle. Node-vector-on-
+    driver is the documented small-side assumption (nodes ≪ edges,
+    ~17 B/node); past driver memory the BSP label-propagation harness
+    (the _cc_* raw-task path) is the shape this swaps into.
+    Reference anchor: the priority frontier's host-score recrawl
+    ordering (functions/priority.py) upgraded to a link-graph rank."""
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def edge_ids(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(c * 2), "v": pa.array(s * 2 + 1)})
+
+    edges = (
+        joined.map_batches(edge_ids, batch_format="pyarrow")
+        .groupby(["u", "v"]).aggregate(Count(alias_name="m"))
+        .select_columns(["u", "v"])
+        .materialize()  # pair-bounded distinct edge set, reused 4×
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)])
+        uniq, cnts = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, type=pa.int64()),
+                         "d": pa.array(cnts.astype(np.int64))})
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["d"].sum()
+
+    degdf = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(deg_merge, batch_format="pandas", batch_size=1 << 30)
+        .to_pandas().sort_values("node", kind="stable")
+    )
+    nodes = degdf["node"].to_numpy(np.int64)
+    deg = degdf["d"].to_numpy(np.int64)
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+
+    for _ in range(_PR_ITERS):
+        ref = ray.put((nodes, _round_half_up(
+            r / deg * _PR_Q, 0).astype(np.int64)))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, q = _bget(_ref)
+            ui = np.searchsorted(nd, t["u"].to_numpy(zero_copy_only=False))
+            vi = np.searchsorted(nd, t["v"].to_numpy(zero_copy_only=False))
+            s = np.zeros(len(nd), dtype=np.int64)
+            np.add.at(s, vi, q[ui])
+            np.add.at(s, ui, q[vi])
+            nz = np.nonzero(s)[0]
+            return pa.table({"i": pa.array(nz, type=pa.int64()),
+                             "s": pa.array(s[nz], type=pa.int64())})
+
+        def smerge(t: pa.Table, _n=n) -> pa.Table:
+            s = np.zeros(_n, dtype=np.int64)
+            np.add.at(s, t["i"].to_numpy(zero_copy_only=False),
+                      t["s"].to_numpy(zero_copy_only=False))
+            return pa.table({"s": pa.array(s, type=pa.int64())})
+
+        s = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .map_batches(smerge, batch_format="pyarrow", batch_size=1 << 30)
+            .to_pandas()["s"].to_numpy(np.int64)
+        )
+        r = (1.0 - _PR_DAMP) / n + _PR_DAMP * (s.astype(np.float64) / _PR_Q)
+
+    return pd.DataFrame({"node_id": nodes, "pr": _round_half_up(r, 8)})
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -5365,6 +5539,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "group_quantiles": q_group_quantiles,
     "fuzzy_join_names": q_fuzzy_join_names,
+    "ccnet_perplexity": q_ccnet_perplexity,
+    "pagerank_orders": q_pagerank_orders,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

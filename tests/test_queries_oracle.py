@@ -90,7 +90,8 @@ GOLDEN_NAMES = [
     "ann_ivfpq", "image_training_manifest", "png_export",
     "semantic_dedup", "dsir_weights", "substring_dup_spans",
     "substring_dedup_rewrite", "bm25_topk", "clip_align",
-    "caption_neardup", "caption_dedup_images",
+    "caption_neardup", "caption_dedup_images", "ccnet_perplexity",
+    "pagerank_orders",
 ]
 
 
