@@ -817,6 +817,25 @@ def golden_phash_dedup_keep(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"pid": pd.Series(kept, dtype=object)})
 
 
+def golden_image_fidelity(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_image_fidelity``: same decode →
+    qjpg re-encode → PSNR per losslessly-stored crawled image."""
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf, fmt in zip(img["image_id"], img["bytes"], img["fmt"]):
+        if fmt == "qjpg":
+            continue
+        px, _ = codecs.decode(buf)
+        back, _ = codecs.decode(codecs.encode(px, "qjpg"))
+        p = min(codecs.psnr(px, back), 99.99)
+        rows.append((iid, p, bool(p >= 40.0)))
+    df = pd.DataFrame(rows, columns=["image_id", "psnr_db", "pass_40db"])
+    from .queries import _round_half_up
+
+    df["psnr_db"] = _round_half_up(df["psnr_db"].to_numpy(np.float64), 2)
+    return df
+
+
 def golden_ccnet_perplexity(sf_dir: str) -> pd.DataFrame:
     """Sequential CCNet twin of ``queries.q_ccnet_perplexity``: same
     crc32 unigram buckets, Laplace-smoothed log-probs and per-doc
@@ -1049,4 +1068,6 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "doc_id": "BIGINT", "ce": "DOUBLE"})
     out["pagerank_orders"] = values_sql(golden_pagerank_orders(sf_dir), {
         "node_id": "BIGINT", "pr": "DOUBLE"})
+    out["image_fidelity"] = values_sql(golden_image_fidelity(sf_dir), {
+        "image_id": "VARCHAR", "psnr_db": "DOUBLE", "pass_40db": "BOOLEAN"})
     return out

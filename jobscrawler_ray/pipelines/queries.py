@@ -5437,6 +5437,99 @@ def q_pagerank_orders(sf_dir: str):
     return pd.DataFrame({"node_id": nodes, "pr": _round_half_up(r, 8)})
 
 
+def q_cube_lineitem(sf_dir: str):
+    """Grouping sets / CUBE over (returnflag, linestatus): the finest-
+    grain aggregate is computed ONCE with the map-side combiner, then
+    all four grouping sets of the lattice derive from that tiny base
+    table inside the same coalesced task — one pass over the data for
+    the whole cube, where a naive engine scans once per set. Quantity
+    sums ride as exact integer cents so every rollup level is
+    order-free; 'ALL' is the rollup sentinel (coalesce in the
+    oracle) so the key columns stay string-typed."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_up(
+            df["l_quantity"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({
+            "rf": df["l_returnflag"], "ls": df["l_linestatus"],
+            "n": np.ones(len(df), dtype=np.int64), "cq": cents,
+        })
+        return _arrow_out(g.groupby(["rf", "ls"], as_index=False).sum())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["rf", "ls"], as_index=False).sum()
+        by_rf = base.groupby("rf", as_index=False)[["n", "cq"]].sum()
+        by_rf["ls"] = "ALL"
+        by_ls = base.groupby("ls", as_index=False)[["n", "cq"]].sum()
+        by_ls["rf"] = "ALL"
+        total = pd.DataFrame({
+            "rf": ["ALL"], "ls": ["ALL"],
+            "n": [base["n"].sum()], "cq": [base["cq"].sum()],
+        })
+        out = pd.concat([base, by_rf, by_ls, total], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_qty"] = out.pop("cq").to_numpy(np.float64) / 100.0
+        return out[["rf", "ls", "n", "sum_qty"]]
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+class _ImageFidelity:
+    """Actor-pool fidelity gate — the BASELINE.json input_hint
+    invariant (decoded-pixel allclose; PSNR ≥ 40 dB for lossy) as a
+    first-class catalog op. Each LOSSLESSLY-stored image's decoded
+    pixels are ground truth; the stage re-encodes them with the lossy
+    qjpg codec and measures the round-trip PSNR against that truth
+    (already-lossy rows carry no ground truth and are skipped —
+    their fidelity is pinned by the crawl conformance suite against
+    the oracle world's pixels instead)."""
+
+    def __init__(self):
+        from ..functions import codecs as _c
+
+        self.codecs = _c
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, psnrs, passes = [], [], []
+        for iid, buf, fmt in zip(t["image_id"].to_pylist(),
+                                 t["bytes"].to_pylist(),
+                                 t["fmt"].to_pylist()):
+            if fmt == "qjpg":
+                continue
+            px, _ = self.codecs.decode(buf)
+            back, _ = self.codecs.decode(self.codecs.encode(px, "qjpg"))
+            # exact round-trips give inf dB; cap so the column stays a
+            # finite DOUBLE the VALUES oracle can carry
+            p = min(self.codecs.psnr(px, back), 99.99)
+            ids.append(iid)
+            psnrs.append(p)
+            passes.append(bool(p >= 40.0))
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "psnr_db": pa.array(_round_half_up(np.array(psnrs), 2),
+                                type=pa.float64()),
+            "pass_40db": pa.array(passes, type=pa.bool_()),
+        })
+
+
+def q_image_fidelity(sf_dir: str):
+    """North-rule per-row invariant as a query: PSNR of the lossy
+    re-encode of every losslessly-stored crawled image (see
+    ``_ImageFidelity``). Map-only actor-pool stage over small binary
+    batches; at 100 TB this is the same shape as the decode/feature
+    stages — no shuffle, output rows ≪ input bytes."""
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(_ImageFidelity, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 8), num_cpus=1)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -5541,6 +5634,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fuzzy_join_names": q_fuzzy_join_names,
     "ccnet_perplexity": q_ccnet_perplexity,
     "pagerank_orders": q_pagerank_orders,
+    "cube_lineitem": q_cube_lineitem,
+    "image_fidelity": q_image_fidelity,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -5935,5 +6030,11 @@ ORACLE_SQL: dict[str, str] = {
         "FROM part a JOIN part b "
         "ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
         "WHERE jaccard(a.p_name, b.p_name) >= 0.9"
+    ),
+    "cube_lineitem": (
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+        "coalesce(l_linestatus, 'ALL') AS ls, count(*)::BIGINT AS n, "
+        "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     ),
 }
