@@ -329,6 +329,10 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
         "event_type": pa.array(
             np.array(["click", "error", "view"], dtype=object)[
                 rng.integers(0, 3, size=n)], type=pa.string()),
+        # extra columns for the relational-op stress (pivot); the
+        # inequality joins prune to their own columns, so adding these
+        # leaves their measured workload unchanged
+        "value": pa.array(np.round(rng.random(n) * 300.0, 2)),
     }))
     n_ord = max(n // 4, 1)
     odate = (base + (rng.integers(0, span, size=n_ord) // us_day)
@@ -336,11 +340,27 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
     _write("orders.parquet", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
         "o_orderdate": pa.array(odate),
+        "o_custkey": pa.array(rng.integers(0, max(n_ord // 10, 1),
+                                           size=n_ord, dtype=np.int64)),
     }))
     sdate = (base + (rng.integers(0, span, size=n) // us_day)
              * us_day).astype("datetime64[us]")
     _write("lineitem.parquet", pa.table({
         "l_shipdate": pa.array(sdate),
+        "l_orderkey": pa.array(rng.integers(0, n_ord, size=n,
+                                            dtype=np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, max(n // 500, 1), size=n,
+                                           dtype=np.int64)),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"], dtype=object)[
+                rng.integers(0, 3, size=n)], type=pa.string()),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"], dtype=object)[
+                rng.integers(0, 2, size=n)], type=pa.string()),
+        "l_extendedprice": pa.array(
+            np.round(900.0 + rng.random(n) * 104100.0, 2)),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, size=n).astype(np.float64)),
     }))
 
 
@@ -349,15 +369,17 @@ def joinstress() -> None:
     ~50× the sf0.1 events table (GRAFT_JOIN_N, default 5M events, 5M
     lineitems, 1.25M orders). Reported rows/s per op → BASELINE.md."""
     n = int(os.environ.get("GRAFT_JOIN_N", "5000000"))
-    d = f"/tmp/bench_join_{n}"
+    d = f"/tmp/bench_join_{n}_v2"  # v2: wider synth tables (relational ops)
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "lineitem.parquet")):
         t0 = time.time()
         synth_join_tables(n, d)
         print(f"# synthesized join tables ({n} rows) in "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
-    _stress(["asof_join_clicks", "range_join_shipments"], d,
-            f"inequality-join stress ({n} rows)", n, "rows")
+    _stress(["asof_join_clicks", "range_join_shipments",
+             "pivot_events", "group_quantiles", "cube_lineitem",
+             "pagerank_orders"], d,
+            f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
 VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
@@ -475,7 +497,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "substring_dup_spans", "substring_dedup_rewrite",
                      "bm25_topk", "shuffle_shards",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
-                     "simhash_neardup", "langid", "fingerprints"]
+                     "simhash_neardup", "langid", "fingerprints",
+                     "ccnet_perplexity", "weighted_sample"]
 
 
 def docstress() -> None:

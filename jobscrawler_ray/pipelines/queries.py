@@ -5160,21 +5160,40 @@ def q_group_quantiles(sf_dir: str):
     DOMAIN of the value (distinct cents), not the row count, so this
     holds at 100 TB where a per-group sort would be an all-to-all."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["l_returnflag", "l_extendedprice"])
-             .size().rename("cnt").reset_index())
-        return _arrow_out(g)
+    # histogram keys are the float64 BIT PATTERNS of the values: exact
+    # (no decimal-precision assumption) and, for the positive prices
+    # here, int64-ordered the same as the floats — so np.unique on the
+    # bits IS a value sort and all merges stay pure numpy
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        vbits = t["l_extendedprice"].to_numpy(
+            zero_copy_only=False).view(np.int64)
+        fs, vs, cs = [], [], []
+        for f in np.unique(flags):
+            u, c = np.unique(vbits[flags == f], return_counts=True)
+            fs.append(np.full(len(u), f, dtype=object))
+            vs.append(u)
+            cs.append(c.astype(np.int64))
+        return pa.table({
+            "f": pa.array(np.concatenate(fs), type=pa.string()),
+            "vb": pa.array(np.concatenate(vs)),
+            "cnt": pa.array(np.concatenate(cs)),
+        })
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["l_returnflag", "l_extendedprice"],
-                        as_index=False)["cnt"].sum())
+    def finish(t: pa.Table) -> pd.DataFrame:
+        flags = t["f"].to_numpy(zero_copy_only=False)
+        vbits = t["vb"].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
         rows = []
-        for flag, h in g.groupby("l_returnflag", sort=True):
-            h = h.sort_values("l_extendedprice", kind="stable")
-            vals = h["l_extendedprice"].to_numpy(np.float64)
-            cum = h["cnt"].to_numpy(np.int64).cumsum()
+        for f in np.unique(flags):
+            m = flags == f
+            uq, inv = np.unique(vbits[m], return_inverse=True)
+            tot = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(tot, inv, cnts[m])
+            vals = uq.view(np.float64)
+            cum = tot.cumsum()
             n = int(cum[-1])
-            row = {"l_returnflag": flag}
+            row = {"l_returnflag": f}
             for q in _GQ_QS:
                 h_pos = (n - 1) * q
                 lo = int(np.floor(h_pos))
@@ -5190,8 +5209,8 @@ def q_group_quantiles(sf_dir: str):
 
     return (
         _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-        .map_batches(partial, batch_format="pandas")
-        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
     )
 
 
@@ -5347,6 +5366,10 @@ def q_ccnet_perplexity(sf_dir: str):
 _PR_DAMP = 0.85
 _PR_ITERS = 3
 _PR_Q = 1e12
+# orders rows below this broadcast as a sorted-array lookup (16 B/row;
+# 20M ≈ 320 MB) instead of a hash-shuffle Dataset.join — the same
+# size-dispatch pattern as _DROP_BCAST_LIMIT / _SUBDUP_BCAST_LIMIT
+_PR_BCAST_LIMIT = int(os.environ.get("JCR_PR_BCAST_LIMIT", "20000000"))
 
 
 def q_pagerank_orders(sf_dir: str):
@@ -5368,22 +5391,71 @@ def q_pagerank_orders(sf_dir: str):
     (the _cc_* raw-task path) is the shape this swaps into.
     Reference anchor: the priority frontier's host-score recrawl
     ordering (functions/priority.py) upgraded to a link-graph rank."""
-    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    joined = li.join(orders, "inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    if _tbl_rows(sf_dir, "orders") <= _PR_BCAST_LIMIT:
+        # broadcast path: orders is the small side (16 B/row) — one
+        # sorted-array lookup per batch replaces the join's two-sided
+        # hash shuffle (measured 50 → 14 s at 5M lineitems), and the
+        # per-batch pair dedup shrinks the one remaining exchange
+        ok = papq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+        oref = ray.put((ok["o_orderkey"].to_numpy().astype(np.int64),
+                        ok["o_custkey"].to_numpy().astype(np.int64)))
 
-    def edge_ids(t: pa.Table) -> pa.Table:
-        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"u": pa.array(c * 2), "v": pa.array(s * 2 + 1)})
+        def edge_ids(t: pa.Table) -> pa.Table:
+            keys, cust = _bget(oref)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, lk)
+            np.minimum(idx, len(keys) - 1, out=idx)
+            hit = keys[idx] == lk  # inner-join semantics
+            c = cust[idx[hit]]
+            s = t["l_suppkey"].to_numpy(
+                zero_copy_only=False)[hit].astype(np.int64)
+            # batch-local dedup before the distinct exchange
+            pair = np.unique((c.astype(np.uint64) << np.uint64(32))
+                             | (s.astype(np.uint64) + np.uint64(1)))
+            part = ((pair * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(58)).astype(np.int64)  # 64 buckets
+            return pa.table({"pk": pa.array(pair.view(np.int64)),
+                             "part": pa.array(part)})
 
-    edges = (
-        joined.map_batches(edge_ids, batch_format="pyarrow")
-        .groupby(["u", "v"]).aggregate(Count(alias_name="m"))
-        .select_columns(["u", "v"])
-        .materialize()  # pair-bounded distinct edge set, reused 4×
-    )
+        def distinct_pairs(t: pa.Table) -> pa.Table:
+            pk = np.unique(
+                t["pk"].to_numpy(zero_copy_only=False).view(np.uint64))
+            return pa.table({
+                "u": pa.array((pk >> np.uint64(32)).astype(np.int64) * 2),
+                "v": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(
+                    np.int64) * 2 - 1),
+            })
+
+        # coarse-bucket distinct (64 hash buckets → per-group unique)
+        # instead of a per-pair groupby: sorting 64 keys is far cheaper
+        # than sort-aggregating ~|E| distinct 2-part keys
+        edges = (
+            li.map_batches(edge_ids, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(distinct_pairs, batch_format="pyarrow")
+            .materialize()  # pair-bounded distinct edge set, reused 4×
+        )
+    else:
+        orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = li.join(orders, "inner", num_partitions=16,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def edge_ids_joined(t: pa.Table) -> pa.Table:
+            c = t["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            s = t["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"u": pa.array(c * 2), "v": pa.array(s * 2 + 1)})
+
+        edges = (
+            joined.map_batches(edge_ids_joined, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="m"))
+            .select_columns(["u", "v"])
+            .materialize()  # pair-bounded distinct edge set, reused 4×
+        )
 
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = np.concatenate([
