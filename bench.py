@@ -467,6 +467,7 @@ def synth_images(n: int, out_dir: str, seed: int = 23,
 
 IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_training_manifest", "clip_align",
+                     "image_fidelity",
                      "phash_knn", "phash_neardup", "phash_dedup_keep"]
 
 
