@@ -326,12 +326,13 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
         "ts": pa.array(ts),
         "user_id": pa.array(rng.integers(0, max(n // 200, 1), size=n,
                                          dtype=np.int64)),
+        # all five catalog event types (v3) so the funnel's stages are
+        # populated; the as-of join's error/click slice is now 2/5 of
+        # rows (was 2/3 in v1) — noted with the recorded numbers
         "event_type": pa.array(
-            np.array(["click", "error", "view"], dtype=object)[
-                rng.integers(0, 3, size=n)], type=pa.string()),
-        # extra columns for the relational-op stress (pivot); the
-        # inequality joins prune to their own columns, so adding these
-        # leaves their measured workload unchanged
+            np.array(["view", "click", "purchase", "error", "signup"],
+                     dtype=object)[rng.integers(0, 5, size=n)],
+            type=pa.string()),
         "value": pa.array(np.round(rng.random(n) * 300.0, 2)),
     }))
     n_ord = max(n // 4, 1)
@@ -369,7 +370,7 @@ def joinstress() -> None:
     ~50× the sf0.1 events table (GRAFT_JOIN_N, default 5M events, 5M
     lineitems, 1.25M orders). Reported rows/s per op → BASELINE.md."""
     n = int(os.environ.get("GRAFT_JOIN_N", "5000000"))
-    d = f"/tmp/bench_join_{n}_v2"  # v2: wider synth tables (relational ops)
+    d = f"/tmp/bench_join_{n}_v3"  # v3: wider synth tables + 5 event types
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "lineitem.parquet")):
         t0 = time.time()
@@ -378,7 +379,8 @@ def joinstress() -> None:
               f"{time.time() - t0:.1f}s", file=sys.stderr)
     _stress(["asof_join_clicks", "range_join_shipments",
              "pivot_events", "group_quantiles", "cube_lineitem",
-             "pagerank_orders"], d,
+             "pagerank_orders", "lag_delta_events", "funnel_conversions",
+             "retention_cohorts"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

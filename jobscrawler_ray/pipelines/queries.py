@@ -5603,6 +5603,174 @@ def q_image_fidelity(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Window analytics (LAG / funnel / retention — round 5 widening)
+# --------------------------------------------------------------------------
+
+
+_US_WEEK = 7 * 86_400_000_000
+
+
+def _week_trunc_us(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-truncation in exact integer microseconds — DuckDB's
+    ``date_trunc('week', ts)`` (epoch day 0 = Thursday ⇒ Monday-based
+    weekday is (day+3) mod 7)."""
+    day = ts_us // 86_400_000_000
+    return (day - (day + 3) % 7) * 86_400_000_000
+
+
+def q_lag_delta_events(sf_dir: str):
+    """LAG window function: per user, the exact integer-microsecond
+    gap to the previous event (ordered by ts, event_id). Same
+    one-exchange shape as the as-of join: user-hash co-partition →
+    per-partition vectorized sort + shifted diff, first event per
+    user dropped (inner semantics, no nullable column). The
+    documented partitioning assumption: a user's history fits its
+    partition."""
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(u % parts,
+                                                type=pa.int64()))
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        delta = ts - np.roll(ts, 1)
+        keep = np.zeros(len(df), dtype=bool)
+        keep[1:] = uid[1:] == uid[:-1]  # same-user predecessor exists
+        return _arrow_out(pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "user_id": uid[keep],
+            "delta_us": delta[keep],
+        }))
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversions(sf_dir: str):
+    """Funnel analysis — per user, strictly-ordered stage completion
+    (first view → first later click → first later purchase), counted
+    per stage. ONE user-hash co-partition exchange; per partition the
+    stage logic is a vectorized per-user min-reduce (ordered-dict
+    pandas groupby aggregations over integer timestamps), and only
+    the 3-row stage counts leave each partition. All values exact
+    integers, so any partitioning gives identical counts."""
+    ev = _tbl(sf_dir, "events", ["ts", "user_id", "event_type"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(list(_FUNNEL_STAGES))))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(u % parts,
+                                                type=pa.int64()))
+
+    def stage_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        counts = []
+        # users reaching stage k: the min ts of stage-k events
+        # STRICTLY after the user's stage-(k-1) completion time.
+        # All-integer numpy (a float join would round µs at 2^53)
+        r_users = r_ts = None
+        for k, stage in enumerate(_FUNNEL_STAGES):
+            m = et == stage
+            u, t_ = uid[m], ts[m]
+            if k:
+                if len(r_users) == 0:
+                    counts.append(0)
+                    r_users, r_ts = u[:0], t_[:0]
+                    continue
+                pos = np.minimum(np.searchsorted(r_users, u),
+                                 len(r_users) - 1)
+                ok = (r_users[pos] == u) & (t_ > r_ts[pos])
+                u, t_ = u[ok], t_[ok]
+            o = np.lexsort((t_, u))
+            us, ti = u[o], t_[o]
+            first = np.ones(len(us), dtype=bool)
+            first[1:] = us[1:] != us[:-1]
+            r_users, r_ts = us[first], ti[first]  # sorted by user
+            counts.append(len(r_users))
+        return pd.DataFrame({
+            "stage": list(_FUNNEL_STAGES),
+            "n_users": pd.Series(counts, dtype=np.int64),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("stage", as_index=False, sort=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(stage_counts, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: cohort = Monday-truncated week of the
+    user's FIRST event, one output row per (cohort_week, week_offset)
+    with the distinct-user count active that week. ONE user-hash
+    exchange computes first-week + distinct (user, week) pairs per
+    partition; the (cohort, offset) partials then merge in a
+    coalesced task (cohort keys are calendar-bounded, not
+    row-bounded). Exact integer weeks throughout."""
+    ev = _tbl(sf_dir, "events", ["ts", "user_id"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(u % parts,
+                                                type=pa.int64()))
+
+    def cohort_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        week = _week_trunc_us(ts)
+        uid = df["user_id"].to_numpy(np.int64)
+        g = pd.DataFrame({"user_id": uid, "week": week}).drop_duplicates()
+        first = g.groupby("user_id", as_index=False)["week"].min().rename(
+            columns={"week": "cohort"})
+        j = g.merge(first, on="user_id")
+        j["week_offset"] = (j["week"] - j["cohort"]) // _US_WEEK
+        out = j.groupby(["cohort", "week_offset"], as_index=False).agg(
+            n_users=("user_id", "size"))
+        return _arrow_out(out)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort", "week_offset"], as_index=False)[
+            "n_users"].sum()
+        return pd.DataFrame({
+            "cohort_week": out["cohort"].to_numpy(
+                np.int64).astype("datetime64[us]"),
+            "week_offset": out["week_offset"].astype(np.int64),
+            "n_users": out["n_users"].astype(np.int64),
+        })
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(cohort_partial, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -5708,6 +5876,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pagerank_orders": q_pagerank_orders,
     "cube_lineitem": q_cube_lineitem,
     "image_fidelity": q_image_fidelity,
+    "lag_delta_events": q_lag_delta_events,
+    "funnel_conversions": q_funnel_conversions,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -6108,5 +6279,35 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(l_linestatus, 'ALL') AS ls, count(*)::BIGINT AS n, "
         "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty "
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    ),
+    "lag_delta_events": (
+        "SELECT event_id, user_id, delta_us FROM ("
+        "SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us "
+        "FROM events) WHERE delta_us IS NOT NULL"
+    ),
+    "funnel_conversions": (
+        "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN v USING (user_id) "
+        "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN c USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1) "
+        "SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v "
+        "UNION ALL SELECT 'click', count(*)::BIGINT FROM c "
+        "UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p"
+    ),
+    "retention_cohorts": (
+        "WITH f AS (SELECT user_id, "
+        "CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cw "
+        "FROM events GROUP BY 1), "
+        "a AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events) "
+        "SELECT f.cw AS cohort_week, "
+        "(epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset, "
+        "count(*)::BIGINT AS n_users "
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
     ),
 }
