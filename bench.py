@@ -501,7 +501,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "bm25_topk", "shuffle_shards",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints",
-                     "ccnet_perplexity", "weighted_sample"]
+                     "ccnet_perplexity", "weighted_sample",
+                     "global_rank_docs"]
 
 
 def docstress() -> None:

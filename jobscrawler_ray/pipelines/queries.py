@@ -5770,6 +5770,76 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+def q_global_rank_docs(sf_dir: str):
+    """Global total-order ranking (row_number over ORDER BY n_chars,
+    doc_id) WITHOUT a distributed sort: pass 1 reduces the corpus to a
+    value histogram (domain-bounded, like group_quantiles) whose
+    exclusive cumsum gives every value its global rank offset; pass 2
+    co-partitions whole value-groups by value hash (coarse buckets, so
+    the exchange has P keys, not |values|), sorts doc_ids within each
+    value group and adds the broadcast offset. Rank arithmetic is all
+    integer, so any partitioning yields the oracle's exact
+    row_number()."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "n_chars"])
+    parts = 32
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["n_chars"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(v, return_inverse=True)
+        tot = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"v": pa.array(uq), "c": pa.array(tot)})
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .map_batches(hist_merge, batch_format="pyarrow",
+                     batch_size=1 << 30)
+        .to_pandas()
+    )
+    vals = hist["v"].to_numpy(np.int64)
+    offs = np.concatenate([[0], hist["c"].to_numpy(np.int64).cumsum()[:-1]])
+    ref = ray.put((vals, offs))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(32)).astype(np.int64)
+        return t.append_column("part", pa.array(h % parts,
+                                                type=pa.int64()))
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        v_arr, o_arr = _bget(ref)
+        df = df.sort_values(["n_chars", "doc_id"], kind="stable")
+        v = df["n_chars"].to_numpy(np.int64)
+        base = o_arr[np.searchsorted(v_arr, v)]
+        # position within the value run (runs are contiguous post-sort)
+        run_start = np.zeros(len(v), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = v[1:] != v[:-1]
+        idx = np.arange(len(v), dtype=np.int64)
+        pos = idx - np.maximum.accumulate(np.where(run_start, idx, 0))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rank": base + pos + 1,
+        })
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -5879,6 +5949,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lag_delta_events": q_lag_delta_events,
     "funnel_conversions": q_funnel_conversions,
     "retention_cohorts": q_retention_cohorts,
+    "global_rank_docs": q_global_rank_docs,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -6309,5 +6380,9 @@ ORACLE_SQL: dict[str, str] = {
         "(epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset, "
         "count(*)::BIGINT AS n_users "
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+    ),
+    "global_rank_docs": (
+        "SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) "
+        "AS rank FROM documents"
     ),
 }
