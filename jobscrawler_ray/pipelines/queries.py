@@ -78,6 +78,22 @@ def _bget(ref):
     return _BCAST_CACHE[key]
 
 
+_BCAST_SLOTS: dict[str, tuple[bytes, Any]] = {}
+
+
+def _bget_slot(slot: str, ref):
+    """``_bget`` with a NAMED single-entry cache slot: a query that
+    broadcasts a fresh object per invocation (or per iteration, like
+    the PageRank contribution vector) replaces its previous entry
+    instead of accreting one cached array per run in every worker for
+    the process lifetime."""
+    ent = _BCAST_SLOTS.get(slot)
+    key = ref.binary()
+    if ent is None or ent[0] != key:
+        _BCAST_SLOTS[slot] = ent = (key, ray.get(ref))
+    return ent[1]
+
+
 _PUSH_SHUFFLE_MIN_BYTES = int(os.environ.get("JCR_PUSH_SHUFFLE_MIN_BYTES",
                                              str(512 << 20)))
 
@@ -145,6 +161,20 @@ def _merge_topk(k: int, id_col: str = "neighbor_id",
              for c in out_cols})
 
     return merge
+
+
+def _copart_count(n_rows: int, lo: int = 4, hi: int = 64) -> int:
+    """Co-partition count for the key-hash cogroup ops (as-of/range
+    joins, window analytics): one partition per ~500k rows, clamped —
+    ONE formula so the partitioning contract cannot drift per query."""
+    return int(min(hi, max(lo, n_rows // 500_000 + lo)))
+
+
+def _append_user_part(t: pa.Table, parts: int) -> pa.Table:
+    """Append the user-hash co-partition key (documented assumption of
+    the cogroup family: a user's history fits its partition)."""
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    return t.append_column("part", pa.array(u % parts, type=pa.int64()))
 
 
 def _round_half_up(x, decimals: int):
@@ -287,14 +317,12 @@ def q_asof_join_clicks(sf_dir: str):
     ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id",
                                  "event_type"])
     n_ev = _tbl_rows(sf_dir, "events")
-    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+    parts = _copart_count(n_ev)
 
     def tag(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["event_type"],
                               value_set=pa.array(["error", "click"])))
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(u % parts,
-                                                type=pa.int64()))
+        return _append_user_part(t, parts)
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["event_type"] == "error"]
@@ -409,7 +437,7 @@ def q_range_join_shipments(sf_dir: str):
                            "n_shipped": np.int64})
 
     n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
-    parts = int(min(64, max(4, n_rows // 500_000 + 4)))
+    parts = _copart_count(n_rows)
     with _shuffle_scaled(n_rows * 32):
         return (
             items.map_batches(tag_items, batch_format="pyarrow")
@@ -1457,7 +1485,7 @@ def _keep_corpus(corpus, id_col: str, drops):
 
         return corpus.map_batches(keep, batch_format="pyarrow")
 
-    parts = int(min(128, max(8, n // 500_000 + 8)))
+    parts = _copart_count(n, lo=8, hi=128)
     # schema captured driver-side as a plain pa.Schema — capturing the
     # Dataset itself in a UDF closure would serialize the whole plan
     base_schema = corpus.schema().base_schema
@@ -4657,21 +4685,21 @@ def q_dsir_weights(sf_dir: str):
     tgt = papq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"],
         filters=[("doc_id", "<", _DSIR_TARGET)])
-    tcnt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-    for x in tgt["text"].to_pylist():
-        g = _dsir_grams(x)
-        if g.size:
-            tcnt += np.bincount(g, minlength=_DSIR_BUCKETS)
+    tgs = [g for g in (_dsir_grams(x) for x in tgt["text"].to_pylist())
+           if g.size]
+    tcnt = (np.bincount(np.concatenate(tgs), minlength=_DSIR_BUCKETS)
+            if tgs else np.zeros(_DSIR_BUCKETS, dtype=np.int64))
 
     raw = _tbl(sf_dir, "documents", ["doc_id", "text"],
                filter=(pads.field("doc_id") >= _DSIR_TARGET))
 
     def partial(t: pa.Table) -> pa.Table:
-        c = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-        for x in t["text"].to_pylist():
-            g = _dsir_grams(x)
-            if g.size:
-                c += np.bincount(g, minlength=_DSIR_BUCKETS)
+        gs = [g for g in (_dsir_grams(x) for x in t["text"].to_pylist())
+              if g.size]
+        if not gs:
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        c = np.bincount(np.concatenate(gs), minlength=_DSIR_BUCKETS)
         nz = np.nonzero(c)[0]
         return pa.table({"b": pa.array(nz, type=pa.int64()),
                          "n": pa.array(c[nz], type=pa.int64())})
@@ -5165,6 +5193,10 @@ def q_group_quantiles(sf_dir: str):
     # here, int64-ordered the same as the floats — so np.unique on the
     # bits IS a value sort and all merges stay pure numpy
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"f": pa.array([], type=pa.string()),
+                             "vb": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
         flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
         vbits = t["l_extendedprice"].to_numpy(
             zero_copy_only=False).view(np.int64)
@@ -5322,11 +5354,15 @@ def q_ccnet_perplexity(sf_dir: str):
               filter=(pads.field("lang") == "en"))
 
     def cpartial(t: pa.Table) -> pa.Table:
-        c = np.zeros(_PPL_BUCKETS, dtype=np.int64)
-        for x in t["text"].to_pylist():
-            g = _uni_grams(x)
-            if g.size:
-                c += np.bincount(g, minlength=_PPL_BUCKETS)
+        # one bincount over the batch's concatenated grams — a
+        # per-doc bincount would allocate/add a 65536-slot vector
+        # per document
+        gs = [g for g in (_uni_grams(x) for x in t["text"].to_pylist())
+              if g.size]
+        if not gs:
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        c = np.bincount(np.concatenate(gs), minlength=_PPL_BUCKETS)
         nz = np.nonzero(c)[0]
         return pa.table({"b": pa.array(nz, type=pa.int64()),
                          "c": pa.array(c[nz], type=pa.int64())})
@@ -5337,11 +5373,15 @@ def q_ccnet_perplexity(sf_dir: str):
                   t["c"].to_numpy(zero_copy_only=False))
         return pa.table({"cnt": pa.array(c, type=pa.int64())})
 
-    cnt = (
+    cnt_df = (
         en.map_batches(cpartial, batch_format="pyarrow")
         .map_batches(cmerge, batch_format="pyarrow", batch_size=1 << 30)
-        .to_pandas()["cnt"].to_numpy(np.int64)
+        .to_pandas()
     )
+    # an empty training slice degrades to the uniform Laplace prior
+    # (the golden's behavior) instead of crashing on a 0-length table
+    cnt = (cnt_df["cnt"].to_numpy(np.int64) if len(cnt_df)
+           else np.zeros(_PPL_BUCKETS, dtype=np.int64))
     logp = np.log((cnt + 1.0) / (int(cnt.sum()) + _PPL_BUCKETS))
     ref = ray.put(logp)
 
@@ -5412,6 +5452,15 @@ def q_pagerank_orders(sf_dir: str):
             c = cust[idx[hit]]
             s = t["l_suppkey"].to_numpy(
                 zero_copy_only=False)[hit].astype(np.int64)
+            # the 32+32 pair packing is only sound for 32-bit keys —
+            # the row-count dispatch guard does NOT bound key range,
+            # so fail loudly instead of silently aliasing edges
+            if len(c) and (c.max() >= 1 << 32 or c.min() < 0
+                           or s.max() >= (1 << 32) - 1 or s.min() < 0):
+                raise ValueError(
+                    "pagerank broadcast path: cust/supp key outside "
+                    "uint32 — raise JCR_PR_BCAST_LIMIT=0 to force the "
+                    "join path")
             # batch-local dedup before the distinct exchange
             pair = np.unique((c.astype(np.uint64) << np.uint64(32))
                              | (s.astype(np.uint64) + np.uint64(1)))
@@ -5483,7 +5532,9 @@ def q_pagerank_orders(sf_dir: str):
             r / deg * _PR_Q, 0).astype(np.int64)))
 
         def contrib(t: pa.Table, _ref=ref) -> pa.Table:
-            nd, q = _bget(_ref)
+            # single-slot cache: each iteration's vector replaces the
+            # last, so long-lived workers hold ONE node-sized array
+            nd, q = _bget_slot("pagerank_orders", _ref)
             ui = np.searchsorted(nd, t["u"].to_numpy(zero_copy_only=False))
             vi = np.searchsorted(nd, t["v"].to_numpy(zero_copy_only=False))
             s = np.zeros(len(nd), dtype=np.int64)
@@ -5628,12 +5679,10 @@ def q_lag_delta_events(sf_dir: str):
     partition."""
     ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
     n_ev = _tbl_rows(sf_dir, "events")
-    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+    parts = _copart_count(n_ev)
 
     def tag(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(u % parts,
-                                                type=pa.int64()))
+        return _append_user_part(t, parts)
 
     def lag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -5668,14 +5717,12 @@ def q_funnel_conversions(sf_dir: str):
     integers, so any partitioning gives identical counts."""
     ev = _tbl(sf_dir, "events", ["ts", "user_id", "event_type"])
     n_ev = _tbl_rows(sf_dir, "events")
-    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+    parts = _copart_count(n_ev)
 
     def tag(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["event_type"],
                               value_set=pa.array(list(_FUNNEL_STAGES))))
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(u % parts,
-                                                type=pa.int64()))
+        return _append_user_part(t, parts)
 
     def stage_counts(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
@@ -5732,12 +5779,10 @@ def q_retention_cohorts(sf_dir: str):
     row-bounded). Exact integer weeks throughout."""
     ev = _tbl(sf_dir, "events", ["ts", "user_id"])
     n_ev = _tbl_rows(sf_dir, "events")
-    parts = int(min(64, max(4, n_ev // 500_000 + 4)))
+    parts = _copart_count(n_ev)
 
     def tag(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(u % parts,
-                                                type=pa.int64()))
+        return _append_user_part(t, parts)
 
     def cohort_partial(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
