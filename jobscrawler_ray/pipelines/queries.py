@@ -5885,6 +5885,93 @@ def q_global_rank_docs(sf_dir: str):
     )
 
 
+def q_json_extract_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with a VECTORIZED Arrow regex kernel (no
+    per-row json.loads — the schema-on-read shape a log pipeline
+    needs), then the map-side combined per-type aggregate. Extraction
+    stays zero-copy Arrow end to end; sums are exact ints.
+    Reference anchor: the API strategies' nested-JSON field pulls
+    (src/crawlers/async_api.py class_json_strategy) generalized to a
+    column kernel."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64())
+        g = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "n": np.ones(t.num_rows, dtype=np.int64),
+            "sum_k": k.to_numpy(zero_copy_only=False),
+        }).groupby("event_type", as_index=False).sum()
+        return _arrow_out(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).sum()
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_k"] = out["sum_k"].astype(np.int64)
+        out["avg_k"] = _round_half_up(
+            out["sum_k"].to_numpy(np.float64)
+            / out["n"].to_numpy(np.float64), 4)
+        return out
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_star_join_revenue(sf_dir: str):
+    """Star join (TPC-H Q5 shape): revenue per region through the
+    orders → customer → nation → region dimension chain. The three
+    dimension tables broadcast ONCE as a composed custkey→region
+    lookup (built driver-side from the tiny dims), so the fact scan is
+    map-only with a small combined groupby — no fact-side shuffle.
+    Revenue rides as exact integer cents (order-free)."""
+    cust = papq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat = papq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = papq.read_table(os.path.join(sf_dir, "region.parquet"),
+                          columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(),
+                   nat["n_regionkey"].to_pylist()))
+    r2n = dict(zip(reg["r_regionkey"].to_pylist(),
+                   reg["r_name"].to_pylist()))
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order_ = np.argsort(ck, kind="stable")
+    rname = np.array([r2n[n2r[n]] for n in
+                      cust["c_nationkey"].to_pylist()], dtype=object)
+    ref = ray.put((ck[order_], rname[order_]))
+
+    def rev(t: pa.Table) -> pa.Table:
+        keys, rn = _bget_slot("star_join_revenue", ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, c)
+        np.minimum(idx, len(keys) - 1, out=idx)
+        if not np.array_equal(keys[idx], c):
+            raise RuntimeError("star join: custkey missing from the "
+                               "customer dimension")
+        cents = _round_half_up(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({"region": rn[idx], "cents": cents,
+                          "n": np.ones(len(c), dtype=np.int64)})
+        return _arrow_out(g.groupby("region", as_index=False).sum())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("region", as_index=False).sum()
+        out["n_orders"] = out.pop("n").astype(np.int64)
+        out["revenue"] = out.pop("cents").to_numpy(np.float64) / 100.0
+        return out
+
+    return (
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(rev, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -5995,6 +6082,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "funnel_conversions": q_funnel_conversions,
     "retention_cohorts": q_retention_cohorts,
     "global_rank_docs": q_global_rank_docs,
+    "json_extract_props": q_json_extract_props,
+    "star_join_revenue": q_star_join_revenue,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -6429,5 +6518,18 @@ ORACLE_SQL: dict[str, str] = {
     "global_rank_docs": (
         "SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) "
         "AS rank FROM documents"
+    ),
+    "json_extract_props": (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k, "
+        "round(sum(CAST(props->>'$.k' AS BIGINT)) / count(*), 4) AS avg_k "
+        "FROM events GROUP BY 1"
+    ),
+    "star_join_revenue": (
+        "SELECT r_name AS region, count(*)::BIGINT AS n_orders, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
     ),
 }
