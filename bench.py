@@ -336,13 +336,19 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
         "value": pa.array(np.round(rng.random(n) * 300.0, 2)),
     }))
     n_ord = max(n // 4, 1)
+    n_cust = max(n_ord // 10, 1)
     odate = (base + (rng.integers(0, span, size=n_ord) // us_day)
              * us_day).astype("datetime64[us]")
     _write("orders.parquet", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
         "o_orderdate": pa.array(odate),
-        "o_custkey": pa.array(rng.integers(0, max(n_ord // 10, 1),
+        "o_custkey": pa.array(rng.integers(0, n_cust,
                                            size=n_ord, dtype=np.int64)),
+        "o_totalprice": pa.array(
+            np.round(900.0 + rng.random(n_ord) * 454100.0, 2)),
+    }))
+    _write("customer.parquet", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
     }))
     sdate = (base + (rng.integers(0, span, size=n) // us_day)
              * us_day).astype("datetime64[us]")
@@ -362,6 +368,8 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
             np.round(900.0 + rng.random(n) * 104100.0, 2)),
         "l_quantity": pa.array(
             rng.integers(1, 51, size=n).astype(np.float64)),
+        "l_partkey": pa.array(rng.integers(0, max(n // 25, 1), size=n,
+                                           dtype=np.int64)),
     }))
 
 
@@ -370,7 +378,7 @@ def joinstress() -> None:
     ~50× the sf0.1 events table (GRAFT_JOIN_N, default 5M events, 5M
     lineitems, 1.25M orders). Reported rows/s per op → BASELINE.md."""
     n = int(os.environ.get("GRAFT_JOIN_N", "5000000"))
-    d = f"/tmp/bench_join_{n}_v3"  # v3: wider synth tables + 5 event types
+    d = f"/tmp/bench_join_{n}_v4"  # v4: + l_partkey, o_totalprice, customer
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "lineitem.parquet")):
         t0 = time.time()
@@ -380,7 +388,9 @@ def joinstress() -> None:
     _stress(["asof_join_clicks", "range_join_shipments",
              "pivot_events", "group_quantiles", "cube_lineitem",
              "pagerank_orders", "lag_delta_events", "funnel_conversions",
-             "retention_cohorts"], d,
+             "retention_cohorts", "custdist_orders", "small_qty_revenue",
+             "large_orders_qty", "user_top_event",
+             "distinct_users_per_type", "user_daily_gapfill"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -470,7 +480,8 @@ def synth_images(n: int, out_dir: str, seed: int = 23,
 IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_training_manifest", "clip_align",
                      "image_fidelity",
-                     "phash_knn", "phash_neardup", "phash_dedup_keep"]
+                     "phash_knn", "phash_neardup", "phash_dedup_keep",
+                     "image_neardup_verified"]
 
 
 def imgstress() -> None:

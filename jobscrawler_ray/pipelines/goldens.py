@@ -42,6 +42,9 @@ from ..stages.multimodal import resize_area
 from .oracle import run_oracle
 from .queries import (
     _ANN_BANDS,
+    _INV_CANON,
+    _INV_PSNR_TAU,
+    _round_half_up,
     _ann_bits,
     _ANN_SEED,
     _COS_TAU,
@@ -732,6 +735,33 @@ def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_image_neardup_verified(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_image_neardup_verified``: the
+    golden phash candidate pairs, verified by canonical-grid PSNR over
+    the oracle world's decoded pixels — same tau/grid constants and
+    the same shared leaf kernels (resize_area, psnr), independent
+    orchestration."""
+    pairs = golden_phash_neardup(sf_dir)
+    img = _crawl_oracle(sf_dir)["images"]
+    raw = dict(zip(img["image_id"], img["bytes"]))
+    cache: dict[str, np.ndarray] = {}
+
+    def canon(pid: str) -> np.ndarray:
+        b = pid.split("#", 1)[0]
+        if b not in cache:
+            cache[b] = resize_area(codecs.decode(raw[b])[0],
+                                   _INV_CANON, _INV_CANON)
+        return cache[b]
+
+    rows = []
+    for a, b, _h in pairs.itertuples(index=False):
+        p = min(codecs.psnr(canon(a), canon(b)), 99.99)
+        if p >= _INV_PSNR_TAU:
+            rows.append((a, b, float(_round_half_up(np.float64(p), 2))))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "psnr_db"]).astype(
+        {"psnr_db": np.float64})
+
+
 def golden_caption_neardup(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``queries.q_caption_neardup``: word-shingle
     minhash banding over the oracle crawl's captions, candidate pairs
@@ -985,6 +1015,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {
         "pid": "VARCHAR"})
+    out["image_neardup_verified"] = values_sql(
+        golden_image_neardup_verified(sf_dir), {
+            "id_a": "VARCHAR", "id_b": "VARCHAR", "psnr_db": "DOUBLE"})
     out["caption_neardup"] = values_sql(golden_caption_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "jacc": "DOUBLE"})
     out["caption_dedup_images"] = values_sql(

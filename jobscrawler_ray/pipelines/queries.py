@@ -5653,6 +5653,67 @@ def q_image_fidelity(sf_dir: str):
                           batch_size=64, concurrency=(2, 8), num_cpus=1)
 
 
+_INV_PSNR_TAU = 30.0  # canonical-grid PSNR floor for a verified dup
+_INV_CANON = 32       # canonical comparison grid (area-resample side)
+
+
+def q_image_neardup_verified(sf_dir: str):
+    """Two-stage image near-dup — the image-side analog of minhash's
+    candidate→verify: phash banding proposes candidate pairs
+    (``q_phash_neardup``), then a PARALLEL pixel-verify stage fetches
+    only ITS pairs' originals via an image_id-pruned parquet read,
+    decodes, canonicalizes both sides to a 32×32 area-resample (the
+    resize-robust comparison grid), and keeps pairs whose canonical
+    PSNR ≥ 30 dB — decoded-pixel evidence, the north-rule fidelity
+    semantics applied to dedup instead of storage. The corpus is never
+    broadcast or collected; per-task memory is bounded by the batch's
+    candidate set (the minhash verify shape). A ``#thumb`` pid
+    canonicalizes from its original (thumbnails are derived data —
+    re-deriving beats storing them twice). Rows-only; golden twin in
+    ``goldens.py`` (shared leaf kernels: ``resize_area``, ``psnr``;
+    independent orchestration)."""
+    from ..functions import codecs as _c
+    from ..stages.multimodal import resize_area
+
+    pairs = q_phash_neardup(sf_dir)
+    img_dir = os.path.join(_crawl_out(sf_dir), "image_caption")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        p_out: list[float] = []
+        if len(df):
+            base = sorted({p.split("#", 1)[0]
+                           for p in list(df["id_a"]) + list(df["id_b"])})
+            t = papq.read_table(img_dir, columns=["image_id", "bytes"],
+                                filters=[("image_id", "in", base)])
+            raw = dict(zip(t["image_id"].to_pylist(),
+                           t["bytes"].to_pylist()))
+            cache: dict[str, np.ndarray] = {}
+
+            def canon(pid: str) -> np.ndarray:
+                # thumb canon == original canon (32→32 area resample is
+                # identity), so the cache keys on the base id
+                b = pid.split("#", 1)[0]
+                if b not in cache:
+                    px, _ = _c.decode(raw[b])
+                    cache[b] = resize_area(px, _INV_CANON, _INV_CANON)
+                return cache[b]
+
+            for a, b in zip(df["id_a"], df["id_b"]):
+                p = min(_c.psnr(canon(a), canon(b)), 99.99)
+                if p >= _INV_PSNR_TAU:
+                    a_out.append(a)
+                    b_out.append(b)
+                    p_out.append(float(_round_half_up(np.float64(p), 2)))
+        return pd.DataFrame({
+            "id_a": pd.Series(a_out, dtype=object),
+            "id_b": pd.Series(b_out, dtype=object),
+            "psnr_db": pd.Series(p_out, dtype=np.float64)})
+
+    return pairs.map_batches(verify, batch_format="pandas", batch_size=256)
+
+
 # --------------------------------------------------------------------------
 # Window analytics (LAG / funnel / retention — round 5 widening)
 # --------------------------------------------------------------------------
@@ -5973,6 +6034,271 @@ def q_star_join_revenue(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Outer-join / aggregate-filter join shapes (TPC-H Q13 / Q17 / Q18) and
+# grouped set ops — the classic warehouse patterns the catalog lacked
+# --------------------------------------------------------------------------
+
+
+def q_custdist_orders(sf_dir: str):
+    """LEFT-OUTER count distribution (TPC-H Q13 shape): how many
+    customers placed exactly N orders, including N = 0. No outer join
+    is ever shuffled: per-batch custkey value-count partials →
+    groupby(custkey) → per-batch distribution partials →
+    groupby(n_orders); the zero bucket is total_customers −
+    customers_with_orders, both known without touching the fact again
+    (parquet footer row count + the tiny distribution itself). Relies
+    on the FK invariant every o_custkey exists in customer — the same
+    assumption TPC-H Q13 makes (reference analog: the per-site
+    before/after row-count report, ``src/crawler.py:190-243``)."""
+    n_cust = _tbl_rows(sf_dir, "customer")
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["o_custkey"])
+        return pa.table({"c_custkey": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["n_orders"])
+        return pa.table({"n_orders": vc.field("values"),
+                         "n_custs": pc.cast(vc.field("counts"), pa.int64())})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        zero = n_cust - int(df["n_custs"].sum())
+        if zero > 0:
+            df = pd.concat(
+                [df, pd.DataFrame({"n_orders": [0], "n_custs": [zero]})],
+                ignore_index=True)
+        return df.astype({"n_orders": np.int64, "n_custs": np.int64})
+
+    return (
+        _tbl(sf_dir, "orders", ["o_custkey"])
+        .map_batches(per_cust, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_custs", alias_name="n_custs"))
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """Per-group-average filter (TPC-H Q17 shape): total revenue / 7
+    from lineitems whose quantity is below 20% of their part's average
+    quantity. ONE partkey exchange: the pruned 3-column fact
+    co-partitions by coarse part bucket, and because every row of a
+    part lands in the same bucket, the per-part average and the filter
+    both run bucket-locally — no broadcast of a per-part table, no
+    second fact scan, no per-part tiny map_groups. Quantities are
+    integer-valued so the average is an exact int/int ratio (bit-equal
+    to DuckDB's); revenue rides as exact integer cents."""
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(k % parts, type=pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["l_partkey"].to_numpy(np.int64)
+        qty = g["l_quantity"].to_numpy(np.float64)
+        cents = _round_half_up(
+            g["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        upk, inv = np.unique(pk, return_inverse=True)
+        qsum = np.bincount(inv, weights=qty.astype(np.int64))
+        qcnt = np.bincount(inv).astype(np.float64)
+        lim = 0.2 * (qsum / qcnt)
+        keep = qty < lim[inv]
+        return pd.DataFrame({"cents": [int(cents[keep].sum())]})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["cents"].sum())
+        return pd.DataFrame({"avg_yearly": [
+            float(_round_half_up(total / 100.0 / 7.0, 2))]})
+
+    return (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_large_orders_qty(sf_dir: str):
+    """Aggregate-filter semi-join (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 300, joined back to the order header.
+    The HAVING set comes from a pre-combined groupby (per-batch
+    orderkey bincount partials) and is the heavy tail of the
+    distribution — tiny by construction — so it broadcasts via
+    ray.put and the orders scan stays map-only; the fact table is
+    never re-shuffled. With a low threshold (HAVING set no longer
+    small) this flips to the q_join_orders_lineitem hash-join shape —
+    the same size dispatch the anti-join family uses."""
+    threshold = 300
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=q).astype(np.int64)
+        return pa.table({"l_orderkey": uk, "q": s})
+
+    big = (
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["total_qty"], threshold)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    keys = big["l_orderkey"].to_numpy(np.int64)
+    order_ = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order_],
+                   big["total_qty"].to_numpy(np.int64)[order_]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys_s, qty_s = _bget_slot("large_orders_qty", ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys_s, ok)
+        np.minimum(idx, max(len(keys_s) - 1, 0), out=idx)
+        hit = (keys_s[idx] == ok) if len(keys_s) else np.zeros(len(ok), bool)
+        t = t.filter(pa.array(hit))
+        return t.append_column(
+            "total_qty", pa.array(qty_s[idx[hit]], type=pa.int64()))
+
+    return (
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+    )
+
+
+def q_user_top_event(sf_dir: str):
+    """Mode per group: each user's most frequent event type (ties →
+    lexicographically smallest type). Per-batch (user, type) count
+    partials pre-combine before ONE coarse user-hash exchange; the
+    argmax runs bucket-locally over whole users — no per-user tiny
+    map_groups, no second shuffle."""
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        g["part"] = (g["user_id"] % parts).astype(np.int64)
+        return _arrow_out(g)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+        top = c.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "top_event": top["event_type"].to_numpy(object),
+            "n": top["n"].to_numpy(np.int64)})
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part", num_partitions=parts)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: distinct users per event type.
+    Two-level dedup — per-batch Arrow-distinct (type, user) pairs →
+    ONE coarse user-hash exchange collapses global pair duplicates and
+    emits per-type partial counts → tiny type groupby. Only per-type
+    counts reach the driver; the distinct pair set itself is never
+    collected (billions of rows at 100×)."""
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.append_column("part", pa.array(u % parts, type=pa.int64()))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        vc = d["event_type"].value_counts()
+        return pd.DataFrame({"event_type": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(lambda d: d.assign(n_users=d["n_users"].astype(
+            np.int64)), batch_format="pandas")
+    )
+
+
+def q_user_daily_gapfill(sf_dir: str):
+    """Calendar densification (gap-fill / resample): every user ×
+    every day in the global span, zero-filled — the dimension-
+    densification shape a LEFT JOIN to generate_series expresses in
+    SQL. Two passes: a tiny min/max aggregate fixes the calendar
+    (domain-bounded — days, not rows), then per-batch (user, day)
+    count partials pre-combine before ONE user-hash exchange; each
+    bucket owns whole users, so the calendar fan-out and zero-fill run
+    bucket-locally. The exchange only ever moves pre-combined
+    partials; the |users|×|days| output is the op's own result size,
+    not an intermediate blow-up."""
+    us_day = 86_400_000_000
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+    ev = _tbl(sf_dir, "events", ["user_id", "ts"])
+
+    mm = (
+        ev.map_batches(lambda t: pa.table({"lo": [pc.min(t["ts"])],
+                                           "hi": [pc.max(t["ts"])]}),
+                       batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({"lo": [pc.min(t["lo"])],
+                                         "hi": [pc.max(t["hi"])]}),
+                     batch_format="pyarrow", batch_size=1 << 30)
+        .take_all()[0]
+    )
+    lo = np.datetime64(mm["lo"], "us").astype(np.int64) // us_day
+    hi = np.datetime64(mm["hi"], "us").astype(np.int64) // us_day
+    days = np.arange(lo, hi + 1, dtype=np.int64)  # calendar-bounded
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = (t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype(np.int64) // us_day)
+        g = pd.DataFrame({"user_id": u, "day": d}).groupby(
+            ["user_id", "day"], as_index=False).agg(n=("day", "size"))
+        g["part"] = (g["user_id"] % parts).astype(np.int64)
+        return _arrow_out(g)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "day"], as_index=False)["n"].sum()
+        users = np.sort(c["user_id"].unique())
+        full = pd.DataFrame({
+            "user_id": np.repeat(users, len(days)),
+            "day": np.tile(days, len(users))})
+        out = full.merge(c, on=["user_id", "day"], how="left")
+        return _arrow_out(pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "day": (out["day"].to_numpy(np.int64) * us_day
+                    ).astype("datetime64[us]"),
+            "n": out["n"].fillna(0).to_numpy(np.int64)}))
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(densify, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -6084,6 +6410,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "global_rank_docs": q_global_rank_docs,
     "json_extract_props": q_json_extract_props,
     "star_join_revenue": q_star_join_revenue,
+    "custdist_orders": q_custdist_orders,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_orders_qty": q_large_orders_qty,
+    "user_top_event": q_user_top_event,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "user_daily_gapfill": q_user_daily_gapfill,
+    "image_neardup_verified": q_image_neardup_verified,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -6531,5 +6864,48 @@ ORACLE_SQL: dict[str, str] = {
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+    ),
+    "custdist_orders": (
+        "SELECT n_orders, count(*)::BIGINT AS n_custs FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) "
+        "GROUP BY 1"
+    ),
+    "small_qty_revenue": (
+        "SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+        "/ 100.0 / 7.0, 2) AS avg_yearly "
+        "FROM lineitem l, (SELECT l_partkey AS pk, "
+        "0.2 * avg(l_quantity) AS lim FROM lineitem GROUP BY 1) t "
+        "WHERE l.l_partkey = t.pk AND l.l_quantity < t.lim"
+    ),
+    "large_orders_qty": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY 1, 2, 3 HAVING sum(l_quantity) > 300"
+    ),
+    "user_top_event": (
+        "SELECT user_id, event_type AS top_event, n FROM ("
+        "SELECT user_id, event_type, count(*)::BIGINT AS n, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY count(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY 1, 2) WHERE rn = 1"
+    ),
+    "distinct_users_per_type": (
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+        "FROM events GROUP BY 1"
+    ),
+    "user_daily_gapfill": (
+        "WITH d AS (SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) "
+        "AS lo, CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS hi "
+        "FROM events), "
+        "days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) "
+        "AS day FROM d), "
+        "u AS (SELECT DISTINCT user_id FROM events), "
+        "c AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) "
+        "AS day, count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+        "SELECT u.user_id, days.day, coalesce(c.n, 0)::BIGINT AS n "
+        "FROM u CROSS JOIN days "
+        "LEFT JOIN c ON c.user_id = u.user_id AND c.day = days.day"
     ),
 }

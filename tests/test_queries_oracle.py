@@ -91,7 +91,7 @@ GOLDEN_NAMES = [
     "semantic_dedup", "dsir_weights", "substring_dup_spans",
     "substring_dedup_rewrite", "bm25_topk", "clip_align",
     "caption_neardup", "caption_dedup_images", "ccnet_perplexity",
-    "pagerank_orders", "image_fidelity",
+    "pagerank_orders", "image_fidelity", "image_neardup_verified",
 ]
 
 
