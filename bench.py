@@ -390,7 +390,8 @@ def joinstress() -> None:
              "pagerank_orders", "lag_delta_events", "funnel_conversions",
              "retention_cohorts", "custdist_orders", "small_qty_revenue",
              "large_orders_qty", "user_top_event",
-             "distinct_users_per_type", "user_daily_gapfill"], d,
+             "distinct_users_per_type", "user_daily_gapfill",
+             "hopping_distinct_users"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -513,7 +514,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints",
                      "ccnet_perplexity", "weighted_sample",
-                     "global_rank_docs"]
+                     "global_rank_docs", "bigram_lift"]
 
 
 def docstress() -> None:

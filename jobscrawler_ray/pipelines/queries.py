@@ -5657,51 +5657,54 @@ _INV_PSNR_TAU = 30.0  # canonical-grid PSNR floor for a verified dup
 _INV_CANON = 32       # canonical comparison grid (area-resample side)
 
 
-def q_image_neardup_verified(sf_dir: str):
-    """Two-stage image near-dup — the image-side analog of minhash's
-    candidate→verify: phash banding proposes candidate pairs
-    (``q_phash_neardup``), then a PARALLEL pixel-verify stage fetches
-    only ITS pairs' originals via an image_id-pruned parquet read,
-    decodes, canonicalizes both sides to a 32×32 area-resample (the
-    resize-robust comparison grid), and keeps pairs whose canonical
-    PSNR ≥ 30 dB — decoded-pixel evidence, the north-rule fidelity
-    semantics applied to dedup instead of storage. The corpus is never
-    broadcast or collected; per-task memory is bounded by the batch's
-    candidate set (the minhash verify shape). A ``#thumb`` pid
-    canonicalizes from its original (thumbnails are derived data —
-    re-deriving beats storing them twice). Rows-only; golden twin in
-    ``goldens.py`` (shared leaf kernels: ``resize_area``, ``psnr``;
-    independent orchestration)."""
-    from ..functions import codecs as _c
-    from ..stages.multimodal import resize_area
+class _PixelVerifyPairs:
+    """Actor-pool pixel verify for ``q_image_neardup_verified``: per
+    batch, a pruned parquet read fetches only the MISSING originals,
+    decode+canonicalize results persist in a per-actor cache (capped),
+    and pairs keep if their canonical 32×32 PSNR ≥ 30 dB. An actor
+    pool, not a task lambda, for two reasons: the cache amortizes
+    decode across batches, and an actor stage cannot FUSE with the
+    upstream split (Ray fuses task→task MapBatches chains — the fused
+    single task serialized the whole decode: measured 147 s of a
+    187 s run in ``ds.stats()``)."""
 
-    pairs = q_phash_neardup(sf_dir)
-    img_dir = os.path.join(_crawl_out(sf_dir), "image_caption")
+    _CACHE_CAP = 8192
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def __init__(self, img_dir: str):
+        from ..functions import codecs as _c
+        from ..stages.multimodal import resize_area
+
+        self.codecs = _c
+        self.resize = resize_area
+        self.img_dir = img_dir
+        self.cache: dict[str, np.ndarray] = {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         a_out: list[str] = []
         b_out: list[str] = []
         p_out: list[float] = []
         if len(df):
+            # thumb canon == original canon (32→32 area resample is
+            # identity), so everything keys on the base image_id
             base = sorted({p.split("#", 1)[0]
                            for p in list(df["id_a"]) + list(df["id_b"])})
-            t = papq.read_table(img_dir, columns=["image_id", "bytes"],
-                                filters=[("image_id", "in", base)])
-            raw = dict(zip(t["image_id"].to_pylist(),
-                           t["bytes"].to_pylist()))
-            cache: dict[str, np.ndarray] = {}
-
-            def canon(pid: str) -> np.ndarray:
-                # thumb canon == original canon (32→32 area resample is
-                # identity), so the cache keys on the base id
-                b = pid.split("#", 1)[0]
-                if b not in cache:
-                    px, _ = _c.decode(raw[b])
-                    cache[b] = resize_area(px, _INV_CANON, _INV_CANON)
-                return cache[b]
-
+            if len(self.cache) > self._CACHE_CAP:
+                self.cache.clear()  # BEFORE the need scan — clearing
+                #                     after would evict this batch's ids
+            need = [b for b in base if b not in self.cache]
+            if need:
+                t = papq.read_table(
+                    self.img_dir, columns=["image_id", "bytes"],
+                    filters=[("image_id", "in", need)])
+                for iid, buf in zip(t["image_id"].to_pylist(),
+                                    t["bytes"].to_pylist()):
+                    px, _ = self.codecs.decode(buf)
+                    self.cache[iid] = self.resize(px, _INV_CANON,
+                                                  _INV_CANON)
             for a, b in zip(df["id_a"], df["id_b"]):
-                p = min(_c.psnr(canon(a), canon(b)), 99.99)
+                p = min(self.codecs.psnr(self.cache[a.split("#", 1)[0]],
+                                         self.cache[b.split("#", 1)[0]]),
+                        99.99)
                 if p >= _INV_PSNR_TAU:
                     a_out.append(a)
                     b_out.append(b)
@@ -5711,7 +5714,46 @@ def q_image_neardup_verified(sf_dir: str):
             "id_b": pd.Series(b_out, dtype=object),
             "psnr_db": pd.Series(p_out, dtype=np.float64)})
 
-    return pairs.map_batches(verify, batch_format="pandas", batch_size=256)
+
+def q_image_neardup_verified(sf_dir: str):
+    """Two-stage image near-dup — the image-side analog of minhash's
+    candidate→verify: phash banding proposes candidate pairs
+    (``q_phash_neardup``), then a PARALLEL actor-pool pixel-verify
+    stage fetches only ITS pairs' originals via an image_id-pruned
+    parquet read, decodes, canonicalizes both sides to a 32×32
+    area-resample (the resize-robust comparison grid), and keeps pairs
+    whose canonical PSNR ≥ 30 dB — decoded-pixel evidence, the
+    north-rule fidelity semantics applied to dedup instead of storage.
+    The corpus is never broadcast or collected; per-task memory is
+    bounded by the batch's candidate set (the minhash verify shape).
+    A ``#thumb`` pid canonicalizes from its original (thumbnails are
+    derived data — re-deriving beats storing them twice). Rows-only;
+    golden twin in ``goldens.py`` (shared leaf kernels:
+    ``resize_area``, ``psnr``; independent orchestration)."""
+    pairs = q_phash_neardup(sf_dir)
+    img_dir = os.path.join(_crawl_out(sf_dir), "image_caption")
+
+    # sort by id_a in one coalesced task, MATERIALIZE (pair-set-
+    # bounded, the same budget phash_dedup_keep pays), then a
+    # shuffle-FREE repartition into ~256-pair blocks before the verify
+    # pool. Both steps exist to defeat fusion/coalescing: the banding
+    # tail's batch_size=1<<30 dedup is a single task and Ray fuses
+    # downstream stages — even an actor pool — into it (147 s of a
+    # 187 s run serialized in ds.stats()); and yielded small chunks
+    # re-coalesce into one target-sized block at materialize, so only
+    # an explicit repartition hands the pool parallel inputs. The
+    # id_a sort makes each verify task's id range narrow for
+    # row-group pruning and cache reuse.
+    def sort_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["id_a", "id_b"], kind="stable")
+
+    split = pairs.map_batches(sort_pairs, batch_format="pandas",
+                              batch_size=1 << 30).materialize()
+    nblk = max(8, min(4096, split.count() // 256))
+    return split.repartition(nblk, shuffle=False).map_batches(
+        _PixelVerifyPairs, batch_format="pandas", batch_size=256,
+        concurrency=(2, 16), num_cpus=1,
+        fn_constructor_kwargs={"img_dir": img_dir})
 
 
 # --------------------------------------------------------------------------
@@ -6137,22 +6179,35 @@ def q_large_orders_qty(sf_dir: str):
     small) this flips to the q_join_orders_lineitem hash-join shape —
     the same size dispatch the anti-join family uses."""
     threshold = 300
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
 
     def partial(t: pa.Table) -> pa.Table:
         k = t["l_orderkey"].to_numpy(zero_copy_only=False)
         q = t["l_quantity"].to_numpy(zero_copy_only=False)
         uk, inv = np.unique(k, return_inverse=True)
         s = np.bincount(inv, weights=q).astype(np.int64)
-        return pa.table({"l_orderkey": uk, "q": s})
+        return pa.table({"l_orderkey": uk, "q": s,
+                         "part": uk % parts})
+
+    # coarse-bucket final sum (the pagerank distinct pattern): a
+    # per-orderkey Ray aggregate sorts millions of groups; 64-ish
+    # buckets + an np.unique/bincount kernel per bucket do the same
+    # combine at a fraction of the exchange cost (measured 42.7 →
+    # see BASELINE.md) — and the HAVING filter runs bucket-locally,
+    # so only the heavy tail ever leaves the bucket.
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["l_orderkey"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=q).astype(np.int64)
+        m = s > threshold
+        return pd.DataFrame({"l_orderkey": uk[m], "total_qty": s[m]})
 
     big = (
         _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("q", alias_name="total_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["total_qty"], threshold)),
-            batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(bucket, batch_format="pandas")
         .to_pandas()
     )
     keys = big["l_orderkey"].to_numpy(np.int64)
@@ -6241,6 +6296,149 @@ def q_distinct_users_per_type(sf_dir: str):
     )
 
 
+def q_hopping_distinct_users(sf_dir: str):
+    """Windowed DISTINCT count — the sliding-window op a count partial
+    can't serve (distinct doesn't pre-aggregate): 1-day windows every
+    12 h, distinct users per window. Per-batch window fan-out →
+    Arrow-distinct (win, user) pairs → ONE user-hash exchange (every
+    copy of a pair shares its user, so dedup inside the partition IS
+    global dedup) → per-window partial counts → tiny window groupby.
+    The event stream itself never re-shuffles and the distinct pair
+    set never collects."""
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        b = (t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype(np.int64) // _HOP_US)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        win = np.concatenate([(b - 0) * _HOP_US, (b - 1) * _HOP_US])
+        uu = np.concatenate([u, u])
+        g = pd.DataFrame({"win": win, "user_id": uu}).drop_duplicates()
+        g["part"] = (g["user_id"] % parts).astype(np.int64)
+        return _arrow_out(g)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["win", "user_id"])
+        vc = d["win"].value_counts()
+        return pd.DataFrame({"win": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "win_start": df["win"].to_numpy(np.int64).view("datetime64[us]"),
+            "n_users": df["n_users"].to_numpy(np.int64)})
+
+    return (
+        _tbl(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(bucket, batch_format="pandas")
+        .groupby("win")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+_LIFT_MIN_COUNT = 20  # collocation support floor: bounds the
+#                       collected candidate set by N_tokens / 20
+_LIFT_TOPK = 20
+
+
+def q_bigram_lift(sf_dir: str):
+    """Collocation mining: top-20 word bigrams by LIFT — count(ab)·N /
+    (count(a)·count(b)) with support ≥ 20 — the PMI ranking with the
+    log left off, so the score is one exact-int multiply + one IEEE
+    division and bit-identical to the SQL (log-PMI ranks the same but
+    hashes libm-dependently, the tfidf ratio-idf trick). ONE corpus
+    scan emits prefixed unigram+bigram Counter partials into a
+    key-hash coarse-bucket combine (a string-keyed Ray aggregate over
+    the ~vocab² partial stream sort-shuffles tens of millions of
+    strings — measured 351 s at 200k docs; 32 crc32 buckets + a
+    pandas groupby per bucket is the tfidf/pagerank coarse-bucket
+    pattern), materialized once (vocabulary-bounded — the corpus
+    itself never materializes); the support threshold bounds the
+    driver-side candidate set by N/20, and only the candidate
+    bigrams' own words fetch unigram counts (semi-join pushdown)."""
+    from collections import Counter
+
+    bparts = 32
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cu: Counter = Counter()
+        cb: Counter = Counter()
+        for t in df["text"]:
+            w = t.split(" ")
+            cu.update(w)
+            cb.update(map(" ".join, zip(w, w[1:])))
+        # prefix separator must NOT be "\x00": pandas' khash string
+        # table truncates at an embedded NUL, so a pandas groupby
+        # silently collapses distinct NUL-prefixed keys. Space is safe
+        # (tokens are space-split) and "u "/"b " classes cannot collide.
+        keys = ["u " + k for k in cu] + ["b " + k for k in cb]
+        vals = np.fromiter(cu.values(), dtype=np.int64, count=len(cu))
+        valb = np.fromiter(cb.values(), dtype=np.int64, count=len(cb))
+        part = np.fromiter((zlib.crc32(k.encode()) % bparts
+                            for k in keys), dtype=np.int64,
+                           count=len(keys))
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "n": pa.array(np.concatenate([vals, valb])),
+                         "part": pa.array(part)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("key", as_index=False, sort=False)["n"].sum()
+        return pd.DataFrame({"key": c["key"],
+                             "n": c["n"].to_numpy(np.int64)})
+
+    counts = (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part", num_partitions=bparts)
+        .map_groups(combine, batch_format="pandas")
+    ).materialize()  # vocabulary-bounded, consumed three times below
+
+    def uni_total(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t["key"], "u ")
+        return pa.table({"n": [pc.sum(pc.filter(t["n"], m), min_count=0)]})
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.starts_with(t["key"], "b "),
+                    pc.greater_equal(t["n"], _LIFT_MIN_COUNT))
+        return t.filter(m)
+
+    cand = counts.map_batches(cand_rows, batch_format="pyarrow").to_pandas()
+    words = set()
+    for k in cand["key"]:
+        a, b = k[2:].split(" ", 1)
+        words.add("u " + a)
+        words.add("u " + b)
+    wref = ray.put(words)
+
+    def uni_rows(t: pa.Table) -> pa.Table:
+        w = _bget_slot("bigram_lift_words", wref)
+        m = pa.array([k in w for k in t["key"].to_pylist()])
+        return t.filter(m)
+
+    uni = counts.map_batches(uni_rows, batch_format="pyarrow").to_pandas()
+    total = counts.map_batches(uni_total, batch_format="pyarrow").to_pandas()
+    n_tok = int(total["n"].sum())
+    ulut = dict(zip(uni["key"], uni["n"].astype(np.int64)))
+
+    w1 = np.array([k[2:].split(" ", 1)[0] for k in cand["key"]], object)
+    w2 = np.array([k[2:].split(" ", 1)[1] for k in cand["key"]], object)
+    c_ab = cand["n"].to_numpy(np.int64)
+    c_a = np.array([ulut["u " + w] for w in w1], dtype=np.int64)
+    c_b = np.array([ulut["u " + w] for w in w2], dtype=np.int64)
+    lift = _round_half_up(
+        (c_ab.astype(np.float64) * np.float64(n_tok))
+        / (c_a.astype(np.float64) * c_b.astype(np.float64)), 4)
+    out = pd.DataFrame({"w1": w1, "w2": w2,
+                        "n_pair": c_ab, "lift": lift})
+    out = out.sort_values(["lift", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="stable").head(_LIFT_TOPK)
+    return out.reset_index(drop=True)
+
+
 def q_user_daily_gapfill(sf_dir: str):
     """Calendar densification (gap-fill / resample): every user ×
     every day in the global span, zero-filled — the dimension-
@@ -6279,17 +6477,20 @@ def q_user_daily_gapfill(sf_dir: str):
         return _arrow_out(g)
 
     def densify(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby(["user_id", "day"], as_index=False)["n"].sum()
-        users = np.sort(c["user_id"].unique())
-        full = pd.DataFrame({
-            "user_id": np.repeat(users, len(days)),
-            "day": np.tile(days, len(users))})
-        out = full.merge(c, on=["user_id", "day"], how="left")
+        # numpy scatter onto a (users × days) grid — the grid IS the
+        # densified output, so zero-fill is free and there is no
+        # pandas merge (measured ~2× on the 18M-row stress output)
+        k = g["user_id"].to_numpy(np.int64)
+        didx = g["day"].to_numpy(np.int64) - days[0]
+        n = g["n"].to_numpy(np.int64)
+        users, uinv = np.unique(k, return_inverse=True)
+        grid = np.zeros((len(users), len(days)), dtype=np.int64)
+        np.add.at(grid, (uinv, didx), n)
         return _arrow_out(pd.DataFrame({
-            "user_id": out["user_id"].to_numpy(np.int64),
-            "day": (out["day"].to_numpy(np.int64) * us_day
+            "user_id": np.repeat(users, len(days)),
+            "day": (np.tile(days, len(users)) * us_day
                     ).astype("datetime64[us]"),
-            "n": out["n"].fillna(0).to_numpy(np.int64)}))
+            "n": grid.ravel()}))
 
     return (
         ev.map_batches(partial, batch_format="pyarrow")
@@ -6417,6 +6618,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "user_daily_gapfill": q_user_daily_gapfill,
     "image_neardup_verified": q_image_neardup_verified,
+    "hopping_distinct_users": q_hopping_distinct_users,
+    "bigram_lift": q_bigram_lift,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -6907,5 +7110,26 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT u.user_id, days.day, coalesce(c.n, 0)::BIGINT AS n "
         "FROM u CROSS JOIN days "
         "LEFT JOIN c ON c.user_id = u.user_id AND c.day = days.day"
+    ),
+    "hopping_distinct_users": (
+        "WITH w AS (SELECT DISTINCT make_timestamp((epoch_us(ts) "
+        "// 43200000000 - o) * 43200000000) AS win_start, user_id "
+        "FROM events CROSS JOIN (VALUES (0), (1)) t(o)) "
+        "SELECT win_start, count(*)::BIGINT AS n_users FROM w GROUP BY 1"
+    ),
+    "bigram_lift": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS L "
+        "FROM documents), "
+        "bgc AS (SELECT L[i] AS w1, L[i + 1] AS w2, count(*)::BIGINT "
+        "AS n_pair FROM d, unnest(range(1, array_length(L))) AS t(i) "
+        "GROUP BY 1, 2), "
+        "ug AS (SELECT unnest(L) AS w FROM d), "
+        "ugc AS (SELECT w, count(*)::BIGINT AS c FROM ug GROUP BY 1), "
+        "n AS (SELECT count(*)::BIGINT AS n FROM ug) "
+        "SELECT w1, w2, n_pair, round(CAST(n_pair AS DOUBLE) * n.n / "
+        "(CAST(u1.c AS DOUBLE) * u2.c), 4) AS lift "
+        "FROM bgc CROSS JOIN n "
+        "JOIN ugc u1 ON u1.w = bgc.w1 JOIN ugc u2 ON u2.w = bgc.w2 "
+        "WHERE n_pair >= 20 ORDER BY lift DESC, w1, w2 LIMIT 20"
     ),
 }
