@@ -186,6 +186,27 @@ def _round_half_up(x, decimals: int):
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
+def _ts_us(s) -> pa.Scalar:
+    """Arrow timestamp[us] scalar for pyarrow.compute date filters."""
+    return pa.scalar(pd.Timestamp(s).to_pydatetime(), type=pa.timestamp("us"))
+
+
+def _dt_i64(col) -> np.ndarray:
+    """timestamp[us] column → int64 microseconds (vectorized)."""
+    return (col.to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64))
+
+
+def _rev_cents(t: pa.Table) -> np.ndarray:
+    """Discounted revenue as EXACT integer cents —
+    round(l_extendedprice*(1-l_discount)*100): the pointwise double
+    expression is identical in numpy and DuckDB, so integer sums match
+    bit-for-bit on any partitioning."""
+    ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = t["l_discount"].to_numpy(zero_copy_only=False)
+    return _round_half_up(ext * (1.0 - disc) * 100.0, 0).astype(np.int64)
+
+
 # --------------------------------------------------------------------------
 # Aggregations / sorts / incremental (SURVEY §2.5, §2.6, §2.9)
 # --------------------------------------------------------------------------
@@ -6500,6 +6521,655 @@ def q_user_daily_gapfill(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# TPC-H decision-support shapes #117-125 (Q2-Q22 gaps). The synth schema
+# has no partsupp / l_commitdate / l_shipmode / p_container columns, so each
+# query keeps the reference TPC-H query's JOIN + predicate SHAPE (correlated
+# EXISTS, disjunctive multi-clause scan, sole-late-supplier double
+# anti-semi-join, scalar-subquery anti-join, argmax-with-ties) over the
+# columns the driver tables do have.
+# --------------------------------------------------------------------------
+
+
+def q_order_priority_counts(sf_dir: str):
+    """Correlated-EXISTS semi-join (TPC-H Q4 shape): count Q1-1997
+    orders per priority having at least one lineitem shipped more than
+    30 days after the order date (the schema's stand-in for commitdate
+    < receiptdate). Both sides shrink map-side before the ONE
+    orderkey-bucket exchange: orders prune to the 3-month window,
+    lineitem prunes to shipdates that could possibly qualify
+    (> window_lo + 30 d) and pre-combines to one max-shipdate row per
+    orderkey per batch. Per bucket the EXISTS test is one searchsorted
+    probe and the result collapses to ≤5 priority-count rows, so the
+    final groupby moves ~5 rows per bucket regardless of input size."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1997-04-01")
+    us_30d = 30 * _US_DAY
+    min_ship = pa.scalar(
+        pd.Timestamp("1997-01-31").to_pydatetime(), type=pa.timestamp("us"))
+    n_rows = _tbl_rows(sf_dir, "lineitem")
+    parts = _copart_count(n_rows)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "t_us": pa.array(_dt_i64(t["o_orderdate"])),
+            "prio": t["o_orderpriority"],
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], min_ship))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        s = _dt_i64(t["l_shipdate"])
+        uk, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, s)
+        return pa.table({
+            "part": pa.array(uk % parts, type=pa.int64()),
+            "okey": pa.array(uk),
+            "t_us": pa.array(mx),
+            "prio": pa.array([""] * len(uk), type=pa.string()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype=np.int64)})
+        o = df[df["prio"] != ""]
+        li = df[df["prio"] == ""]
+        if o.empty or li.empty:
+            return empty
+        k = li["okey"].to_numpy(np.int64)
+        v = li["t_us"].to_numpy(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, v)
+        ok = o["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(uk, ok)
+        np.minimum(idx, max(len(uk) - 1, 0), out=idx)
+        hit = (uk[idx] == ok) & (mx[idx] > o["t_us"].to_numpy(np.int64)
+                                 + us_30d)
+        if not hit.any():
+            return empty
+        vc = o.loc[hit, "prio"].value_counts()
+        return pd.DataFrame({"o_orderpriority": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    with _shuffle_scaled(n_rows * 24):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+
+def q_priority_linecounts(sf_dir: str):
+    """Fact-to-fact join + conditional rollup (TPC-H Q12 shape, with
+    l_returnflag standing in for the missing l_shipmode): lineitems
+    shipped in 1997 pick up their order's priority class through ONE
+    orderkey-bucket co-partition; lineitem pre-combines to per-batch
+    (orderkey, returnflag) count partials so the exchange carries
+    combined counts, never raw lines; each bucket reduces to ≤3
+    returnflag rows before the tiny final groupby."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1998-01-01")
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    high = pa.array(["1-URGENT", "2-HIGH"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        is_high = pc.is_in(t["o_orderpriority"], value_set=high)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "rf": pa.array([""] * len(k), type=pa.string()),
+            "n": pa.array(is_high.to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        g = pd.DataFrame({
+            "okey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rf": t["l_returnflag"].to_pandas(),
+        }).groupby(["okey", "rf"], as_index=False).agg(n=("okey", "size"))
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        return _arrow_out(g[["part", "okey", "rf", "n"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_returnflag": pd.Series([], dtype=str),
+            "high_lines": pd.Series([], dtype=np.int64),
+            "low_lines": pd.Series([], dtype=np.int64)})
+        o = df[df["rf"] == ""]
+        li = df[df["rf"] != ""]
+        if o.empty or li.empty:
+            return empty
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, ohigh = ok[order_], o["n"].to_numpy(np.int64)[order_]
+        k = li["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        li = li[hit]
+        hi_flag = ohigh[idx[hit]]
+        n = li["n"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": li["rf"].to_numpy(),
+            "high_lines": np.where(hi_flag == 1, n, 0),
+            "low_lines": np.where(hi_flag == 1, 0, n),
+        }).groupby("l_returnflag", as_index=False).sum()
+        return g.astype({"high_lines": np.int64, "low_lines": np.int64})
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_shipdate"])
+    with _shuffle_scaled(n_rows * 24):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_lines", alias_name="high_lines"),
+                       Sum("low_lines", alias_name="low_lines"))
+        )
+
+
+def _part_lookup(sf_dir: str, columns: list[str]):
+    """Broadcast side of the part dimension: sorted partkey array plus
+    the requested attribute arrays (ray.put once, searchsorted probe
+    per batch). part is ~1/30 of lineitem rows — broadcastable far
+    beyond bench scale; past that the co-partition join shape
+    (q_priority_linecounts) is the documented size-dispatch escape."""
+    pdf = _tbl(sf_dir, "part", ["p_partkey"] + columns).to_pandas()
+    order_ = np.argsort(pdf["p_partkey"].to_numpy(np.int64), kind="stable")
+    pk = pdf["p_partkey"].to_numpy(np.int64)[order_]
+    return pk, [pdf[c].to_numpy()[order_] for c in columns]
+
+
+def q_promo_revenue_pct(sf_dir: str):
+    """Broadcast-dim scan + global ratio (TPC-H Q14 shape): the share
+    of fall-1997 discounted revenue from PROMO-type parts. The part
+    dimension broadcasts as (sorted partkey, is-promo bitmap); the
+    fact scan stays map-only and emits ONE two-int partial row per
+    batch (promo cents, total cents), so nothing is shuffled at all —
+    the driver folds the tiny partial set and computes the exact
+    int/int ratio DuckDB computes."""
+    lo, hi = _ts_us("1997-09-01"), _ts_us("1997-12-01")
+    pk, (ptype,) = _part_lookup(sf_dir, ["p_type"])
+    promo = (ptype.astype(str) == "PROMO")
+    ref = ray.put((pk, promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        if len(t) == 0:
+            return pa.table({"promo_cents": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        pk_s, promo_s = _bget_slot("promo_revenue_pct", ref)
+        cents = _rev_cents(t)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_s, k)
+        np.minimum(idx, max(len(pk_s) - 1, 0), out=idx)
+        is_promo = (pk_s[idx] == k) & promo_s[idx]
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())]),
+            "cents": pa.array([int(cents.sum())]),
+        })
+
+    parts_df = (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    promo_c = int(parts_df["promo_cents"].sum())
+    total_c = int(parts_df["cents"].sum())
+    pct = float(_round_half_up(100.0 * promo_c / total_c, 4)) \
+        if total_c else 0.0
+    return pd.DataFrame({"promo_pct": [pct]})
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """Argmax-with-ties over a grouped aggregate (TPC-H Q15 shape):
+    the supplier(s) with the highest Q1-1997 discounted revenue.
+    Per-batch (suppkey → cents) partials pre-combine map-side; the
+    supplier-cardinality groupby output is tiny (10k rows/SF), so the
+    max + tie filter runs on the driver and joins names from the
+    supplier dim directly. Integer cents make the tie semantics exact
+    — no float argmax ambiguity."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1997-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        if len(t) == 0:
+            return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = _rev_cents(t)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"s_suppkey": pa.array(uk), "cents": pa.array(s)})
+
+    rev = (
+        _tbl(sf_dir, "lineitem",
+             ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if rev.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=str),
+                             "total_revenue": pd.Series([], dtype=np.float64)})
+    best = rev[rev["cents"] == rev["cents"].max()]
+    names = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(names, on="s_suppkey")
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64),
+        "s_name": out["s_name"].astype(str),
+        "total_revenue": out["cents"].to_numpy(np.int64) / 100.0,
+    })
+
+
+def q_brand_supplier_cnt(sf_dir: str):
+    """Distinct-count rollup with NOT-IN exclusion (TPC-H Q16 shape,
+    lineitem standing in for partsupp): suppliers per surviving
+    (brand, type, size) combo, excluding negative-balance suppliers.
+    The part dim broadcasts as partkey → combo-id (combos are the
+    ~|brand|×|type|×8 surviving triples — int16-sized); the bad-supplier
+    set broadcasts sorted. Batches reduce to DISTINCT (combo, suppkey)
+    pairs before the ONE combo-hash exchange, so the shuffle carries
+    at most combos × suppliers rows no matter how big the fact is."""
+    sizes = np.array([1, 5, 9, 13, 17, 21, 25, 29], dtype=np.int64)
+    pk, (brand, ptype, psize) = _part_lookup(
+        sf_dir, ["p_brand", "p_type", "p_size"])
+    brand, ptype = brand.astype(str), ptype.astype(str)
+    psize = psize.astype(np.int64)
+    keep = ((brand != "Brand#4") & (ptype != "PROMO")
+            & np.isin(psize, sizes))
+    combos = pd.DataFrame({"p_brand": brand[keep], "p_type": ptype[keep],
+                           "p_size": psize[keep]}).drop_duplicates()
+    combos = combos.sort_values(
+        ["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    ckey = {(b, t, s): i for i, (b, t, s) in enumerate(
+        zip(combos["p_brand"], combos["p_type"], combos["p_size"]))}
+    cid = np.full(len(pk), -1, dtype=np.int64)
+    ki = np.nonzero(keep)[0]
+    cid[ki] = [ckey[(brand[i], ptype[i], int(psize[i]))] for i in ki]
+    sup = _tbl(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy(np.int64))
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"), hi=32)
+    ref = ray.put((pk, cid, bad))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        pk_s, cid_s, bad_s = _bget_slot("brand_supplier_cnt", ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_s, k)
+        np.minimum(idx, max(len(pk_s) - 1, 0), out=idx)
+        c = np.where(pk_s[idx] == k, cid_s[idx], -1)
+        if len(bad_s):
+            bidx = np.searchsorted(bad_s, sk)
+            np.minimum(bidx, len(bad_s) - 1, out=bidx)
+            is_bad = bad_s[bidx] == sk
+        else:
+            is_bad = np.zeros(len(sk), dtype=bool)
+        ok = (c >= 0) & ~is_bad
+        g = pd.DataFrame({"combo": c[ok], "sk": sk[ok]}).drop_duplicates()
+        g["part"] = (g["combo"] % parts).astype(np.int64)
+        return _arrow_out(g)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[["combo", "sk"]].drop_duplicates()
+             .groupby("combo", as_index=False).agg(supplier_cnt=("sk", "size")))
+        c = g["combo"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "p_brand": combos["p_brand"].to_numpy()[c],
+            "p_type": combos["p_type"].to_numpy()[c],
+            "p_size": combos["p_size"].to_numpy(np.int64)[c],
+            "supplier_cnt": g["supplier_cnt"].to_numpy(np.int64),
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """Disjunctive multi-clause predicate scan (TPC-H Q19 shape):
+    revenue from three OR-ed (brand, size-range, quantity-range)
+    clauses. The part dim broadcasts as partkey → clause-id (brand +
+    size resolve driver-side; only the quantity bound check needs the
+    fact row), so the scan is ONE map-only pass with no join and a
+    one-row partial per batch."""
+    brands = np.array(["Brand#2", "Brand#19", "Brand#4"])
+    size_hi = np.array([5, 10, 15], dtype=np.int64)
+    qlo = np.array([1.0, 10.0, 20.0])
+    qhi = np.array([11.0, 20.0, 30.0])
+    pk, (brand, psize) = _part_lookup(sf_dir, ["p_brand", "p_size"])
+    brand = brand.astype(str)
+    psize = psize.astype(np.int64)
+    cid = np.full(len(pk), -1, dtype=np.int64)
+    for i, b in enumerate(brands):
+        cid[(brand == b) & (psize >= 1) & (psize <= size_hi[i])] = i
+    ref = ray.put((pk, cid))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk_s, cid_s = _bget_slot("disjunctive_revenue", ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_s, k)
+        np.minimum(idx, max(len(pk_s) - 1, 0), out=idx)
+        c = np.where(pk_s[idx] == k, cid_s[idx], -1)
+        m = c >= 0
+        cc = np.where(m, c, 0)
+        sel = m & (qty >= qlo[cc]) & (qty <= qhi[cc])
+        cents = _rev_cents(t)
+        return pa.table({"cents": pa.array([int(cents[sel].sum())])})
+
+    parts_df = (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": [int(parts_df["cents"].sum()) / 100.0]})
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """Sole-late-supplier double anti-semi-join (TPC-H Q21 shape, with
+    "late" = shipped >60 days after order date standing in for the
+    missing commit/receipt dates): for finished ('F') orders with ≥2
+    distinct suppliers, count per supplier the orders where it was the
+    ONLY late one. Lineitem pre-combines to one (orderkey, suppkey,
+    max-shipdate) row per batch; orders ship (orderkey, orderdate)
+    through the same orderkey-bucket exchange; the EXISTS / NOT-EXISTS
+    pair is a bucket-local vectorized groupby. Output is the tiny
+    per-supplier count table → broadcast name join → top 10."""
+    us_60d = 60 * _US_DAY
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "sk": pa.array(np.full(len(k), -1, dtype=np.int64)),
+            "t_us": pa.array(_dt_i64(t["o_orderdate"])),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        s = _dt_i64(t["l_shipdate"])
+        g = pd.DataFrame({"okey": k, "sk": sk, "t_us": s}).groupby(
+            ["okey", "sk"], as_index=False).agg(t_us=("t_us", "max"))
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        return _arrow_out(g[["part", "okey", "sk", "t_us"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        o = df[df["sk"] < 0]
+        li = df[df["sk"] >= 0]
+        if o.empty or li.empty:
+            return empty
+        g = li.groupby(["okey", "sk"], as_index=False).agg(
+            t_us=("t_us", "max"))
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, od = ok[order_], o["t_us"].to_numpy(np.int64)[order_]
+        k = g["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        g = g[hit]
+        late = g["t_us"].to_numpy(np.int64) > od[idx[hit]] + us_60d
+        gg = pd.DataFrame({"okey": g["okey"].to_numpy(np.int64),
+                           "sk": g["sk"].to_numpy(np.int64),
+                           "late": late.astype(np.int64)})
+        st = gg.groupby("okey").agg(nsup=("sk", "size"),
+                                    nlate=("late", "sum"))
+        good = st.index[(st["nsup"] >= 2) & (st["nlate"] == 1)]
+        w = gg[(gg["late"] == 1) & gg["okey"].isin(good)]
+        if w.empty:
+            return empty
+        vc = w["sk"].value_counts()
+        return pd.DataFrame({"s_suppkey": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+    with _shuffle_scaled(n_rows * 32):
+        counts = (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("s_suppkey")
+            .aggregate(Sum("n", alias_name="numwait"))
+            .to_pandas()
+        )
+    names = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(names, on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True],
+                          kind="stable").head(10)
+    return pd.DataFrame({"s_name": out["s_name"].astype(str),
+                         "numwait": out["numwait"].astype(np.int64)})
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """Scalar-subquery filter + anti-join rollup (TPC-H Q22 shape,
+    nation standing in for the missing phone country code): customers
+    with above-positive-average balance and no orders since mid-1999
+    (the synth FK gives every customer SOME order, so the anti
+    condition is recency-scoped to stay non-degenerate), counted and
+    summed per nation. The threshold is an exact two-int driver scalar
+    (cents sum / 100 / count — the identical double expression the
+    oracle computes); the recent-orderer key set broadcasts sorted (the
+    documented anti-join size dispatch: above JCR_DROP_BCAST_LIMIT the
+    co-partition left-anti path takes over); balances ride as exact
+    cents so the per-nation sums match bit-for-bit."""
+    cut = _ts_us("1999-06-01")
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0
+        cents = _round_half_up(bal[pos] * 100.0, 0).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())]),
+                         "n": pa.array([int(pos.sum())])})
+
+    tot = (_tbl(sf_dir, "customer", ["c_acctbal"])
+           .map_batches(bal_partial, batch_format="pyarrow").to_pandas())
+    n_pos = int(tot["n"].sum())
+    thr = (int(tot["cents"].sum()) / 100.0) / n_pos if n_pos else 0.0
+    recent = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], cut)),
+        batch_format="pyarrow")
+    okeys = np.array(sorted(recent.unique("o_custkey")), dtype=np.int64)
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+    ref = ray.put((okeys, nat))
+
+    def partial(t: pa.Table) -> pa.Table:
+        okeys_s, nat_s = _bget_slot("idle_rich_customers", ref)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(okeys_s):
+            idx = np.searchsorted(okeys_s, ck)
+            np.minimum(idx, len(okeys_s) - 1, out=idx)
+            has_order = okeys_s[idx] == ck
+        else:
+            has_order = np.zeros(len(ck), dtype=bool)
+        sel = (bal > thr) & ~has_order
+        if not sel.any():
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "numcust": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)[sel]
+        cents = _round_half_up(bal[sel] * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({"nk": nk, "cents": cents}).groupby(
+            "nk", as_index=False).agg(numcust=("cents", "size"),
+                                      cents=("cents", "sum"))
+        return pa.table({
+            "n_name": pa.array([nat_s[int(x)] for x in g["nk"]],
+                               type=pa.string()),
+            "numcust": pa.array(g["numcust"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["totacctbal"] = df["cents"].to_numpy(np.int64) / 100.0
+        return df[["n_name", "numcust", "totacctbal"]].astype(
+            {"numcust": np.int64})
+
+    return (
+        _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("cents", alias_name="cents"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def q_unshipped_orders_topk(sf_dir: str):
+    """Segment-filtered shipping-priority top-k (TPC-H Q3 shape):
+    revenue still unshipped as of 1997-06-01 for BUILDING-segment
+    customers, top 10 orders. The segment key set broadcasts (customer
+    is the smaller dim; the anti-join dispatch note applies); orders
+    and per-batch (orderkey → cents) lineitem partials co-partition by
+    orderkey bucket; every bucket emits only its local top 10, so the
+    final exact sort touches ≤ 10 × buckets rows."""
+    cut = _ts_us("1997-06-01")
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bld = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"],
+                                    pa.scalar("BUILDING"))),
+        batch_format="pyarrow")
+    bkeys = np.array(sorted(bld.unique("c_custkey")), dtype=np.int64)
+    ref = ray.put(bkeys)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        bkeys_s = _bget_slot("unshipped_orders_topk", ref)
+        t = t.filter(pc.less(t["o_orderdate"], cut))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(bkeys_s):
+            idx = np.searchsorted(bkeys_s, ck)
+            np.minimum(idx, len(bkeys_s) - 1, out=idx)
+            in_seg = bkeys_s[idx] == ck
+        else:
+            in_seg = np.zeros(len(ck), dtype=bool)
+        t = t.filter(pa.array(in_seg))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "t_us": pa.array(_dt_i64(t["o_orderdate"])),
+            "prio": t["o_orderpriority"],
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _rev_cents(t)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "part": pa.array(uk % parts, type=pa.int64()),
+            "okey": pa.array(uk),
+            "cents": pa.array(s),
+            "t_us": pa.array(np.zeros(len(uk), dtype=np.int64)),
+            "prio": pa.array([""] * len(uk), type=pa.string()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64),
+            "od_us": pd.Series([], dtype=np.int64),
+            "o_orderpriority": pd.Series([], dtype=str)})
+        o = df[df["prio"] != ""]
+        li = df[df["prio"] == ""]
+        if o.empty or li.empty:
+            return empty
+        k = li["okey"].to_numpy(np.int64)
+        v = li["cents"].to_numpy(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, v)
+        ok = o["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(uk, ok)
+        np.minimum(idx, max(len(uk) - 1, 0), out=idx)
+        hit = uk[idx] == ok
+        if not hit.any():
+            return empty
+        out = pd.DataFrame({
+            "l_orderkey": ok[hit],
+            "cents": s[idx[hit]],
+            "od_us": o["t_us"].to_numpy(np.int64)[hit],
+            "o_orderpriority": o["prio"].to_numpy()[hit],
+        })
+        return out.sort_values(["cents", "l_orderkey"],
+                               ascending=[False, True],
+                               kind="stable").head(10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype(np.int64),
+            "revenue": df["cents"].to_numpy(np.int64) / 100.0,
+            "o_orderdate": df["od_us"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "o_orderpriority": df["o_orderpriority"].astype(str),
+        })
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_orderpriority"])
+    items = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+    with _shuffle_scaled(n_rows * 24):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort(["cents", "l_orderkey"], descending=[True, False])
+            .limit(10)
+            .map_batches(finish, batch_format="pandas")
+        )
+
+
+# --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
 
@@ -6620,6 +7290,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_neardup_verified": q_image_neardup_verified,
     "hopping_distinct_users": q_hopping_distinct_users,
     "bigram_lift": q_bigram_lift,
+    "order_priority_counts": q_order_priority_counts,
+    "priority_linecounts": q_priority_linecounts,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "brand_supplier_cnt": q_brand_supplier_cnt,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
+    "unshipped_orders_topk": q_unshipped_orders_topk,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -7131,5 +7810,97 @@ ORACLE_SQL: dict[str, str] = {
         "FROM bgc CROSS JOIN n "
         "JOIN ugc u1 ON u1.w = bgc.w1 JOIN ugc u2 ON u2.w = bgc.w2 "
         "WHERE n_pair >= 20 ORDER BY lift DESC, w1, w2 LIMIT 20"
+    ),
+    "order_priority_counts": (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders "
+        "WHERE o_orderdate >= DATE '1997-01-01' "
+        "AND o_orderdate < DATE '1997-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY 1"
+    ),
+    "priority_linecounts": (
+        "SELECT l_returnflag, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END)::BIGINT AS high_lines, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END)::BIGINT AS low_lines "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= DATE '1997-01-01' "
+        "AND l_shipdate < DATE '1998-01-01' GROUP BY 1"
+    ),
+    "promo_revenue_pct": (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "ELSE 0 END) / sum(CAST(round(l_extendedprice * (1 - l_discount) "
+        "* 100) AS BIGINT)), 4) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= DATE '1997-09-01' "
+        "AND l_shipdate < DATE '1997-12-01'"
+    ),
+    "top_supplier_revenue": (
+        "WITH r AS (SELECT l_suppkey, sum(CAST(round(l_extendedprice * "
+        "(1 - l_discount) * 100) AS BIGINT)) AS c FROM lineitem "
+        "WHERE l_shipdate >= DATE '1997-01-01' "
+        "AND l_shipdate < DATE '1997-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, c / 100.0 AS total_revenue "
+        "FROM r JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE c = (SELECT max(c) FROM r)"
+    ),
+    "brand_supplier_cnt": (
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3"
+    ),
+    "disjunctive_revenue": (
+        "SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) / 100.0 AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+        "(p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "waiting_suppliers": (
+        "WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+        "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN 1 ELSE 0 END) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+        "o AS (SELECT ok, count(*) AS nsup, sum(late) AS nlate "
+        "FROM l GROUP BY 1), "
+        "w AS (SELECT l.sk FROM l JOIN o USING (ok) "
+        "WHERE l.late = 1 AND o.nsup >= 2 AND o.nlate = 1) "
+        "SELECT s_name, count(*)::BIGINT AS numwait "
+        "FROM w JOIN supplier ON sk = s_suppkey "
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"
+    ),
+    "idle_rich_customers": (
+        "WITH thr AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+        "/ 100.0 / count(*) AS v FROM customer WHERE c_acctbal > 0) "
+        "SELECT n_name, count(*)::BIGINT AS numcust, "
+        "sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey, thr "
+        "WHERE c_acctbal > thr.v AND c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders "
+        "WHERE o_orderdate >= DATE '1999-06-01') GROUP BY 1"
+    ),
+    "unshipped_orders_topk": (
+        "SELECT l_orderkey, sum(CAST(round(l_extendedprice * "
+        "(1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < DATE '1997-06-01' "
+        "AND l_shipdate > DATE '1997-06-01' "
+        "GROUP BY 1, 3, 4 ORDER BY revenue DESC, l_orderkey LIMIT 10"
     ),
 }

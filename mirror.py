@@ -52,7 +52,7 @@ def _value_sha(df: pd.DataFrame) -> str:
         df.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
 
 
-def run_mirror(sf_dir: str) -> dict:
+def run_mirror(sf_dir: str, only: list[str] | None = None) -> dict:
     import duckdb
     import ray.data
 
@@ -67,6 +67,11 @@ def run_mirror(sf_dir: str) -> dict:
         con.sql(f"CREATE VIEW {t} AS FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     results: dict[str, dict] = {}
+    if only:
+        missing = sorted(set(only) - set(qs))
+        if missing:
+            raise SystemExit(f"--only: unknown queries {missing}")
+        qs = {k: qs[k] for k in only}
     for name in sorted(qs):
         t0 = time.time()
         rec: dict = {"rows_match": False, "schema_match": False,
@@ -104,6 +109,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of queries() to run")
     args = ap.parse_args()
 
     import ray
@@ -119,7 +126,8 @@ def main() -> int:
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    results = run_mirror(args.sf)
+    results = run_mirror(
+        args.sf, only=args.only.split(",") if args.only else None)
     ray.shutdown()
 
     n = len(results)
