@@ -7169,6 +7169,260 @@ def q_unshipped_orders_topk(sf_dir: str):
         )
 
 
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """Argmin-with-ties per group over a join (TPC-H Q2 shape,
+    lineitem unit price standing in for the missing partsupp
+    supplycost): for every size-15 part, the supplier observed selling
+    it at the lowest unit price (ties → lowest suppkey), with name and
+    nation attached. Per-batch partials keep ONE lexicographic-min
+    (price, suppkey) row per part — an order-free combine, so any
+    partitioning yields the oracle's row_number()=1 row — then one
+    part-bucket exchange re-reduces and the supplier/nation dims
+    broadcast for the final attach. Unit price is the pointwise double
+    ext/qty both engines compute, so min/tie comparisons are
+    bit-identical."""
+    pk, (psize,) = _part_lookup(sf_dir, ["p_size"])
+    elig = np.sort(pk[psize.astype(np.int64) == 15])
+    sup = _tbl(sf_dir, "supplier",
+               ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+    sup["n_name"] = sup["s_nationkey"].map(nat)
+    sup = sup.sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snames = sup["s_name"].to_numpy()
+    nnames = sup["n_name"].to_numpy()
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"), hi=32)
+    ref = ray.put(elig)
+
+    def _reduce(k: np.ndarray, price: np.ndarray, sk: np.ndarray):
+        order_ = np.lexsort((sk, price, k))
+        k, price, sk = k[order_], price[order_], sk[order_]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        return k[first], price[first], sk[first]
+
+    def partial(t: pa.Table) -> pa.Table:
+        elig_s = _bget_slot("cheapest_supplier_eligible", ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(elig_s):
+            idx = np.searchsorted(elig_s, k)
+            np.minimum(idx, len(elig_s) - 1, out=idx)
+            m = elig_s[idx] == k
+        else:
+            m = np.zeros(len(k), dtype=bool)
+        k = k[m]
+        price = (t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+                 / t["l_quantity"].to_numpy(zero_copy_only=False)[m])
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[m]
+        uk, up, us = _reduce(k, price, sk)
+        return pa.table({"part": pa.array(uk % parts, type=pa.int64()),
+                         "p_partkey": pa.array(uk),
+                         "unit_price": pa.array(up),
+                         "sk": pa.array(us)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        uk, up, us = _reduce(df["p_partkey"].to_numpy(np.int64),
+                             df["unit_price"].to_numpy(np.float64),
+                             df["sk"].to_numpy(np.int64))
+        sidx = np.searchsorted(skeys, us)
+        return pd.DataFrame({
+            "p_partkey": uk,
+            "s_name": snames[sidx].astype(str),
+            "n_name": nnames[sidx].astype(str),
+            "unit_price": up,
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def q_nation_trade_matrix(sf_dir: str):
+    """Two-sided dimension attach + pair rollup (TPC-H Q7 shape):
+    1997 discounted revenue between every (supplier nation, customer
+    nation) pair. The supplier map broadcasts (tiny); the customer →
+    nation map broadcasts onto the ORDERS scan (customer is ~1/10 of
+    orders — the anti-join size-dispatch note applies); the only
+    exchange is the lineitem↔orders orderkey-bucket co-partition,
+    where lineitem arrives pre-combined to per-batch (orderkey,
+    supplier-nation) cents partials and each bucket collapses to ≤
+    |nations|² rows before the final pair groupby."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1998-01-01")
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+    sup = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snat = sup["s_nationkey"].to_numpy(np.int64)
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    cnat = cust["c_nationkey"].to_numpy(np.int64)
+    ref = ray.put((skeys, snat, ckeys, cnat, nat))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        _, _, ck_s, cn_s, _ = _bget_slot("nation_trade_matrix", ref)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cn_s[np.searchsorted(ck_s, ck)]
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "nid": pa.array(cn),
+            "cents": pa.array(np.full(len(k), -1, dtype=np.int64)),
+            "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        sk_s, sn_s, _, _, _ = _bget_slot("nation_trade_matrix", ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sn = sn_s[np.searchsorted(sk_s,
+                                  t["l_suppkey"].to_numpy(
+                                      zero_copy_only=False))]
+        g = pd.DataFrame({"okey": k, "nid": sn, "cents": _rev_cents(t)})
+        g = g.groupby(["okey", "nid"], as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size"))
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        return _arrow_out(g[["part", "okey", "nid", "cents", "n"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "supp_nid": pd.Series([], dtype=np.int64),
+            "cust_nid": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64),
+            "n_lines": pd.Series([], dtype=np.int64)})
+        o = df[df["cents"] < 0]
+        li = df[df["cents"] >= 0]
+        if o.empty or li.empty:
+            return empty
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, ocn = ok[order_], o["nid"].to_numpy(np.int64)[order_]
+        k = li["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        li = li[hit]
+        g = pd.DataFrame({
+            "supp_nid": li["nid"].to_numpy(np.int64),
+            "cust_nid": ocn[idx[hit]],
+            "cents": li["cents"].to_numpy(np.int64),
+            "n_lines": li["n"].to_numpy(np.int64),
+        }).groupby(["supp_nid", "cust_nid"], as_index=False).sum()
+        return g.astype({"cents": np.int64, "n_lines": np.int64})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "supp_nation": df["supp_nid"].map(nat).astype(str),
+            "cust_nation": df["cust_nid"].map(nat).astype(str),
+            "revenue": df["cents"].to_numpy(np.int64) / 100.0,
+            "n_lines": df["n_lines"].astype(np.int64),
+        })
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount", "l_shipdate"])
+    with _shuffle_scaled(n_rows * 32):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby(["supp_nid", "cust_nid"])
+            .aggregate(Sum("cents", alias_name="cents"),
+                       Sum("n_lines", alias_name="n_lines"))
+            .map_batches(finish, batch_format="pandas")
+        )
+
+
+def q_rolling_avg_user_value(sf_dir: str):
+    """Bounded-preceding window aggregate (ROWS 6 PRECEDING): each
+    event's 7-row rolling average of value over the SAME user's
+    history ordered by (ts, event_id). ONE user-hash exchange (the
+    asof-join partitioning assumption: a user's history fits its
+    partition); inside each bucket the window is a vectorized
+    segment-reset cumsum — no per-user loop, no per-row window scan.
+    Values ride as exact 2-decimal cents, and the emitted average is
+    the identical (cents/100)/count double expression the oracle
+    computes, so the floats match bit-for-bit."""
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = _copart_count(n_ev)
+    win = 7
+
+    def tag(t: pa.Table) -> pa.Table:
+        cents = _round_half_up(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = t.append_column("cents", pa.array(cents))
+        return _append_user_part(t.select(
+            ["event_id", "user_id", "ts", "cents"]), parts)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "rolling_avg": pd.Series([], dtype=np.float64)})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.zeros(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = u[1:] != u[:-1]
+        start = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        lo = np.maximum(start, idx - (win - 1))
+        cs = np.concatenate([[0], np.cumsum(c)])
+        wsum = cs[idx + 1] - cs[lo]
+        cnt = idx - lo + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "rolling_avg": (wsum / 100.0) / cnt,
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def q_ntile_docs(sf_dir: str):
+    """NTILE(4) over a global order — composes directly on the
+    global-rank operator (q_global_rank_docs: two-pass histogram
+    offsets, no distributed sort): quartile boundaries are pure
+    integer arithmetic on the exact rank, computed map-side. First
+    N % 4 quartiles take ceil(N/4) rows — SQL NTILE semantics."""
+    n = _tbl_rows(sf_dir, "documents")
+    k = 4
+    base, rem = divmod(n, k)
+
+    def quartile(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        big = (base + 1) * rem
+        q = np.where(r < big,
+                     r // max(base + 1, 1),
+                     rem + (r - big) // max(base, 1))
+        return pa.table({"doc_id": t["doc_id"],
+                         "quartile": pa.array(q + 1, type=pa.int64())})
+
+    return q_global_rank_docs(sf_dir).map_batches(
+        quartile, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -7299,6 +7553,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "waiting_suppliers": q_waiting_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "unshipped_orders_topk": q_unshipped_orders_topk,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "nation_trade_matrix": q_nation_trade_matrix,
+    "rolling_avg_user_value": q_rolling_avg_user_value,
+    "ntile_docs": q_ntile_docs,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -7902,5 +8160,39 @@ ORACLE_SQL: dict[str, str] = {
         "AND o_orderdate < DATE '1997-06-01' "
         "AND l_shipdate > DATE '1997-06-01' "
         "GROUP BY 1, 3, 4 ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "cheapest_supplier_per_part": (
+        "SELECT p_partkey, s_name, n_name, unit_price FROM ("
+        "SELECT l_partkey AS p_partkey, l_suppkey, "
+        "l_extendedprice / l_quantity AS unit_price, "
+        "row_number() OVER (PARTITION BY l_partkey "
+        "ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn "
+        "FROM lineitem JOIN part ON l_partkey = part.p_partkey "
+        "WHERE p_size = 15) t "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey WHERE rn = 1"
+    ),
+    "nation_trade_matrix": (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) / 100.0 AS revenue, count(*)::BIGINT AS n_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "WHERE l_shipdate >= DATE '1997-01-01' "
+        "AND l_shipdate < DATE '1998-01-01' GROUP BY 1, 2"
+    ),
+    "rolling_avg_user_value": (
+        "SELECT event_id, "
+        "(sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0) "
+        "/ count(*) OVER w AS rolling_avg FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    ),
+    "ntile_docs": (
+        "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)"
+        "::BIGINT AS quartile FROM documents"
     ),
 }
