@@ -337,8 +337,16 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
     }))
     n_ord = max(n // 4, 1)
     n_cust = max(n_ord // 10, 1)
-    odate = (base + (rng.integers(0, span, size=n_ord) // us_day)
+    # orders/lineitem live on the testdata's 1995-2001 calendar so the
+    # TPC-H-shaped fixed windows (1997…) select the same ~fraction they
+    # do on the driver tables; events keep their own base (its queries
+    # use relative/watermark windows only).
+    base_ol = np.int64(788_918_400_000_000)  # 1995-01-01 in epoch us
+    span_ol = np.int64(2400) * us_day
+    odate = (base_ol + (rng.integers(0, span_ol, size=n_ord) // us_day)
              * us_day).astype("datetime64[us]")
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"], dtype=object)
     _write("orders.parquet", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
         "o_orderdate": pa.array(odate),
@@ -346,11 +354,53 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
                                            size=n_ord, dtype=np.int64)),
         "o_totalprice": pa.array(
             np.round(900.0 + rng.random(n_ord) * 454100.0, 2)),
+        "o_orderpriority": pa.array(prio[rng.integers(0, 5, size=n_ord)],
+                                    type=pa.string()),
+        "o_orderstatus": pa.array(
+            np.array(["P", "O", "F"], dtype=object)[
+                rng.integers(0, 3, size=n_ord)], type=pa.string()),
     }))
+    seg = np.array(["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING",
+                    "FURNITURE"], dtype=object)
     _write("customer.parquet", pa.table({
         "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_acctbal": pa.array(
+            np.round(-1000.0 + rng.random(n_cust) * 11000.0, 2)),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n_cust,
+                                             dtype=np.int32)),
+        "c_mktsegment": pa.array(seg[rng.integers(0, 5, size=n_cust)],
+                                 type=pa.string()),
     }))
-    sdate = (base + (rng.integers(0, span, size=n) // us_day)
+    n_part = max(n // 25, 1)
+    _write("part.parquet", pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_brand": pa.array(
+            np.array([f"Brand#{i}" for i in range(1, 26)], dtype=object)[
+                rng.integers(0, 25, size=n_part)], type=pa.string()),
+        "p_type": pa.array(
+            np.array(["MEDIUM", "STANDARD", "LARGE", "PROMO", "SMALL",
+                      "ECONOMY"], dtype=object)[
+                rng.integers(0, 6, size=n_part)], type=pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, size=n_part,
+                                        dtype=np.int32)),
+    }))
+    n_sup = max(n // 500, 1)
+    _write("supplier.parquet", pa.table({
+        "s_suppkey": pa.array(np.arange(n_sup, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_sup)],
+                           type=pa.string()),
+        "s_acctbal": pa.array(
+            np.round(-1000.0 + rng.random(n_sup) * 11000.0, 2)),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n_sup,
+                                             dtype=np.int32)),
+    }))
+    _write("nation.parquet", pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)],
+                           type=pa.string()),
+        "n_regionkey": pa.array((np.arange(25, dtype=np.int32) % 5)),
+    }))
+    sdate = (base_ol + (rng.integers(0, span_ol, size=n) // us_day)
              * us_day).astype("datetime64[us]")
     _write("lineitem.parquet", pa.table({
         "l_shipdate": pa.array(sdate),
@@ -366,6 +416,7 @@ def synth_join_tables(n: int, out_dir: str, seed: int = 7) -> None:
                 rng.integers(0, 2, size=n)], type=pa.string()),
         "l_extendedprice": pa.array(
             np.round(900.0 + rng.random(n) * 104100.0, 2)),
+        "l_discount": pa.array(np.round(rng.random(n) * 0.1, 2)),
         "l_quantity": pa.array(
             rng.integers(1, 51, size=n).astype(np.float64)),
         "l_partkey": pa.array(rng.integers(0, max(n // 25, 1), size=n,
@@ -378,7 +429,9 @@ def joinstress() -> None:
     ~50× the sf0.1 events table (GRAFT_JOIN_N, default 5M events, 5M
     lineitems, 1.25M orders). Reported rows/s per op → BASELINE.md."""
     n = int(os.environ.get("GRAFT_JOIN_N", "5000000"))
-    d = f"/tmp/bench_join_{n}_v4"  # v4: + l_partkey, o_totalprice, customer
+    # v5: + priority/status/discount + part/supplier/nation dims for the
+    # TPC-H decision-support family (#117-128)
+    d = f"/tmp/bench_join_{n}_v5"
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "lineitem.parquet")):
         t0 = time.time()
@@ -391,7 +444,13 @@ def joinstress() -> None:
              "retention_cohorts", "custdist_orders", "small_qty_revenue",
              "large_orders_qty", "user_top_event",
              "distinct_users_per_type", "user_daily_gapfill",
-             "hopping_distinct_users"], d,
+             "hopping_distinct_users",
+             "order_priority_counts", "priority_linecounts",
+             "promo_revenue_pct", "top_supplier_revenue",
+             "brand_supplier_cnt", "disjunctive_revenue",
+             "waiting_suppliers", "idle_rich_customers",
+             "unshipped_orders_topk", "cheapest_supplier_per_part",
+             "nation_trade_matrix", "rolling_avg_user_value"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
