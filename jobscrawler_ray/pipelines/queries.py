@@ -7423,6 +7423,487 @@ def q_ntile_docs(sf_dir: str):
         quartile, batch_format="pyarrow")
 
 
+def q_forecast_revenue(sf_dir: str):
+    """Filter + global scalar sum (TPC-H Q6 shape): 1997 revenue that
+    WOULD have been earned without mid-band discounts —
+    sum(extendedprice * discount) over quantity < 24 rows discounted
+    4-6%. Purely map-only: each batch folds to one int64 cents partial
+    and a trivially small merge emits the scalar; nothing shuffles.
+    Discount bounds compare the SAME stored double against the SAME
+    literal in both engines, and the summand rides as exact cents
+    (round(ext*disc*100)), so the result is bit-identical on any
+    partitioning."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1998-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (disc >= 0.04) & (disc <= 0.06) & (qty < 24.0)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        cents = _round_half_up(ext * disc[m] * 100.0, 0).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())],
+                                           type=pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        total = pc.sum(t["cents"]).as_py() or 0
+        return pa.table({"revenue": pa.array([total / 100.0],
+                                             type=pa.float64())})
+
+    return (
+        _tbl(sf_dir, "lineitem",
+             ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+def q_market_share(sf_dir: str):
+    """Per-year market-share ratio through a two-sided dimension star
+    (TPC-H Q8 shape): NATION_7 suppliers' share of ASIA customers'
+    1996-1997 ECONOMY-part revenue, per order year. Three broadcasts
+    (part-eligibility bitmap, suppkey→is-NATION_7, custkey→in-ASIA via
+    the composed nation→region chain) keep both fact scans map-only;
+    the ONLY exchange is the lineitem↔orders orderkey co-partition
+    (nation_trade_matrix's marker-row union), and each bucket collapses
+    to ≤ |years| rows before the final year groupby. Numerator and
+    denominator ride as exact integer cents so the final int/int
+    round(.,4) matches DuckDB bit-for-bit."""
+    lo, hi = _ts_us("1996-01-01"), _ts_us("1998-01-01")
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    pk, (ptype,) = _part_lookup(sf_dir, ["p_type"])
+    elig = np.sort(pk[ptype.astype(str) == "ECONOMY"])
+    sup = _tbl(sf_dir, "supplier",
+               ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    nat = {int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
+           for r in _tbl(sf_dir, "nation").take_all()}
+    reg = {int(r["r_regionkey"]): r["r_name"]
+           for r in _tbl(sf_dir, "region").take_all()}
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    s_is_n7 = np.array([nat[int(n)][0] == "NATION_7"
+                        for n in sup["s_nationkey"]], dtype=bool)
+    cust = _tbl(sf_dir, "customer",
+                ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    c_in_asia = np.array([reg[nat[int(n)][1]] == "ASIA"
+                          for n in cust["c_nationkey"]], dtype=bool)
+    ref = ray.put((elig, skeys, s_is_n7, ckeys, c_in_asia))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        _, _, _, ck_s, ca_s = _bget_slot("market_share", ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        m = ca_s[np.searchsorted(ck_s, ck)]
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        yr = (t["o_orderdate"].to_numpy(zero_copy_only=False)[m]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "o_year": pa.array(yr, type=pa.int64()),
+            "n7_cents": pa.array(np.full(len(k), -1, dtype=np.int64)),
+            "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        elig_s, sk_s, n7_s, _, _ = _bget_slot("market_share", ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(elig_s):
+            idx = np.searchsorted(elig_s, k)
+            np.minimum(idx, len(elig_s) - 1, out=idx)
+            m = elig_s[idx] == k
+        else:
+            m = np.zeros(len(k), dtype=bool)
+        t = t.filter(pa.array(m))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _rev_cents(t)
+        n7 = n7_s[np.searchsorted(
+            sk_s, t["l_suppkey"].to_numpy(zero_copy_only=False))]
+        g = pd.DataFrame({"okey": ok,
+                          "n7_cents": np.where(n7, cents, 0),
+                          "cents": cents})
+        g = g.groupby("okey", as_index=False).sum()
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        g["o_year"] = np.int64(0)
+        return _arrow_out(g[["part", "okey", "o_year", "n7_cents", "cents"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "n7_cents": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64)})
+        o = df[df["n7_cents"] < 0]
+        li = df[df["n7_cents"] >= 0]
+        if o.empty or li.empty:
+            return empty
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, oyr = ok[order_], o["o_year"].to_numpy(np.int64)[order_]
+        k = li["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        g = pd.DataFrame({
+            "o_year": oyr[idx[hit]],
+            "n7_cents": li["n7_cents"].to_numpy(np.int64)[hit],
+            "cents": li["cents"].to_numpy(np.int64)[hit],
+        }).groupby("o_year", as_index=False).sum()
+        return g.astype({"n7_cents": np.int64, "cents": np.int64})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": df["o_year"].astype(np.int64),
+            "mkt_share": _round_half_up(
+                df["n7_cents"].to_numpy(np.float64)
+                / df["cents"].to_numpy(np.float64), 4),
+        })
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"])
+    with _shuffle_scaled(n_rows * 24):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("o_year")
+            .aggregate(Sum("n7_cents", alias_name="n7_cents"),
+                       Sum("cents", alias_name="cents"))
+            .map_batches(finish, batch_format="pandas")
+        )
+
+
+def q_product_profit(sf_dir: str):
+    """Profit rollup by (supplier nation, order year) over a
+    name-filtered part family (TPC-H Q9 shape, part retailprice × 20%
+    standing in for the missing partsupp supplycost): profit =
+    extendedprice*(1-discount) − retailprice*quantity*0.2 for parts
+    named 'red …'. Part (eligibility + retail price) and supplier
+    (nation) broadcast; the orderkey co-partition attaches the order
+    year exactly as in q_market_share; per-batch (okey, nation)
+    combines bound what the exchange carries. Profit is ONE pointwise
+    double expression rounded to cents — identical in numpy and
+    DuckDB — so partial sums match bit-for-bit."""
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    pk, (pname, pretail) = _part_lookup(sf_dir, ["p_name", "p_retailprice"])
+    is_red = np.array([str(s).startswith("red") for s in pname], dtype=bool)
+    elig = pk[is_red]
+    retail = pretail.astype(np.float64)[is_red]
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+    sup = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snat = sup["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put((elig, retail, skeys, snat))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        yr = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "nid": pa.array(yr, type=pa.int64()),
+            "cents": pa.array(np.full(len(k), 1, dtype=np.int64)),
+            "is_order": pa.array(np.ones(len(k), dtype=np.int64)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        elig_s, retail_s, sk_s, sn_s = _bget_slot("product_profit", ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(elig_s):
+            idx = np.searchsorted(elig_s, k)
+            np.minimum(idx, len(elig_s) - 1, out=idx)
+            m = elig_s[idx] == k
+        else:
+            idx = np.zeros(len(k), dtype=np.int64)
+            m = np.zeros(len(k), dtype=bool)
+        t2 = t.filter(pa.array(m))
+        ext = t2["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t2["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t2["l_quantity"].to_numpy(zero_copy_only=False)
+        amount = ext * (1.0 - disc) - retail_s[idx[m]] * qty * 0.2
+        cents = _round_half_up(amount * 100.0, 0).astype(np.int64)
+        ok = t2["l_orderkey"].to_numpy(zero_copy_only=False)
+        sn = sn_s[np.searchsorted(
+            sk_s, t2["l_suppkey"].to_numpy(zero_copy_only=False))]
+        g = pd.DataFrame({"okey": ok, "nid": sn, "cents": cents})
+        g = g.groupby(["okey", "nid"], as_index=False).sum()
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        g["is_order"] = np.int64(0)
+        return _arrow_out(g[["part", "okey", "nid", "cents", "is_order"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "nid": pd.Series([], dtype=np.int64),
+            "o_year": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64)})
+        o = df[df["is_order"] == 1]
+        li = df[df["is_order"] == 0]
+        if o.empty or li.empty:
+            return empty
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, oyr = ok[order_], o["nid"].to_numpy(np.int64)[order_]
+        k = li["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        g = pd.DataFrame({
+            "nid": li["nid"].to_numpy(np.int64)[hit],
+            "o_year": oyr[idx[hit]],
+            "cents": li["cents"].to_numpy(np.int64)[hit],
+        }).groupby(["nid", "o_year"], as_index=False).sum()
+        return g.astype({"cents": np.int64})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": df["nid"].map(nat).astype(str),
+            "o_year": df["o_year"].astype(np.int64),
+            "sum_profit": df["cents"].to_numpy(np.int64) / 100.0,
+        })
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"])
+    with _shuffle_scaled(n_rows * 24):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby(["nid", "o_year"])
+            .aggregate(Sum("cents", alias_name="cents"))
+            .map_batches(finish, batch_format="pandas")
+        )
+
+
+def q_returned_item_report(sf_dir: str):
+    """Returned-item revenue top-k (TPC-H Q10 shape): the 20 customers
+    losing the most Q1-1997 revenue to returns ('R' lineitems joined
+    to the quarter's orders), with name and nation attached AFTER the
+    limit via a key-pruned point read (top_customers_by_spend's
+    attach-after-limit pattern — the customer dimension is never
+    broadcast or collected). The orderkey co-partition joins the two
+    filtered facts; per-bucket (custkey, cents) partials make the
+    custkey groupby exchange return-rate-bounded."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1997-04-01")
+    n_rows = _tbl_rows(sf_dir, "lineitem") + _tbl_rows(sf_dir, "orders")
+    parts = _copart_count(n_rows)
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "ckey": pa.array(t["o_custkey"].to_numpy(zero_copy_only=False)),
+            "cents": pa.array(np.full(len(k), -1, dtype=np.int64)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"okey": k, "cents": _rev_cents(t)})
+        g = g.groupby("okey", as_index=False).sum()
+        g["part"] = (g["okey"] % parts).astype(np.int64)
+        g["ckey"] = np.int64(-1)
+        return _arrow_out(g[["part", "okey", "ckey", "cents"]])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64)})
+        o = df[df["cents"] < 0]
+        li = df[df["cents"] >= 0]
+        if o.empty or li.empty:
+            return empty
+        ok = o["okey"].to_numpy(np.int64)
+        order_ = np.argsort(ok, kind="stable")
+        ok, ock = ok[order_], o["ckey"].to_numpy(np.int64)[order_]
+        k = li["okey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, k)
+        np.minimum(idx, max(len(ok) - 1, 0), out=idx)
+        hit = ok[idx] == k
+        if not hit.any():
+            return empty
+        g = pd.DataFrame({
+            "c_custkey": ock[idx[hit]],
+            "cents": li["cents"].to_numpy(np.int64)[hit],
+        }).groupby("c_custkey", as_index=False).sum()
+        return g.astype({"cents": np.int64})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [int(k) for k in df["c_custkey"]]
+        t = papq.read_table(cust_path,
+                            columns=["c_custkey", "c_name", "c_nationkey"],
+                            filters=[("c_custkey", "in", keys)])
+        name = dict(zip(t["c_custkey"].to_pylist(), t["c_name"].to_pylist()))
+        cn = dict(zip(t["c_custkey"].to_pylist(),
+                      t["c_nationkey"].to_pylist()))
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype(np.int64),
+            "c_name": df["c_custkey"].map(name).astype(str),
+            "revenue": df["cents"].to_numpy(np.int64) / 100.0,
+            "n_name": df["c_custkey"].map(
+                lambda k: nat[int(cn[int(k)])]).astype(str),
+        })
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _tbl(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag",
+                  "l_extendedprice", "l_discount"])
+    with _shuffle_scaled(n_rows * 16):
+        return (
+            items.map_batches(tag_items, batch_format="pyarrow")
+            .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("c_custkey")
+            .aggregate(Sum("cents", alias_name="cents"))
+            .sort(["cents", "c_custkey"], descending=[True, False])
+            .limit(20)
+            .map_batches(attach, batch_format="pandas", batch_size=1 << 30)
+        )
+
+
+def q_important_parts(sf_dir: str):
+    """Group sum vs a global-total scalar (TPC-H Q11 shape, lineitem
+    revenue from NATION_3's suppliers standing in for the missing
+    partsupp value): parts whose revenue share exceeds 0.1% of the
+    nation's total. The supplier-nation bitmap broadcasts; one
+    partkey groupby over per-batch combined partials yields the
+    dimension-bounded per-part table, which MATERIALIZES (one row per
+    part — safe at any fact scale) so the global total and the filter
+    reuse the same pass instead of re-executing the groupby. The
+    share test compares integers (cents*1000 > total_cents) — no
+    float boundary."""
+    sup = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _tbl(sf_dir, "nation").take_all()}
+    elig = np.sort(sup["s_suppkey"].to_numpy(np.int64)[
+        np.array([nat[int(n)] == "NATION_3"
+                  for n in sup["s_nationkey"]], dtype=bool)])
+    ref = ray.put(elig)
+
+    def partial(t: pa.Table) -> pa.Table:
+        elig_s = _bget_slot("important_parts", ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(elig_s):
+            idx = np.searchsorted(elig_s, sk)
+            np.minimum(idx, len(elig_s) - 1, out=idx)
+            m = elig_s[idx] == sk
+        else:
+            m = np.zeros(len(sk), dtype=bool)
+        t = t.filter(pa.array(m))
+        g = pd.DataFrame({"p_partkey": t["l_partkey"].to_numpy(
+            zero_copy_only=False), "cents": _rev_cents(t)})
+        return _arrow_out(g.groupby("p_partkey", as_index=False).sum())
+
+    grouped = (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    total = sum(r["cents"] for r in
+                grouped.map_batches(
+                    lambda t: pa.table(
+                        {"cents": [pc.sum(t["cents"]).as_py() or 0]}),
+                    batch_format="pyarrow").take_all())
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cents"].to_numpy(np.int64) * 1000 > total]
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype(np.int64),
+            "value": df["cents"].to_numpy(np.int64) / 100.0,
+        })
+
+    return grouped.map_batches(keep, batch_format="pandas")
+
+
+def q_promo_suppliers(sf_dir: str):
+    """HAVING semi-join (TPC-H Q20 shape): suppliers who shipped more
+    than 300 units of 'red …' parts during 1997 — the candidates a
+    promotion would source from. The part-eligibility bitmap
+    broadcasts; quantities combine per batch to (suppkey, qty int)
+    partials so the suppkey groupby is supplier-dimension-bounded;
+    the HAVING filter and the name attach run on that tiny grouped
+    set (supplier broadcast). Quantities are integer-valued doubles
+    summed as int64 — exact on any partitioning."""
+    lo, hi = _ts_us("1997-01-01"), _ts_us("1998-01-01")
+    pk, (pname,) = _part_lookup(sf_dir, ["p_name"])
+    elig = np.sort(pk[np.array([str(s).startswith("red")
+                                for s in pname], dtype=bool)])
+    sup = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snames = sup["s_name"].to_numpy()
+    ref = ray.put(elig)
+
+    def partial(t: pa.Table) -> pa.Table:
+        elig_s = _bget_slot("promo_suppliers", ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(elig_s):
+            idx = np.searchsorted(elig_s, k)
+            np.minimum(idx, len(elig_s) - 1, out=idx)
+            m = elig_s[idx] == k
+        else:
+            m = np.zeros(len(k), dtype=bool)
+        g = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False)[m],
+            "qty": t["l_quantity"].to_numpy(
+                zero_copy_only=False)[m].astype(np.int64)})
+        return _arrow_out(g.groupby("s_suppkey", as_index=False).sum())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["qty"].to_numpy(np.int64) > 300]
+        if df.empty:
+            return pd.DataFrame({
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=str),
+                "total_qty": pd.Series([], dtype=np.int64)})
+        sk = df["s_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s_suppkey": sk,
+            "s_name": snames[np.searchsorted(skeys, sk)].astype(str),
+            "total_qty": df["qty"].to_numpy(np.int64),
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -7557,6 +8038,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "nation_trade_matrix": q_nation_trade_matrix,
     "rolling_avg_user_value": q_rolling_avg_user_value,
     "ntile_docs": q_ntile_docs,
+    "forecast_revenue": q_forecast_revenue,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_item_report": q_returned_item_report,
+    "important_parts": q_important_parts,
+    "promo_suppliers": q_promo_suppliers,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -8194,5 +8681,75 @@ ORACLE_SQL: dict[str, str] = {
     "ntile_docs": (
         "SELECT doc_id, ntile(4) OVER (ORDER BY n_chars, doc_id)"
         "::BIGINT AS quartile FROM documents"
+    ),
+    "forecast_revenue": (
+        "SELECT sum(CAST(round(l_extendedprice * l_discount * 100) "
+        "AS BIGINT)) / 100.0 AS revenue FROM lineitem "
+        "WHERE l_shipdate >= DATE '1997-01-01' "
+        "AND l_shipdate < DATE '1998-01-01' "
+        "AND l_discount >= CAST(0.04 AS DOUBLE) "
+        "AND l_discount <= CAST(0.06 AS DOUBLE) AND l_quantity < 24"
+    ),
+    "market_share": (
+        "WITH f AS (SELECT year(o_orderdate) AS o_year, "
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "AS cents, CASE WHEN sn.n_name = 'NATION_7' THEN "
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "ELSE 0 END AS n7_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+        "AND o_orderdate >= DATE '1996-01-01' "
+        "AND o_orderdate < DATE '1998-01-01') "
+        "SELECT o_year, round(CAST(sum(n7_cents) AS DOUBLE) / sum(cents), "
+        "4) AS mkt_share FROM f GROUP BY 1"
+    ),
+    "product_profit": (
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        "sum(CAST(round((l_extendedprice * (1 - l_discount) - "
+        "p_retailprice * l_quantity * CAST(0.2 AS DOUBLE)) * 100) "
+        "AS BIGINT)) / 100.0 AS sum_profit "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE 'red%' GROUP BY 1, 2"
+    ),
+    "returned_item_report": (
+        "SELECT c_custkey, c_name, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) / 100.0 AS revenue, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= DATE '1997-01-01' "
+        "AND o_orderdate < DATE '1997-04-01' AND l_returnflag = 'R' "
+        "GROUP BY 1, 2, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    "important_parts": (
+        "WITH v AS (SELECT l_partkey AS p_partkey, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) AS cents "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_3' GROUP BY 1), "
+        "t AS (SELECT sum(cents) AS total FROM v) "
+        "SELECT p_partkey, cents / 100.0 AS value FROM v, t "
+        "WHERE cents * 1000 > total"
+    ),
+    "promo_suppliers": (
+        "SELECT s_suppkey, s_name, total_qty FROM supplier JOIN ("
+        "SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE 'red%' "
+        "AND l_shipdate >= DATE '1997-01-01' "
+        "AND l_shipdate < DATE '1998-01-01' "
+        "GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300) "
+        "ON l_suppkey = s_suppkey"
     ),
 }
