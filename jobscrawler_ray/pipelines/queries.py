@@ -7904,6 +7904,226 @@ def q_promo_suppliers(sf_dir: str):
     )
 
 
+_MERGE_CUTOFF = "2024-01-21"
+
+
+def q_merge_upsert_users(sf_dir: str):
+    """CDC MERGE-INTO (upsert) shape: a per-user latest-row snapshot
+    (events before the cutoff) merged with a change stream (events at
+    or after it) — matched keys take the newer row and report
+    'updated', stream-only keys 'inserted', snapshot-only keys
+    'unchanged'. Both sides pre-combine per batch to ONE latest row
+    per user (lexmax on (ts, event_id) — order-free), so the single
+    user-hash exchange carries user-bounded rows, and the per-bucket
+    merge is a vectorized lexsort + run-tail pick, no per-user loop.
+    This is the write-side idempotency shape of the crawl sink
+    (sources/db_sink.py upsert grammar) expressed as a query."""
+    cut = _ts_us(_MERGE_CUTOFF)
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def latest_partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["ts"], cut) if side == 0
+                         else pc.greater_equal(t["ts"], cut))
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            ev = t["event_id"].to_numpy(zero_copy_only=False)
+            ts = _dt_i64(t["ts"])
+            order_ = np.lexsort((ev, ts, u))
+            u, ev, ts = u[order_], ev[order_], ts[order_]
+            last = np.ones(len(u), dtype=bool)
+            last[:-1] = u[1:] != u[:-1]
+            return pa.table({
+                "part": pa.array(u[last] % parts, type=pa.int64()),
+                "user_id": pa.array(u[last]),
+                "event_id": pa.array(ev[last]),
+                "ts_us": pa.array(ts[last]),
+                "side": pa.array(np.full(int(last.sum()), side,
+                                         dtype=np.int64)),
+            })
+        return fn
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "status": pd.Series([], dtype=str)})
+        u = df["user_id"].to_numpy(np.int64)
+        ev = df["event_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int64)
+        order_ = np.lexsort((ev, ts, u))
+        u, ev, ts, side = u[order_], ev[order_], ts[order_], side[order_]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        has = np.zeros((len(starts), 2), dtype=bool)
+        grp = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
+        has[grp, side] = True
+        status = np.where(has[:, 0] & has[:, 1], "updated",
+                          np.where(has[:, 1], "inserted", "unchanged"))
+        return pd.DataFrame({
+            "user_id": u[last],
+            "event_id": ev[last],
+            "ts": ts[last].astype("datetime64[us]"),
+            "status": status.astype(str),
+        })
+
+    ev_cols = ["event_id", "user_id", "ts"]
+    base = _tbl(sf_dir, "events", ev_cols).map_batches(
+        latest_partial(0), batch_format="pyarrow")
+    delta = _tbl(sf_dir, "events", ev_cols).map_batches(
+        latest_partial(1), batch_format="pyarrow")
+    return (
+        base.union(delta)
+        .groupby("part", num_partitions=parts)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_pareto_customers(sf_dir: str):
+    """2-D skyline (Pareto frontier): customers not dominated on
+    (total spend, order count) — no other customer ≥ on both with one
+    strict. Uses the skyline reduction identity skyline(S) ⊆
+    ∪ skyline(block): per-batch local skylines over the grouped
+    metrics survive every global-frontier point, so ONE tiny coalesced
+    task computes the exact frontier from block-frontier survivors —
+    the fact table is never collected, and the final task's input is
+    bounded by Σ per-block frontier sizes, not N. Spend rides as
+    exact integer cents; the frontier test is pure integer compares."""
+
+    def spend_partial(df: pd.DataFrame):
+        cents = _round_half_up(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(np.int64),
+                          "cents": cents,
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return _arrow_out(g.groupby("c_custkey", as_index=False).sum())
+
+    def _skyline(ck: np.ndarray, s: np.ndarray, n: np.ndarray):
+        """Exact 2-D frontier: at each distinct spend level (desc) only
+        the level's max-n points can survive, and a level survives iff
+        its max n strictly exceeds every higher-spend level's."""
+        order_ = np.lexsort((ck, -n, -s))
+        ck, s, n = ck[order_], s[order_], n[order_]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        lvl_max = n[starts]  # sorted -n within level → first is max
+        run_prev = np.r_[np.iinfo(np.int64).min,
+                         np.maximum.accumulate(lvl_max)[:-1]]
+        lvl_keep = lvl_max > run_prev
+        grp = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(s)]))
+        keep = lvl_keep[grp] & (n == lvl_max[grp])
+        return ck[keep], s[keep], n[keep]
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        ck, s, n = _skyline(df["c_custkey"].to_numpy(np.int64),
+                            df["cents"].to_numpy(np.int64),
+                            df["n"].to_numpy(np.int64))
+        return pd.DataFrame({"c_custkey": ck, "cents": s, "n": n})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        ck, s, n = _skyline(df["c_custkey"].to_numpy(np.int64),
+                            df["cents"].to_numpy(np.int64),
+                            df["n"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "c_custkey": ck,
+            "total_spend": s / 100.0,
+            "n_orders": n,
+        })
+
+    return (
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(spend_partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n", alias_name="n"))
+        .map_batches(local_skyline, batch_format="pandas")
+        .map_batches(final, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_part_copurchase(sf_dir: str):
+    """Market-basket pair mining: part pairs bought together in ≥ 2
+    orders. ONE orderkey co-partition; inside each bucket the
+    (order, part) rows dedup vectorized (lexsort + run mask) and pair
+    expansion batches the orders BY BASKET SIZE — one triu gather per
+    distinct size, no per-order Python — so the fan-out is bounded by
+    max-basket-size² per row. Pair counts pre-combine per bucket,
+    then the pair exchange is a COARSE hash co-partition with a
+    bucket-local pandas sum — NOT Dataset.aggregate, whose sort-based
+    path costs ~50 s at ~100k distinct groups where the coarse-bucket
+    combine takes ~3 s (the same high-cardinality-groupby idiom as
+    the DF/vocab family). The frequent-pair output is
+    support-bounded, never materializing the pair space."""
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
+    min_support = 2
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts, type=pa.int64()),
+            "okey": pa.array(k),
+            "pkey": pa.array(t["l_partkey"].to_numpy(zero_copy_only=False)),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "pair": pd.Series([], dtype=np.int64),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "ppart": pd.Series([], dtype=np.int64)})
+        ok = df["okey"].to_numpy(np.int64)
+        pk = df["pkey"].to_numpy(np.int64)
+        order_ = np.lexsort((pk, ok))
+        ok, pk = ok[order_], pk[order_]
+        uniq = np.ones(len(ok), dtype=bool)
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[uniq], pk[uniq]
+        starts, ends = _key_runs(ok)
+        lens = ends - starts
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            st = starts[lens == m]
+            mat = pk[st[:, None] + np.arange(m)]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # pack the pair into ONE int64 (partkeys < 2^31) so the
+        # per-bucket combine and the exchange key stay single-column
+        g = pd.DataFrame({"pair": (a << np.int64(32)) | b,
+                          "n_orders": np.int64(1)})
+        g = g.groupby("pair", as_index=False).sum()
+        g["ppart"] = (g["pair"] % parts).astype(np.int64)
+        return g
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", as_index=False)["n_orders"].sum()
+        g = g[g["n_orders"].to_numpy(np.int64) >= min_support]
+        pair = g["pair"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_a": pair >> np.int64(32),
+            "part_b": pair & np.int64(0xFFFFFFFF),
+            "n_orders": g["n_orders"].to_numpy(np.int64),
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("ppart", num_partitions=parts)
+        .map_groups(pair_bucket, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -8044,6 +8264,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "returned_item_report": q_returned_item_report,
     "important_parts": q_important_parts,
     "promo_suppliers": q_promo_suppliers,
+    "merge_upsert_users": q_merge_upsert_users,
+    "pareto_customers": q_pareto_customers,
+    "part_copurchase": q_part_copurchase,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -8751,5 +8974,41 @@ ORACLE_SQL: dict[str, str] = {
         "AND l_shipdate < DATE '1998-01-01' "
         "GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300) "
         "ON l_suppkey = s_suppkey"
+    ),
+    "merge_upsert_users": (
+        "WITH b AS (SELECT user_id, event_id, ts FROM ("
+        "SELECT user_id, event_id, ts, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        f"FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}') "
+        "WHERE rn = 1), "
+        "d AS (SELECT user_id, event_id, ts FROM ("
+        "SELECT user_id, event_id, ts, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        f"FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}') "
+        "WHERE rn = 1) "
+        "SELECT user_id, coalesce(d.event_id, b.event_id) AS event_id, "
+        "coalesce(d.ts, b.ts) AS ts, "
+        "CASE WHEN b.user_id IS NULL THEN 'inserted' "
+        "WHEN d.user_id IS NULL THEN 'unchanged' "
+        "ELSE 'updated' END AS status "
+        "FROM b FULL JOIN d USING (user_id)"
+    ),
+    "pareto_customers": (
+        "WITH m AS (SELECT o_custkey AS c_custkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "
+        "count(*) AS n FROM orders GROUP BY 1) "
+        "SELECT c_custkey, cents / 100.0 AS total_spend, "
+        "n::BIGINT AS n_orders FROM m a "
+        "WHERE NOT EXISTS (SELECT 1 FROM m b "
+        "WHERE b.cents >= a.cents AND b.n >= a.n "
+        "AND (b.cents > a.cents OR b.n > a.n))"
+    ),
+    "part_copurchase": (
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "count(*)::BIGINT AS n_orders "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
     ),
 }
