@@ -450,7 +450,16 @@ def joinstress() -> None:
              "brand_supplier_cnt", "disjunctive_revenue",
              "waiting_suppliers", "idle_rich_customers",
              "unshipped_orders_topk", "cheapest_supplier_per_part",
-             "nation_trade_matrix", "rolling_avg_user_value"], d,
+             "nation_trade_matrix", "rolling_avg_user_value",
+             # v6 additions: warehouse trio + graph family. NOTE the
+             # synthetic parts are uniform-random, so the support>=2
+             # co-purchase graph is SPARSE (~1-2k edges at 5M rows) —
+             # triangle_count / bfs_reach here measure the pair-mining
+             # pass (their honest dominant cost); graph-stage-heavy
+             # timings live in BASELINE.md's sf0.1 notes where the
+             # part dimension is dense.
+             "merge_upsert_users", "pareto_customers", "part_copurchase",
+             "triangle_count", "bfs_reach", "decayed_revenue"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -573,7 +582,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints",
                      "ccnet_perplexity", "weighted_sample",
-                     "global_rank_docs", "bigram_lift"]
+                     "global_rank_docs", "bigram_lift", "kn_continuation"]
 
 
 def docstress() -> None:

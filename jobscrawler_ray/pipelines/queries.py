@@ -8045,8 +8045,10 @@ def q_pareto_customers(sf_dir: str):
     )
 
 
-def q_part_copurchase(sf_dir: str):
-    """Market-basket pair mining: part pairs bought together in ≥ 2
+def _copurchase_edges(sf_dir: str, min_support: int = 2):
+    """Market-basket pair mining kernel shared by ``part_copurchase``
+    and the graph ops built on its edge list (``triangle_count``,
+    ``bfs_reach``): part pairs bought together in ≥ ``min_support``
     orders. ONE orderkey co-partition; inside each bucket the
     (order, part) rows dedup vectorized (lexsort + run mask) and pair
     expansion batches the orders BY BASKET SIZE — one triu gather per
@@ -8059,7 +8061,6 @@ def q_part_copurchase(sf_dir: str):
     the DF/vocab family). The frequent-pair output is
     support-bounded, never materializing the pair space."""
     parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
-    min_support = 2
 
     def tag(t: pa.Table) -> pa.Table:
         k = t["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -8121,6 +8122,307 @@ def q_part_copurchase(sf_dir: str):
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("ppart", num_partitions=parts)
         .map_groups(pair_bucket, batch_format="pandas")
+    )
+
+
+def q_part_copurchase(sf_dir: str):
+    """Frequent co-purchase pairs (support ≥ 2) — the catalog surface
+    of the shared ``_copurchase_edges`` mining kernel."""
+    return _copurchase_edges(sf_dir)
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over the support≥2 co-purchase
+    graph (nodes = parts, edges = ``_copurchase_edges``): the
+    degree-ordered wedge-check algorithm. Every edge orients from the
+    lower-(degree, node) endpoint to the higher, capping any node's
+    out-degree at O(sqrt(m)) so total wedge volume is O(m^1.5)
+    regardless of hub skew; wedges and oriented edges then meet in a
+    COARSE hash co-partition of the packed (v, w) key and match
+    per bucket, ending in a scalar sum. Node degrees broadcast via
+    ``ray.put`` — the node set is the part DIMENSION (bounded far
+    below lineitem scale; the co-partitioned degree join is the
+    swap-in if the node table ever outgrows a broadcast). The edge
+    list is materialized once (support-bounded pair output, the same
+    boundedness argument as the minhash pair family) because two
+    downstream stages consume it."""
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    # degrees: per-batch value_counts partials over both endpoints,
+    # combined in one part-dimension-bounded task
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t["part_a"].to_numpy(zero_copy_only=False),
+                            t["part_b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, type=pa.int64()),
+                         "deg": pa.array(c, type=pa.int64())})
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["deg"].sum()
+        return g.astype(np.int64)
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .map_batches(deg_final, batch_format="pandas",
+                        batch_size=1 << 30).to_pandas())
+    nodes = deg["node"].to_numpy(np.int64)
+    degs = deg["deg"].to_numpy(np.int64)
+    ref = ray.put((nodes, degs))
+
+    def rank_of(keys: np.ndarray) -> np.ndarray:
+        """Total-order rank key (deg, node) packed into one int64 —
+        strict because node ids are distinct."""
+        nds, dgs = _bget_slot("triangle_count", ref)
+        d = dgs[np.searchsorted(nds, keys)]
+        return (d << np.int64(32)) | keys
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        swap = rank_of(a) > rank_of(b)
+        src = np.where(swap, b, a)
+        dst = np.where(swap, a, b)
+        return pa.table({
+            "part": pa.array(src % parts, type=pa.int64()),
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        })
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        """Per src-bucket: sort out-neighbors by rank inside each src
+        run, expand rank-ordered neighbor pairs batched by out-degree
+        (one triu gather per distinct size — no per-node Python)."""
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        rk = rank_of(dst)
+        order_ = np.lexsort((rk, src))
+        src, dst = src[order_], dst[order_]
+        starts, ends = _key_runs(src)
+        lens = ends - starts
+        packs = []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            st = starts[lens == m]
+            mat = dst[st[:, None] + np.arange(m)]
+            iu, ju = np.triu_indices(int(m), k=1)
+            packs.append((mat[:, iu].ravel() << np.int64(32))
+                         | mat[:, ju].ravel())
+        if not packs:
+            return _arrow_out(pd.DataFrame(
+                {"pack": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64),
+                 "is_edge": pd.Series([], dtype=bool),
+                 "ppart": pd.Series([], dtype=np.int64)}))
+        p = np.concatenate(packs)
+        g = pd.DataFrame({"pack": p, "n": np.int64(1)}).groupby(
+            "pack", as_index=False).sum()
+        g["is_edge"] = False
+        g["ppart"] = (g["pack"].to_numpy(np.int64) % parts)
+        return _arrow_out(g)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        pk = (s << np.int64(32)) | d
+        return pa.table({
+            "pack": pa.array(pk, type=pa.int64()),
+            "n": pa.array(np.zeros(len(pk), dtype=np.int64)),
+            "is_edge": pa.array(np.ones(len(pk), dtype=bool)),
+            "ppart": pa.array(pk % parts, type=pa.int64()),
+        })
+
+    def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.loc[df["is_edge"], "pack"].to_numpy(np.int64)
+        w = df.loc[~df["is_edge"]]
+        hit = np.isin(w["pack"].to_numpy(np.int64), e)
+        return pd.DataFrame({"n_triangles": [
+            np.int64(w["n"].to_numpy(np.int64)[hit].sum())]})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_triangles": [
+            np.int64(df["n_triangles"].to_numpy(np.int64).sum())]})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    wedge_ds = (oriented.groupby("part", num_partitions=parts)
+                .map_groups(wedges, batch_format="pandas"))
+    return (
+        wedge_ds.union(oriented.map_batches(edge_rows,
+                                            batch_format="pyarrow"))
+        .groupby("ppart", num_partitions=parts)
+        .map_groups(match_bucket, batch_format="pandas")
+        .map_batches(total, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_bfs_reach(sf_dir: str):
+    """Bounded BFS (min-hop ≤ 3) from the seed part — the minimum
+    node of the support≥2 co-purchase graph. Three SYNCHRONOUS
+    frontier rounds, each two coarse co-partitions: (1) frontier and
+    directed adjacency meet on src-hash and emit neighbor candidates;
+    (2) candidates and the visited set meet on node-hash and only
+    UNSEEN nodes survive as the next frontier (so re-expansion work
+    is pruned every round, the property that keeps round cost
+    proportional to the frontier, not the reach set). Frontier and
+    visited stay Datasets throughout — no driver-side node sets; the
+    per-round materialize is frontier-bounded, and the round count is
+    the fixed hop budget, so blocks cannot compound unboundedly (the
+    Dataset-loop trap the CC family avoids with raw tasks does not
+    bite at 3 rounds)."""
+    parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
+    edges = _copurchase_edges(sf_dir)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "part": pa.array(src % parts, type=pa.int64()),
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "is_f": pa.array(np.zeros(len(src), dtype=bool)),
+        })
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    seed = int(adj.min("src"))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.loc[df["is_f"], "src"].to_numpy(np.int64)
+        if len(f) == 0:
+            return _arrow_out(pd.DataFrame(
+                {"node": pd.Series([], dtype=np.int64),
+                 "part": pd.Series([], dtype=np.int64),
+                 "is_new": pd.Series([], dtype=bool)}))
+        e = df.loc[~df["is_f"]]
+        m = np.isin(e["src"].to_numpy(np.int64), f)
+        nb = np.unique(e["dst"].to_numpy(np.int64)[m])
+        return _arrow_out(pd.DataFrame(
+            {"node": nb, "part": nb % parts,
+             "is_new": np.ones(len(nb), dtype=bool)}))
+
+    def frontier_rows(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(n % parts, type=pa.int64()),
+            "src": pa.array(n, type=pa.int64()),
+            "dst": pa.array(np.full(len(n), -1, dtype=np.int64)),
+            "is_f": pa.array(np.ones(len(n), dtype=bool)),
+        })
+
+    def prune(hop: int):
+        def _prune(df: pd.DataFrame) -> pd.DataFrame:
+            seen = df.loc[~df["is_new"], "node"].to_numpy(np.int64)
+            new = np.unique(df.loc[df["is_new"], "node"].to_numpy(np.int64))
+            new = new[~np.isin(new, seen)]
+            return _arrow_out(pd.DataFrame(
+                {"node": new, "part": new % parts,
+                 "is_new": np.zeros(len(new), dtype=bool),
+                 "hop": np.full(len(new), hop, dtype=np.int64)}))
+        return _prune
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([seed], type=pa.int64()),
+        "part": pa.array([seed % parts], type=pa.int64()),
+        "is_new": pa.array([False]),
+        "hop": pa.array([0], type=pa.int64()),
+    }))
+    frontier = visited
+    for hop in (1, 2, 3):
+        cand = (
+            adj.union(frontier.map_batches(frontier_rows,
+                                           batch_format="pyarrow"))
+            .groupby("part", num_partitions=parts)
+            .map_groups(expand, batch_format="pandas")
+        )
+        fresh = (
+            cand.union(visited.select_columns(["node", "part", "is_new"]))
+            .groupby("part", num_partitions=parts)
+            .map_groups(prune(hop), batch_format="pandas")
+            .materialize()
+        )
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+
+    return visited.select_columns(["node", "hop"]).rename_columns(
+        {"node": "part_key"})
+
+
+def q_kn_continuation(sf_dir: str):
+    """Kneser-Ney continuation counts — the LM-smoothing statistic
+    N1+(·, w): for each word, how many DISTINCT left contexts precede
+    it anywhere in the corpus. Per-batch bigram extraction dedups
+    locally, then ONE right-word-hash co-partition makes the
+    per-bucket distinct-count exact (all (w1, w) rows for a given w
+    land together); top-100 by (n_cont desc, word asc). The shuffle
+    moves deduped (w1, w) pairs — never corpus text."""
+    P = 16
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        w1, w2 = [], []
+        for t in df["text"]:
+            w = t.split(" ")
+            w1.extend(w[:-1])
+            w2.extend(w[1:])
+        g = pd.DataFrame({"w1": w1, "w2": w2}).drop_duplicates()
+        g["part"] = pd.util.hash_pandas_object(
+            g["w2"], index=False).to_numpy(np.uint64) % P
+        return g
+
+    def cont(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["w1", "w2"]).groupby("w2")
+             .size().reset_index(name="n_cont"))
+        g = g.sort_values(["n_cont", "w2"], ascending=[False, True],
+                          kind="stable").head(100)
+        return pd.DataFrame({"word": g["w2"].astype(str),
+                             "n_cont": g["n_cont"].to_numpy(np.int64)})
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_cont", "word"], ascending=[False, True],
+                            kind="stable").head(100)
+        return df.reset_index(drop=True)
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("part", num_partitions=P)
+        .map_groups(cont, batch_format="pandas")
+        .map_batches(top, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_decayed_revenue(sf_dir: str):
+    """Time-decayed customer value: revenue weighted by a 30-day
+    half-life below the corpus watermark. The weight is 0.5^k with
+    INTEGER k = days-since // 30 — an exact binary power, so the
+    per-row product rounds identically in numpy and the oracle and
+    the only float freedom is sum order — pinned by rounding the
+    per-customer sum to cents on BOTH sides (``_round_half_up`` = SQL
+    ROUND semantics), the same boundary treatment the pricing family
+    uses. Watermark via the Arrow partial-max helper; scoring is
+    pure map-side; the custkey groupby moves one float per order."""
+    maxd = _max_ts(_tbl(sf_dir, "orders", ["o_orderdate"]), "o_orderdate")
+    lim = np.datetime64(maxd.to_datetime64(), "us")
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        k = ((lim - d) // np.timedelta64(1, "D")).astype(np.int64) // 30
+        w = np.power(np.float64(0.5), k)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "decayed": pa.array(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * w,
+                type=pa.float64()),
+        })
+
+    return (
+        _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("decayed", alias_name="decayed"))
+        .map_batches(lambda d: d.assign(
+            decayed=_round_half_up(d["decayed"], 2)),
+            batch_format="pandas")
     )
 
 
@@ -8267,6 +8569,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "merge_upsert_users": q_merge_upsert_users,
     "pareto_customers": q_pareto_customers,
     "part_copurchase": q_part_copurchase,
+    "triangle_count": q_triangle_count,
+    "bfs_reach": q_bfs_reach,
+    "kn_continuation": q_kn_continuation,
+    "decayed_revenue": q_decayed_revenue,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -8967,7 +9273,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "promo_suppliers": (
         "SELECT s_suppkey, s_name, total_qty FROM supplier JOIN ("
-        "SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty "
+        "SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+        "AS total_qty "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE p_name LIKE 'red%' "
         "AND l_shipdate >= DATE '1997-01-01' "
@@ -9010,5 +9317,45 @@ ORACLE_SQL: dict[str, str] = {
         "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
         "GROUP BY 1, 2 HAVING count(*) >= 2"
+    ),
+    "triangle_count": (
+        "WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2) "
+        "SELECT count(*)::BIGINT AS n_triangles FROM e e1 "
+        "JOIN e e2 ON e1.pb = e2.pa "
+        "JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb"
+    ),
+    "bfs_reach": (
+        "WITH RECURSIVE p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "e AS (SELECT pa AS src, pb AS dst FROM p "
+        "UNION ALL SELECT pb, pa FROM p), "
+        "s AS (SELECT min(src) AS s FROM e), "
+        "bfs(node, hop) AS ("
+        "SELECT s, 0 FROM s "
+        "UNION "
+        "SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node "
+        "WHERE bfs.hop < 3) "
+        "SELECT node AS part_key, CAST(min(hop) AS BIGINT) AS hop "
+        "FROM bfs GROUP BY 1"
+    ),
+    "kn_continuation": (
+        "WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents), "
+        "pairs AS (SELECT DISTINCT l[i] AS w1, l[i+1] AS w2 "
+        "FROM toks, unnest(range(1, len(l))) AS t(i)) "
+        "SELECT w2 AS word, count(*)::BIGINT AS n_cont "
+        "FROM pairs GROUP BY 1 ORDER BY n_cont DESC, word LIMIT 100"
+    ),
+    "decayed_revenue": (
+        "WITH m AS (SELECT max(o_orderdate) AS d FROM orders) "
+        "SELECT o_custkey, round(sum(o_totalprice * power(0.5, "
+        "datediff('day', o_orderdate, m.d) // 30)), 2) AS decayed "
+        "FROM orders, m GROUP BY 1"
     ),
 }
