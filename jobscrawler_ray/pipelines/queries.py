@@ -1320,6 +1320,22 @@ _CC_LOCAL_EDGE_LIMIT = int(os.environ.get("JCR_CC_LOCAL_EDGE_LIMIT",
                                           "2000000"))
 
 
+def _nonempty_arrow(tables) -> list[pa.Table]:
+    """Normalize ``Dataset.to_arrow_refs`` blocks for the local-task
+    family: a pipeline whose LAST stage ran as pandas map_groups can
+    hand back EMPTY blocks still in pandas form (Ray skips converting
+    them), so ``*tables`` is not guaranteed pure ``pa.Table``."""
+    out = []
+    for t in tables:
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows > 0:
+            out.append(t)
+    return out
+
+
 @ray.remote
 def _cc_local_task(*tables: pa.Table) -> pa.Table:
     """Single-task CC over materialized (id_a, id_b) pair blocks:
@@ -1328,7 +1344,7 @@ def _cc_local_task(*tables: pa.Table) -> pa.Table:
     pointer jump per round → O(log diameter) rounds of O(E) numpy).
     Runs on a WORKER, not the driver — the bounded-size dispatch twin
     of the broadcast-vs-cogroup split in ``_keep_corpus``."""
-    tabs = [t for t in tables if t.num_rows > 0]
+    tabs = _nonempty_arrow(tables)
     if not tabs:
         return pa.table({"node": pa.array([], pa.int64()),
                          "lab": pa.array([], pa.int64())})
@@ -7991,7 +8007,14 @@ def q_pareto_customers(sf_dir: str):
     task computes the exact frontier from block-frontier survivors —
     the fact table is never collected, and the final task's input is
     bounded by Σ per-block frontier sizes, not N. Spend rides as
-    exact integer cents; the frontier test is pure integer compares."""
+    exact integer cents; the frontier test is pure integer compares.
+    The per-customer totals combine through a COARSE custkey-hash
+    co-partition with bucket-local pandas sums — Dataset.aggregate's
+    sort path measured 65.9 s at 125k distinct customers on the 5M-row
+    joinstress tables where the coarse-bucket combine takes ~4 s (the
+    same high-cardinality-groupby idiom as the co-purchase/DF/vocab
+    family)."""
+    parts = _copart_count(_tbl_rows(sf_dir, "orders"))
 
     def spend_partial(df: pd.DataFrame):
         cents = _round_half_up(
@@ -8000,7 +8023,9 @@ def q_pareto_customers(sf_dir: str):
         g = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(np.int64),
                           "cents": cents,
                           "n": np.ones(len(df), dtype=np.int64)})
-        return _arrow_out(g.groupby("c_custkey", as_index=False).sum())
+        g = g.groupby("c_custkey", as_index=False).sum()
+        g["part"] = g["c_custkey"].to_numpy(np.int64) % parts
+        return _arrow_out(g)
 
     def _skyline(ck: np.ndarray, s: np.ndarray, n: np.ndarray):
         """Exact 2-D frontier: at each distinct spend level (desc) only
@@ -8019,10 +8044,12 @@ def q_pareto_customers(sf_dir: str):
         return ck[keep], s[keep], n[keep]
 
     def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
-        ck, s, n = _skyline(df["c_custkey"].to_numpy(np.int64),
-                            df["cents"].to_numpy(np.int64),
-                            df["n"].to_numpy(np.int64))
-        return pd.DataFrame({"c_custkey": ck, "cents": s, "n": n})
+        g = df.groupby("c_custkey", as_index=False)[["cents", "n"]].sum()
+        ck, s, n = _skyline(g["c_custkey"].to_numpy(np.int64),
+                            g["cents"].to_numpy(np.int64),
+                            g["n"].to_numpy(np.int64))
+        return _arrow_out(pd.DataFrame({"c_custkey": ck, "cents": s,
+                                        "n": n}))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         ck, s, n = _skyline(df["c_custkey"].to_numpy(np.int64),
@@ -8037,10 +8064,8 @@ def q_pareto_customers(sf_dir: str):
     return (
         _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(spend_partial, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("cents", alias_name="cents"),
-                   Sum("n", alias_name="n"))
-        .map_batches(local_skyline, batch_format="pandas")
+        .groupby("part", num_partitions=parts)
+        .map_groups(local_skyline, batch_format="pandas")
         .map_batches(final, batch_format="pandas", batch_size=1 << 30)
     )
 
@@ -8131,21 +8156,75 @@ def q_part_copurchase(sf_dir: str):
     return _copurchase_edges(sf_dir)
 
 
+# Wedge-volume ceiling for the single-task triangle path: ~10M packed
+# int64 wedges ≈ 240 MB transient in one worker. Above it (or above
+# the CC edge limit) the distributed wedge exchange runs instead.
+_TRI_LOCAL_WEDGE_LIMIT = int(os.environ.get("JCR_TRI_LOCAL_WEDGE_LIMIT",
+                                            "10000000"))
+
+
+@ray.remote
+def _tri_local_task(*tables: pa.Table) -> pa.Table:
+    """Single-task degree-ordered triangle count over materialized
+    (part_a, part_b) edge blocks — the bounded-size dispatch twin of
+    ``_cc_local_task``/``_bfs_local_task``: same orientation + wedge
+    expansion + packed-key membership test as the distributed path,
+    minus its two small-data AllToAll exchanges (each ~10 s of fixed
+    floor at 32 CPUs on graphs whose real work is milliseconds)."""
+    tabs = _nonempty_arrow(tables)
+    if not tabs:
+        return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+    edges = pa.concat_tables(tabs)
+    a = edges["part_a"].to_numpy(zero_copy_only=False)
+    b = edges["part_b"].to_numpy(zero_copy_only=False)
+    nodes, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+    rank_a = (cnt[np.searchsorted(nodes, a)] << np.int64(32)) | a
+    rank_b = (cnt[np.searchsorted(nodes, b)] << np.int64(32)) | b
+    swap = rank_a > rank_b
+    src = np.where(swap, b, a)
+    dst = np.where(swap, a, b)
+    rk = np.where(swap, rank_a, rank_b)  # rank of dst
+    order = np.lexsort((rk, src))
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    lens = np.diff(np.r_[starts, len(src)])
+    packs = []
+    for m in np.unique(lens):
+        if m < 2:
+            continue
+        st = starts[lens == m]
+        mat = dst[st[:, None] + np.arange(m)]
+        iu, ju = np.triu_indices(int(m), k=1)
+        packs.append((mat[:, iu].ravel() << np.int64(32))
+                     | mat[:, ju].ravel())
+    if not packs:
+        return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+    wedge = np.concatenate(packs)
+    epack = np.sort((src << np.int64(32)) | dst)
+    idx = np.searchsorted(epack, wedge)
+    np.minimum(idx, len(epack) - 1, out=idx)
+    n_tri = int((epack[idx] == wedge).sum())
+    return pa.table({"n_triangles": pa.array([n_tri], type=pa.int64())})
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting over the support≥2 co-purchase
     graph (nodes = parts, edges = ``_copurchase_edges``): the
     degree-ordered wedge-check algorithm. Every edge orients from the
     lower-(degree, node) endpoint to the higher, capping any node's
     out-degree at O(sqrt(m)) so total wedge volume is O(m^1.5)
-    regardless of hub skew; wedges and oriented edges then meet in a
-    COARSE hash co-partition of the packed (v, w) key and match
-    per bucket, ending in a scalar sum. Node degrees broadcast via
-    ``ray.put`` — the node set is the part DIMENSION (bounded far
-    below lineitem scale; the co-partitioned degree join is the
-    swap-in if the node table ever outgrows a broadcast). The edge
-    list is materialized once (support-bounded pair output, the same
-    boundedness argument as the minhash pair family) because two
-    downstream stages consume it."""
+    regardless of hub skew. SIZE-DISPATCHED: when both the edge count
+    and the wedge-volume bound Σ C(min(deg, √2m), 2) fit one worker,
+    a single remote numpy task (``_tri_local_task``) does the whole
+    count; above, wedges and oriented edges meet in a COARSE hash
+    co-partition of the packed (v, w) key and match per bucket,
+    ending in a scalar sum. Node degrees broadcast via ``ray.put`` —
+    the node set is the part DIMENSION (bounded far below lineitem
+    scale; the co-partitioned degree join is the swap-in if the node
+    table ever outgrows a broadcast). The edge list is materialized
+    once (support-bounded pair output, the same boundedness argument
+    as the minhash pair family) because two downstream stages consume
+    it."""
     parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
     edges = _copurchase_edges(sf_dir).materialize()
 
@@ -8167,6 +8246,16 @@ def q_triangle_count(sf_dir: str):
                         batch_size=1 << 30).to_pandas())
     nodes = deg["node"].to_numpy(np.int64)
     degs = deg["deg"].to_numpy(np.int64)
+
+    m_edges = edges.count()
+    cap = int(np.sqrt(2.0 * max(m_edges, 1))) + 1
+    wedge_bound = float(
+        (np.minimum(degs, cap).astype(np.float64) ** 2).sum()) / 2.0
+    if m_edges <= _CC_LOCAL_EDGE_LIMIT and \
+            wedge_bound <= _TRI_LOCAL_WEDGE_LIMIT:
+        return rd.from_arrow_refs(
+            [_tri_local_task.remote(*edges.to_arrow_refs())])
+
     ref = ray.put((nodes, degs))
 
     def rank_of(keys: np.ndarray) -> np.ndarray:
@@ -8255,22 +8344,71 @@ def q_triangle_count(sf_dir: str):
     )
 
 
+@ray.remote
+def _bfs_local_task(max_hop: int, *tables: pa.Table) -> pa.Table:
+    """Single-task bounded BFS over materialized (part_a, part_b)
+    edge blocks: CSR adjacency + fully vectorized frontier expansion
+    (repeat/cumsum gather, no per-node Python). The bounded-edge-set
+    dispatch twin of ``_cc_local_task`` — below the edge limit the
+    3-round Dataset formulation pays ~6 tiny AllToAll exchanges whose
+    fixed floor (~10 s each at 32 CPUs) dwarfs the actual work
+    (measured 120.7 s → sub-second on the 5M-row joinstress graph)."""
+    tabs = _nonempty_arrow(tables)
+    if not tabs:
+        return pa.table({"part_key": pa.array([], pa.int64()),
+                         "hop": pa.array([], pa.int64())})
+    edges = pa.concat_tables(tabs)
+    a = edges["part_a"].to_numpy(zero_copy_only=False)
+    b = edges["part_b"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    src = np.searchsorted(nodes, np.concatenate([a, b]))
+    dst = np.searchsorted(nodes, np.concatenate([b, a]))
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(len(nodes) + 1))
+    hop = np.full(len(nodes), -1, dtype=np.int64)
+    hop[0] = 0  # nodes sorted → index 0 IS the min-node seed
+    frontier = np.array([0], dtype=np.int64)
+    for h in range(1, max_hop + 1):
+        cnt = starts[frontier + 1] - starts[frontier]
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        base = np.repeat(starts[frontier], cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        nb = dst_s[base + off]
+        new = np.unique(nb[hop[nb] < 0])
+        if len(new) == 0:
+            break
+        hop[new] = h
+        frontier = new
+    keep = hop >= 0
+    return pa.table({"part_key": pa.array(nodes[keep], type=pa.int64()),
+                     "hop": pa.array(hop[keep], type=pa.int64())})
+
+
 def q_bfs_reach(sf_dir: str):
     """Bounded BFS (min-hop ≤ 3) from the seed part — the minimum
-    node of the support≥2 co-purchase graph. Three SYNCHRONOUS
-    frontier rounds, each two coarse co-partitions: (1) frontier and
-    directed adjacency meet on src-hash and emit neighbor candidates;
-    (2) candidates and the visited set meet on node-hash and only
-    UNSEEN nodes survive as the next frontier (so re-expansion work
-    is pruned every round, the property that keeps round cost
-    proportional to the frontier, not the reach set). Frontier and
-    visited stay Datasets throughout — no driver-side node sets; the
-    per-round materialize is frontier-bounded, and the round count is
-    the fixed hop budget, so blocks cannot compound unboundedly (the
-    Dataset-loop trap the CC family avoids with raw tasks does not
-    bite at 3 rounds)."""
+    node of the support≥2 co-purchase graph. SIZE-DISPATCHED like the
+    CC family: at or under ``_CC_LOCAL_EDGE_LIMIT`` edges the whole
+    reach solves in one remote numpy task (``_bfs_local_task``) —
+    the Dataset round loop's ~6 tiny AllToAll exchanges cost ~2
+    orders of magnitude more than the actual work there. Above the
+    limit: three SYNCHRONOUS frontier rounds, each two coarse
+    co-partitions: (1) frontier and directed adjacency meet on
+    src-hash and emit neighbor candidates; (2) candidates and the
+    visited set meet on node-hash and only UNSEEN nodes survive as
+    the next frontier (so re-expansion work is pruned every round,
+    the property that keeps round cost proportional to the frontier,
+    not the reach set). Frontier and visited stay Datasets throughout
+    — no driver-side node sets; the per-round materialize is
+    frontier-bounded, and the round count is the fixed hop budget, so
+    blocks cannot compound unboundedly."""
     parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
-    edges = _copurchase_edges(sf_dir)
+    edges = _copurchase_edges(sf_dir).materialize()
+    if edges.count() <= _CC_LOCAL_EDGE_LIMIT:
+        return rd.from_arrow_refs(
+            [_bfs_local_task.remote(3, *edges.to_arrow_refs())])
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["part_a"].to_numpy(zero_copy_only=False)
@@ -8426,6 +8564,46 @@ def q_decayed_revenue(sf_dir: str):
     )
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components of the support≥2 co-purchase graph as a
+    driver-checkable catalog op: the size-dispatched CC kernel
+    (single remote numpy task under ``_CC_LOCAL_EDGE_LIMIT``, BSP
+    raw-task min-label propagation above — see ``_cc_min_labels``)
+    against a DuckDB RECURSIVE-CTE min-label-reachability oracle.
+    Output: (part_key, component = component-minimum node id)."""
+    edges = _copurchase_edges(sf_dir).map_batches(
+        lambda t: pa.table({"id_a": t["part_a"], "id_b": t["part_b"]}),
+        batch_format="pyarrow")
+    return _cc_min_labels(edges).rename_columns(
+        {"node": "part_key", "lab": "component"})
+
+
+def q_event_paths(sf_dir: str):
+    """Per-user ordered journey strings (the ORDER-BY string
+    aggregate shape): each user's event types joined in (ts,
+    event_id) order plus the event count. ONE user-hash co-partition
+    (the cogroup family's documented per-user-locality assumption),
+    then a bucket-local lexsort + groupby-join — path length is
+    bounded by a user's history, never the table."""
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False, as_index=False).agg(
+            path=("event_type", ",".join),
+            n_events=("event_type", "size"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return _arrow_out(g[["user_id", "path", "n_events"]])
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(lambda t: _append_user_part(t, parts),
+                     batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(paths, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -8573,6 +8751,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bfs_reach": q_bfs_reach,
     "kn_continuation": q_kn_continuation,
     "decayed_revenue": q_decayed_revenue,
+    "graph_components": q_graph_components,
+    "event_paths": q_event_paths,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -9357,5 +9537,25 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT o_custkey, round(sum(o_totalprice * power(0.5, "
         "datediff('day', o_orderdate, m.d) // 30)), 2) AS decayed "
         "FROM orders, m GROUP BY 1"
+    ),
+    "graph_components": (
+        "WITH RECURSIVE p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "e AS (SELECT pa AS src, pb AS dst FROM p "
+        "UNION ALL SELECT pb, pa FROM p), "
+        "r(node, lab) AS ("
+        "SELECT DISTINCT src, src FROM e "
+        "UNION "
+        "SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node "
+        "WHERE r.lab < e.dst) "
+        "SELECT node AS part_key, min(lab) AS component FROM r GROUP BY 1"
+    ),
+    "event_paths": (
+        "SELECT user_id, string_agg(event_type, ',' "
+        "ORDER BY ts, event_id) AS path, "
+        "count(*)::BIGINT AS n_events FROM events GROUP BY 1"
     ),
 }
