@@ -113,6 +113,49 @@ def gen_wave(seed64: int, sample_rate: int = 16000) -> np.ndarray:
     return np.round(a * amp * 32767.0).astype(np.int16)
 
 
+def gen_speech_wave(seed64: int, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic "speech-like" int16 clip: the two-tone mix of
+    :func:`gen_wave` gated by a per-seed on/off pattern of 125 ms
+    frames — voiced runs separated by TRUE silence, so an
+    energy-threshold VAD has real segments to find. 1–2 s per clip;
+    at least one voiced and one silent frame guaranteed."""
+    rng = np.random.default_rng(
+        (seed64 ^ 0x5EED_0F5E_6A4D_517E) & 0xFFFF_FFFF_FFFF_FFFF)
+    n_frames = int(rng.integers(8, 17))  # × 0.125 s
+    gate = rng.random(n_frames) < 0.55
+    if gate.all():
+        gate[int(rng.integers(0, n_frames))] = False
+    if not gate.any():
+        gate[int(rng.integers(0, n_frames))] = True
+    f1 = 110.0 * float(rng.integers(1, 25))
+    f2 = 110.0 * float(rng.integers(1, 25))
+    amp = 0.35 + 0.4 * float(rng.random())
+    spf = sample_rate // 8  # samples per 125 ms gate frame
+    t = np.arange(n_frames * spf, dtype=np.float64) / sample_rate
+    a = 0.65 * np.sin(2 * np.pi * f1 * t) + 0.35 * np.sin(2 * np.pi * f2 * t)
+    a *= np.repeat(gate.astype(np.float64), spf)
+    return np.round(a * amp * 32767.0).astype(np.int16)
+
+
+def gen_scene_frames(seed64: int, w: int = 16, h: int = 16) -> list[np.ndarray]:
+    """Deterministic MULTI-SCENE frame sequence: 2–4 scenes of 4–8
+    frames each; within a scene frames drift from the scene's own base
+    image (near-dups, like :func:`gen_frames`), and a scene switch
+    jumps to an unrelated base — what a real cut detector sees."""
+    rng = np.random.default_rng(
+        (seed64 ^ 0x5CE7E_C075) & 0xFFFF_FFFF_FFFF_FFFF)
+    n_scenes = int(rng.integers(2, 5))
+    frames: list[np.ndarray] = []
+    for s in range(n_scenes):
+        base = codecs.gen_pixels(
+            (seed64 * 1_000_003 + s * 97 + 11) & 0xFFFF_FFFF_FFFF_FFFF,
+            w, h).astype(np.int16)
+        n = int(rng.integers(4, 9))
+        frames += [(base + 6 * i).clip(0, 255).astype(np.uint8)
+                   for i in range(n)]
+    return frames
+
+
 def gen_frames(seed64: int, w: int = 16, h: int = 16) -> list[np.ndarray]:
     """Deterministic frame sequence (8–16 frames): each frame is the
     seed's base image with a per-frame brightness drift, so consecutive

@@ -689,6 +689,64 @@ def golden_audio_features(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["clip_id", "sample_rate", "duration_s", "rms"])
 
 
+def golden_vad_segments(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_vad_segments``: same synthesis + codec
+    round-trip + 25 ms energy threshold, but run detection via
+    ``itertools.groupby`` over a Python frame loop — an independent
+    route to the same segments as the engine's vectorized
+    diff-of-padded-mask."""
+    from itertools import groupby
+
+    from ..functions import av_codecs
+    from ..stages.multimodal import VadSegments, audio_rms
+
+    ids, _, _ = _documents(sf_dir)
+    flen_s, thr = VadSegments.FRAME_S, VadSegments.RMS_THRESHOLD
+    rows = []
+    for d in ids:
+        buf = av_codecs.encode_audio(av_codecs.gen_speech_wave(int(d)), 16000)
+        wave, sr = av_codecs.decode_audio(buf)
+        flen = int(round(sr * flen_s))
+        voiced = []
+        for f in range(len(wave) // flen):
+            x = wave[f * flen:(f + 1) * flen].astype(np.float64)
+            voiced.append(bool(np.sqrt(np.mean(x * x)) > thr))
+        k, pos = 0, 0
+        for v, grp in groupby(voiced):
+            n = len(list(grp))
+            if v:
+                seg = wave[pos * flen:(pos + n) * flen]
+                rows.append((int(d), k, round(pos * flen_s, 6),
+                             round((pos + n) * flen_s, 6), audio_rms(seg)))
+                k += 1
+            pos += n
+    return pd.DataFrame(
+        rows, columns=["clip_id", "seg_idx", "start_s", "end_s", "seg_rms"])
+
+
+def golden_scene_cuts(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_scene_cuts``: same synthesis + codec
+    round-trip + threshold, per-pair Python-loop mean-abs-diff instead
+    of the engine's stacked vectorized reduction."""
+    from ..functions import av_codecs
+    from ..stages.multimodal import SceneCuts
+
+    ids, _, _ = _documents(sf_dir)
+    thr = SceneCuts.DIFF_THRESHOLD
+    rows = []
+    for d in ids:
+        if int(d) >= 64:
+            continue
+        buf = av_codecs.encode_video(av_codecs.gen_scene_frames(int(d)))
+        frames = av_codecs.decode_video(buf)
+        for i in range(1, len(frames)):
+            diff = float(np.mean(np.abs(
+                frames[i].astype(np.float64) - frames[i - 1].astype(np.float64))))
+            if diff > thr:
+                rows.append((int(d), i, round(diff, 4)))
+    return pd.DataFrame(rows, columns=["video_id", "cut_idx", "frame_diff"])
+
+
 def golden_video_frames(sf_dir: str) -> pd.DataFrame:
     """Sequential video path: full decode (NOT the engine's
     skip-by-offset sampler) then modulo selection — an independent
@@ -1093,6 +1151,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "duration_s": "DOUBLE", "rms": "DOUBLE"})
     out["video_frames"] = values_sql(golden_video_frames(sf_dir), {
         "video_id": "BIGINT", "frame_idx": "BIGINT", "frame_phash": "BIGINT"})
+    out["vad_segments"] = values_sql(golden_vad_segments(sf_dir), {
+        "clip_id": "BIGINT", "seg_idx": "BIGINT", "start_s": "DOUBLE",
+        "end_s": "DOUBLE", "seg_rms": "DOUBLE"})
+    out["scene_cuts"] = values_sql(golden_scene_cuts(sf_dir), {
+        "video_id": "BIGINT", "cut_idx": "BIGINT", "frame_diff": "DOUBLE"})
     out["approx_distinct_users"] = values_sql(
         golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
     out["cm_counts_users"] = values_sql(

@@ -790,6 +790,70 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+# PII scrub patterns — RE2 syntax, valid in BOTH Arrow (RE2) and
+# DuckDB (also RE2), so the engine and the oracle run the SAME regexes
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction — the scrub pass a public-data training pipeline
+    runs before tokenization: replace emails / phone numbers / IPv4
+    addresses with typed placeholders and count redactions per doc.
+    Pure map-side (compiled-RE2 ``pc.replace_substring_regex`` /
+    ``pc.count_substring_regex`` kernels, zero-copy Arrow in/out — no
+    Python loop, no shuffle, scale-free).
+
+    The synthetic documents carry no PII, so the stage first INJECTS
+    deterministic doc_id-keyed PII into a subset of rows (the same
+    arithmetic the SQL oracle applies) — injection is input synthesis,
+    the operator under test is the scrub."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        idv = ids.to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(ids, pa.string())
+        n_rows = t.num_rows
+        empty = pa.array([""] * n_rows, type=pa.string())
+
+        def lit(s: str) -> pa.Array:
+            return pa.array([s] * n_rows, type=pa.string())
+
+        email = pc.if_else(
+            pa.array(idv % 3 == 0),
+            pc.binary_join_element_wise(
+                lit(" contact user"), ids_s, lit("@mail.example.com"), ""),
+            empty)
+        phone = pc.if_else(
+            pa.array(idv % 5 == 0),
+            pc.binary_join_element_wise(
+                lit(" call 555-"),
+                pc.utf8_lpad(pa.array((idv % 10000).astype(str)), 4, "0"),
+                ""),
+            empty)
+        ip = pc.if_else(
+            pa.array(idv % 7 == 0),
+            pc.binary_join_element_wise(
+                lit(" from 10.0."), pa.array((idv % 256).astype(str)),
+                lit("."), pa.array((idv % 100).astype(str)), ""),
+            empty)
+        itext = pc.binary_join_element_wise(t["text"], email, phone, ip, "")
+        n = pc.count_substring_regex(itext, _PII_EMAIL)
+        clean = pc.replace_substring_regex(itext, _PII_EMAIL, "<EMAIL>")
+        for pat, repl in ((_PII_PHONE, "<PHONE>"), (_PII_IP, "<IP>")):
+            n = pc.add(n, pc.count_substring_regex(itext, pat))
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        return pa.table({
+            "doc_id": ids,
+            "clean_text": clean,
+            "n_pii": pc.cast(n, pa.int64()),
+        })
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+
+
 def q_corpus_stats(sf_dir: str):
     """Corpus-level rollup (the report a data pipeline prints at the
     end): doc count, token sum/avg, char sum — partial sums per batch,
@@ -3062,6 +3126,48 @@ def q_length_histogram(sf_dir: str):
     )
 
 
+_PRICE_HIST_BINS = 64
+
+
+def q_price_histogram(sf_dir: str):
+    """Equi-width histogram SKETCH over l_extendedprice — the order-free
+    mergeable distribution profile (the exact-quantile complement to
+    ``group_quantiles``: at 100 TB you ship 64 counters per block, not
+    values). Two linear passes over ONE pruned column: global min/max
+    (associative aggregate), then per-batch ``np.bincount`` partials
+    merged in a single coalesced reduce — no sort, no all-to-all.
+    Binning is in integer CENTS with pure integer arithmetic, so the
+    engine and the SQL oracle can never disagree on a boundary."""
+    mm = _tbl(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Min("cents"), Max("cents"))
+    mn, mx = int(mm["min(cents)"]), int(mm["max(cents)"])
+    width = mx - mn + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        b = (cents - mn) * _PRICE_HIST_BINS // width
+        counts = np.bincount(b, minlength=_PRICE_HIST_BINS)
+        return pa.table({
+            "bin": pa.array(np.arange(_PRICE_HIST_BINS, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin", as_index=False)["n"].sum()
+        out = out[out["n"] > 0]
+        return out.astype({"bin": np.int64, "n": np.int64})
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 def _split_purchase_click(df: pd.DataFrame):
     """Shared co-partitioning stage for the time joins (as-of + range):
     filter to purchase/click, coarse user bucket, purchase flag. ONE
@@ -3540,6 +3646,73 @@ def q_video_frames(sf_dir: str):
         FrameSample, fn_constructor_kwargs={"every_n": 3},
         batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1)
     return frames.select_columns(["video_id", "frame_idx", "frame_phash"])
+
+
+def _synth_speech(t: pa.Table) -> pa.Table:
+    """Deterministic silence-gated binary audio column keyed by doc_id
+    (``av_codecs.gen_speech_wave`` — voiced runs separated by true
+    silence, so VAD has segments to find)."""
+    from ..functions import av_codecs
+
+    ids = t["doc_id"].to_pylist()
+    return pa.table({
+        "clip_id": pa.array(ids, type=pa.int64()),
+        "bytes": pa.array(
+            [av_codecs.encode_audio(av_codecs.gen_speech_wave(int(d)), 16000)
+             for d in ids],
+            type=pa.binary()),
+    })
+
+
+def q_vad_segments(sf_dir: str):
+    """Voice-activity-detection segmentation over an opaque binary
+    audio column: decode → 25 ms frame energies → threshold →
+    contiguous voiced runs, one row per segment (speech corpora are
+    VAD-segmented before transcription/packing). Per-clip and map-only
+    — no shuffle at any corpus size; actor-pool stage with small
+    batches (wide binary rows). Rows-only (golden oracle)."""
+    from ..stages.multimodal import VadSegments
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _synth_speech, batch_format="pyarrow")
+    return ds.map_batches(
+        VadSegments, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=1)
+
+
+def _synth_scene_video(t: pa.Table) -> pa.Table:
+    """Deterministic multi-scene binary video column keyed by doc_id
+    (``av_codecs.gen_scene_frames`` — 2-4 scenes with an abrupt base
+    switch between them)."""
+    from ..functions import av_codecs
+
+    ids = t["doc_id"].to_pylist()
+    return pa.table({
+        "video_id": pa.array(ids, type=pa.int64()),
+        "bytes": pa.array(
+            [av_codecs.encode_video(av_codecs.gen_scene_frames(int(d)))
+             for d in ids],
+            type=pa.binary()),
+    })
+
+
+def q_scene_cuts(sf_dir: str):
+    """Scene-cut detection over an opaque binary video column:
+    consecutive-frame mean-absolute-delta threshold, one row per cut
+    (the shot-boundary pass a video training pipeline runs before
+    clip sampling). Per-clip deltas never cross clip boundaries, so
+    the stage is map-only; pruned to doc_id<64 at the row-group scan
+    (videos are the widest rows). Rows-only (golden oracle)."""
+    import pyarrow.dataset as _pads
+
+    from ..stages.multimodal import SceneCuts
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"],
+              filter=_pads.field("doc_id") < 64).map_batches(
+        _synth_scene_video, batch_format="pyarrow")
+    return ds.map_batches(
+        SceneCuts, batch_format="pyarrow", batch_size=16,
+        concurrency=2, num_cpus=1)
 
 
 def q_phash_neardup(sf_dir: str):
@@ -8753,6 +8926,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decayed_revenue": q_decayed_revenue,
     "graph_components": q_graph_components,
     "event_paths": q_event_paths,
+    "pii_redact": q_pii_redact,
+    "price_histogram": q_price_histogram,
+    "vad_segments": q_vad_segments,
+    "scene_cuts": q_scene_cuts,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -9557,5 +9734,29 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, string_agg(event_type, ',' "
         "ORDER BY ts, event_id) AS path, "
         "count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    ),
+    "pii_redact": (
+        "WITH t AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+        " || '@mail.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256)"
+        " || '.' || (doc_id % 100) ELSE '' END AS itext FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(itext, '{_PII_EMAIL}', "
+        f"'<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IP}', "
+        "'<IP>', 'g') AS clean_text, "
+        f"(len(regexp_extract_all(itext, '{_PII_EMAIL}'))"
+        f" + len(regexp_extract_all(itext, '{_PII_PHONE}'))"
+        f" + len(regexp_extract_all(itext, '{_PII_IP}')))::BIGINT AS n_pii "
+        "FROM t"
+    ),
+    "price_histogram": (
+        "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "AS cents FROM lineitem), "
+        "b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c) "
+        f"SELECT ((cents - mn) * {_PRICE_HIST_BINS}) // (mx - mn + 1) AS bin, "
+        "count(*)::BIGINT AS n FROM c, b GROUP BY 1"
     ),
 }

@@ -192,6 +192,91 @@ class FrameSample:
         })
 
 
+class VadSegments:
+    """Actor-pool stage: binary audio column → one row per VOICED
+    segment (clip_id, seg_idx, start_s, end_s, seg_rms) via
+    energy-threshold voice-activity detection: 25 ms frames → per-frame
+    RMS → threshold mask → contiguous voiced runs (vectorized
+    ``np.flatnonzero(np.diff(mask))`` run detection per clip — no
+    per-sample Python). Segmentation is per-clip, so the stage is
+    map-only at any corpus size; wide binary rows keep batches small.
+
+    The reference has no audio path — this is the training-data
+    multimodal extension (speech corpora are VAD-segmented before
+    transcription/packing)."""
+
+    FRAME_S = 0.025
+    RMS_THRESHOLD = 500.0  # int16 units; gated synth silence is exact 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "clip_id": [], "seg_idx": [], "start_s": [], "end_s": [],
+            "seg_rms": []}
+        for cid, buf in zip(t["clip_id"].to_pylist(), t["bytes"].to_pylist()):
+            wave, sr = _decode_audio(buf)
+            flen = int(round(sr * self.FRAME_S))
+            n_frames = len(wave) // flen
+            if n_frames == 0:
+                continue
+            x = wave[:n_frames * flen].astype(np.float64).reshape(
+                n_frames, flen)
+            frame_rms = np.sqrt(np.mean(x * x, axis=1))
+            mask = frame_rms > self.RMS_THRESHOLD
+            # contiguous voiced runs: transitions of the padded mask
+            edges = np.flatnonzero(np.diff(
+                np.concatenate(([False], mask, [False])).astype(np.int8)))
+            starts, ends = edges[0::2], edges[1::2]  # [start, end) frames
+            for k, (s, e) in enumerate(zip(starts, ends)):
+                seg = wave[s * flen:e * flen]
+                out["clip_id"].append(cid)
+                out["seg_idx"].append(k)
+                out["start_s"].append(round(s * self.FRAME_S, 6))
+                out["end_s"].append(round(e * self.FRAME_S, 6))
+                out["seg_rms"].append(audio_rms(seg))
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.int64()),
+            "seg_idx": pa.array(out["seg_idx"], type=pa.int64()),
+            "start_s": pa.array(out["start_s"], type=pa.float64()),
+            "end_s": pa.array(out["end_s"], type=pa.float64()),
+            "seg_rms": pa.array(out["seg_rms"], type=pa.float64()),
+        })
+
+
+class SceneCuts:
+    """Actor-pool stage: binary video column → one row per detected
+    scene cut (video_id, cut_idx, frame_diff): decode, stack frames,
+    mean absolute pixel delta between consecutive frames (one
+    vectorized reduction per clip), cut where the delta exceeds the
+    threshold. ``cut_idx`` is the first frame of the NEW scene.
+
+    Per-clip and map-only — consecutive-frame deltas never cross clip
+    boundaries, so there is no shuffle at any corpus size. At real
+    video lengths the full decode would be replaced by the
+    keyframe-stride decode ``av_codecs.sample_video`` already provides;
+    frames here are short synthetic clips."""
+
+    DIFF_THRESHOLD = 30.0  # within-scene drift is 6/frame; cuts ~85
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"video_id": [], "cut_idx": [], "frame_diff": []}
+        for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+            frames = _decode_video(buf)
+            if len(frames) < 2:
+                continue
+            stack = np.stack(frames).astype(np.float64)
+            diffs = np.mean(
+                np.abs(stack[1:] - stack[:-1]), axis=(1, 2, 3))
+            for i in np.flatnonzero(diffs > self.DIFF_THRESHOLD):
+                out["video_id"].append(vid)
+                out["cut_idx"].append(int(i) + 1)
+                out["frame_diff"].append(round(float(diffs[i]), 4))
+        return pa.table({
+            "video_id": pa.array(out["video_id"], type=pa.int64()),
+            "cut_idx": pa.array(out["cut_idx"], type=pa.int64()),
+            "frame_diff": pa.array(out["frame_diff"], type=pa.float64()),
+        })
+
+
 class ClipAlign:
     """CLIP-style image-caption alignment scorer (two-tower cosine) —
     the LAION-style curation signal (reference has no CLIP stage; this
