@@ -459,7 +459,8 @@ def joinstress() -> None:
              # timings live in BASELINE.md's sf0.1 notes where the
              # part dimension is dense.
              "merge_upsert_users", "pareto_customers", "part_copurchase",
-             "triangle_count", "bfs_reach", "decayed_revenue"], d,
+             "triangle_count", "bfs_reach", "decayed_revenue",
+             "price_histogram"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -582,7 +583,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "minhash_lsh", "minhash_dedup_keep", "simhash",
                      "simhash_neardup", "langid", "fingerprints",
                      "ccnet_perplexity", "weighted_sample",
-                     "global_rank_docs", "bigram_lift", "kn_continuation"]
+                     "global_rank_docs", "bigram_lift", "kn_continuation",
+                     "pii_redact", "vad_segments"]
 
 
 def docstress() -> None:

@@ -747,6 +747,89 @@ def golden_scene_cuts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["video_id", "cut_idx", "frame_diff"])
 
 
+def golden_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_cdc_chunks``: per-byte sliding-recurrence
+    rolling hash ``H_i = (H_{i-1}*P + b_i - b_{i-W}*P^W) mod 2^64`` —
+    an independent route to the engine's vectorized shifted
+    multiply-add window hash — plus an inline min/max enforcement
+    walk."""
+    import hashlib
+
+    from ..functions import cdc
+
+    img = _crawl_oracle(sf_dir)["images"]
+    W, P = cdc.WINDOW, cdc.P
+    mod = 1 << 64
+    pW = pow(P, W, mod)
+    mask = (1 << cdc.MASK_BITS) - 1
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        h, cuts = 0, []
+        for i, by in enumerate(buf):
+            h = (h * P + by) % mod
+            if i >= W:
+                h = (h - buf[i - W] * pW) % mod
+            if i >= W - 1 and (h & mask) == 0:
+                cuts.append(i + 1)
+        start, bounds = 0, []
+        for c in cuts:
+            while c - start > cdc.MAX_LEN:
+                bounds.append((start, cdc.MAX_LEN))
+                start += cdc.MAX_LEN
+            if c - start < cdc.MIN_LEN:
+                continue
+            bounds.append((start, c - start))
+            start = c
+        n = len(buf)
+        while n - start > cdc.MAX_LEN:
+            bounds.append((start, cdc.MAX_LEN))
+            start += cdc.MAX_LEN
+        if n > start:
+            bounds.append((start, n - start))
+        for k, (o, ln) in enumerate(bounds):
+            hh = int.from_bytes(
+                hashlib.sha1(buf[o:o + ln]).digest()[:8], "big", signed=True)
+            rows.append((iid, k, o, ln, hh))
+    return pd.DataFrame(
+        rows, columns=["image_id", "chunk_idx", "off", "length",
+                       "chunk_hash"])
+
+
+def golden_kcore_parts(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_kcore_parts``: pandas-mined support≥2
+    co-purchase edges (the same semantics as ``_copurchase_edges``,
+    orchestration-free), then a dict-of-adjacency-sets peel loop — an
+    independent route to the engine's vectorized bincount rounds."""
+    import os as _os
+
+    from .queries import _KCORE_K
+
+    li = papq.read_table(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"]).to_pandas()
+    d = li.drop_duplicates()
+    pairs = d.merge(d, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    cnt = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    adj: dict[int, set[int]] = {}
+    for (a, b) in cnt[cnt >= 2].index:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if n in adj and len(adj[n]) < _KCORE_K:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    rows = sorted((n, len(s)) for n, s in adj.items())
+    return pd.DataFrame(rows, columns=["part_key", "core_degree"]).astype(
+        np.int64) if rows else pd.DataFrame(
+        {"part_key": pd.Series([], dtype=np.int64),
+         "core_degree": pd.Series([], dtype=np.int64)})
+
+
 def golden_video_frames(sf_dir: str) -> pd.DataFrame:
     """Sequential video path: full decode (NOT the engine's
     skip-by-offset sampler) then modulo selection — an independent
@@ -1156,6 +1239,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "end_s": "DOUBLE", "seg_rms": "DOUBLE"})
     out["scene_cuts"] = values_sql(golden_scene_cuts(sf_dir), {
         "video_id": "BIGINT", "cut_idx": "BIGINT", "frame_diff": "DOUBLE"})
+    out["kcore_parts"] = values_sql(golden_kcore_parts(sf_dir), {
+        "part_key": "BIGINT", "core_degree": "BIGINT"})
+    out["cdc_chunks"] = values_sql(golden_cdc_chunks(sf_dir), {
+        "image_id": "VARCHAR", "chunk_idx": "BIGINT", "off": "BIGINT",
+        "length": "BIGINT", "chunk_hash": "BIGINT"})
     out["approx_distinct_users"] = values_sql(
         golden_approx_distinct_users(sf_dir), {"n_approx": "BIGINT"})
     out["cm_counts_users"] = values_sql(

@@ -4150,6 +4150,44 @@ def q_image_training_manifest(sf_dir: str):
 _PHASH_KNN_K = 5
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking over the crawled image blobs — the
+    blob-level dedup primitive (FastCDC/LBFS lineage): rolling-hash
+    boundaries survive byte insertions, so identical content re-chunks
+    identically under new framing and chunk hashes dedup globally
+    while boundaries stay local to each blob. Map-only at any corpus
+    size (per-blob work, vectorized window hash —
+    ``functions/cdc.py``); emits one row per chunk
+    (image_id, chunk_idx, off, length, chunk_hash). Rows-only
+    (golden oracle: sequential sliding-recurrence twin)."""
+    from ..functions import cdc
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {"image_id": [], "chunk_idx": [],
+                                 "off": [], "length": [], "chunk_hash": []}
+        for iid, buf in zip(t["image_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            for k, (o, ln) in enumerate(cdc.cdc_boundaries(buf)):
+                rows["image_id"].append(iid)
+                rows["chunk_idx"].append(k)
+                rows["off"].append(o)
+                rows["length"].append(ln)
+                rows["chunk_hash"].append(cdc.chunk_hash64(buf[o:o + ln]))
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], type=pa.string()),
+            "chunk_idx": pa.array(rows["chunk_idx"], type=pa.int64()),
+            "off": pa.array(rows["off"], type=pa.int64()),
+            "length": pa.array(rows["length"], type=pa.int64()),
+            "chunk_hash": pa.array(rows["chunk_hash"], type=pa.int64()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=64)
+
+
 def q_phash_knn(sf_dir: str):
     """Image retrieval baseline: exact Hamming top-5 over the 64-bit
     phash column for 5 probe images (the lexicographically-first
@@ -6506,6 +6544,60 @@ def q_distinct_users_per_type(sf_dir: str):
     )
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix — pairwise Jaccard between event-type
+    audiences (the mixture diagnostic a training pipeline runs across
+    sources/splits): per-batch Arrow-distinct (type, user) pairs → ONE
+    coarse user-hash exchange (global dedup is bucket-local because
+    every copy of a pair shares its user) → per-bucket user×type
+    indicator matmul (a T×T partial, T = #types) → tiny final combine
+    computing Jaccard from the T×T sums. The distinct pair set never
+    collects; only T² counters leave each bucket."""
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.append_column("part", pa.array(u % parts, type=pa.int64()))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        piv = pd.crosstab(d["user_id"], d["event_type"])
+        m = piv.to_numpy(np.int64)
+        inter = m.T @ m  # T×T: diagonal = per-type audience size
+        types = list(piv.columns)
+        ti, tj = np.triu_indices(len(types), k=0)
+        return pd.DataFrame({
+            "type_a": np.array([types[i] for i in ti], dtype=object),
+            "type_b": np.array([types[j] for j in tj], dtype=object),
+            "n": inter[ti, tj].astype(np.int64),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+        diag = dict(zip(agg.loc[agg["type_a"] == agg["type_b"], "type_a"],
+                        agg.loc[agg["type_a"] == agg["type_b"], "n"]))
+        off = agg[(agg["type_a"] != agg["type_b"]) & (agg["n"] > 0)]
+        na = off["type_a"].map(diag).to_numpy(np.int64)
+        nb = off["type_b"].map(diag).to_numpy(np.int64)
+        nboth = off["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "type_a": off["type_a"].to_numpy(object),
+            "type_b": off["type_b"].to_numpy(object),
+            "n_a": na, "n_b": nb, "n_both": nboth,
+            "jacc": _round_half_up(nboth / (na + nb - nboth), 4),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(bucket, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 def q_hopping_distinct_users(sf_dir: str):
     """Windowed DISTINCT count — the sliding-window op a count partial
     can't serve (distinct doesn't pre-aggregate): 1-day windows every
@@ -8659,6 +8751,94 @@ def q_bfs_reach(sf_dir: str):
         {"node": "part_key"})
 
 
+_KCORE_K = 3
+
+
+@ray.remote
+def _kcore_local_task(k: int, *tables: pa.Table) -> pa.Table:
+    """Single-task k-core peel over materialized edge blocks — the
+    bounded-size dispatch twin of ``_cc/_bfs/_tri_local_task``:
+    vectorized rounds (unique+bincount degrees → drop <k nodes →
+    isin-filter edges) to the fixpoint."""
+    empty = pa.table({"part_key": pa.array([], type=pa.int64()),
+                      "core_degree": pa.array([], type=pa.int64())})
+    tabs = _nonempty_arrow(tables)
+    if not tabs:
+        return empty
+    edges = pa.concat_tables(tabs)
+    a = edges["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    while a.size:
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        bad = nodes[deg < k]
+        if bad.size == 0:
+            return pa.table({
+                "part_key": pa.array(nodes, type=pa.int64()),
+                "core_degree": pa.array(deg.astype(np.int64)),
+            })
+        keep = ~(np.isin(a, bad) | np.isin(b, bad))
+        a, b = a[keep], b[keep]
+    return empty
+
+
+def q_kcore_parts(sf_dir: str):
+    """k-core decomposition (k=3) of the support≥2 co-purchase graph —
+    the density filter a graph pipeline runs before community/embedding
+    stages: iteratively peel nodes of degree < k until the fixpoint;
+    emit surviving nodes with their in-core degree. SIZE-DISPATCHED
+    like the CC/BFS/triangle family: at or under
+    ``_CC_LOCAL_EDGE_LIMIT`` edges one remote numpy task peels the
+    whole graph; above it, each round is a degree partial combine over
+    the (dimension-bounded) node set + a broadcast bad-node filter of
+    the edge Dataset — edges shrink monotonically, round count is the
+    peel depth (small in practice; each round is map-only over edge
+    blocks, no AllToAll)."""
+    edges = _copurchase_edges(sf_dir).materialize()
+    if edges.count() <= _CC_LOCAL_EDGE_LIMIT:
+        return rd.from_arrow_refs(
+            [_kcore_local_task.remote(_KCORE_K, *edges.to_arrow_refs())])
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t["part_a"].to_numpy(zero_copy_only=False),
+                            t["part_b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, type=pa.int64()),
+                         "deg": pa.array(c, type=pa.int64())})
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["deg"].sum().astype(
+            np.int64)
+
+    while True:
+        deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .map_batches(deg_final, batch_format="pandas",
+                            batch_size=1 << 30).to_pandas())
+        bad = deg.loc[deg["deg"] < _KCORE_K, "node"].to_numpy(np.int64)
+        if len(bad) == 0 or len(deg) == 0:
+            break
+        ref = ray.put(np.sort(bad))
+
+        def drop_bad(t: pa.Table) -> pa.Table:
+            bd = _bget_slot("kcore_parts", ref)
+            a = t["part_a"].to_numpy(zero_copy_only=False)
+            b = t["part_b"].to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(a, bd) | np.isin(b, bd))
+            return t.filter(pa.array(keep))
+
+        edges = edges.map_batches(
+            drop_bad, batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            deg = deg.iloc[0:0]
+            break
+    out = deg.sort_values("node").reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "part_key": pa.array(out["node"].to_numpy(np.int64)),
+        "core_degree": pa.array(out["deg"].to_numpy(np.int64)),
+    }))
+
+
 def q_kn_continuation(sf_dir: str):
     """Kneser-Ney continuation counts — the LM-smoothing statistic
     N1+(·, w): for each word, how many DISTINCT left contexts precede
@@ -8930,6 +9110,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "price_histogram": q_price_histogram,
     "vad_segments": q_vad_segments,
     "scene_cuts": q_scene_cuts,
+    "audience_overlap": q_audience_overlap,
+    "kcore_parts": q_kcore_parts,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -9758,5 +9941,17 @@ ORACLE_SQL: dict[str, str] = {
         "b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c) "
         f"SELECT ((cents - mn) * {_PRICE_HIST_BINS}) // (mx - mn + 1) AS bin, "
         "count(*)::BIGINT AS n FROM c, b GROUP BY 1"
+    ),
+    "audience_overlap": (
+        "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+        "c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1), "
+        "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+        "count(*) AS nb FROM d a JOIN d b USING (user_id) "
+        "WHERE a.event_type < b.event_type GROUP BY 1, 2) "
+        "SELECT ta AS type_a, tb AS type_b, ca.n::BIGINT AS n_a, "
+        "cb.n::BIGINT AS n_b, nb::BIGINT AS n_both, "
+        "round(nb::DOUBLE / (ca.n + cb.n - nb), 4) AS jacc "
+        "FROM p JOIN c ca ON ca.event_type = p.ta "
+        "JOIN c cb ON cb.event_type = p.tb"
     ),
 }

@@ -361,3 +361,61 @@ class TestFollowLinkVariants:
         assert parse_apply_link("<p>none</p>", 200) is None
         assert whole_page_text("<html><b>A</b> B</html>", 200, "d") == "A B"
         assert whole_page_text("x", 404, "d") == "d"
+
+
+class TestCdc:
+    def test_chunks_cover_buffer_exactly(self):
+        import numpy as np
+
+        from jobscrawler_ray.functions import cdc
+
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 31, 32, 100, 1000, 5000):
+            buf = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            bounds = cdc.cdc_boundaries(buf)
+            assert sum(ln for _, ln in bounds) == n
+            pos = 0
+            for off, ln in bounds:
+                assert off == pos and ln > 0
+                pos += ln
+            # every chunk except possibly the last respects min/max
+            for off, ln in bounds[:-1]:
+                assert ln <= cdc.MAX_LEN
+            for off, ln in bounds:
+                assert ln <= cdc.MAX_LEN
+
+    def test_boundaries_survive_prefix_insertion(self):
+        """The CDC property: inserting bytes at the front only disturbs
+        boundaries near the edit — downstream cut POSITIONS (relative
+        to content) and chunk hashes re-align."""
+        import numpy as np
+
+        from jobscrawler_ray.functions import cdc
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=4000, dtype=np.uint8).tobytes()
+        shifted = b"\x99" * 7 + base
+        h_base = {cdc.chunk_hash64(base[o:o + ln])
+                  for o, ln in cdc.cdc_boundaries(base)}
+        h_shift = {cdc.chunk_hash64(shifted[o:o + ln])
+                   for o, ln in cdc.cdc_boundaries(shifted)}
+        # most chunk hashes shared despite the 7-byte prefix insertion
+        assert len(h_base & h_shift) >= 0.7 * len(h_base)
+
+    def test_window_hash_matches_recurrence(self):
+        import numpy as np
+
+        from jobscrawler_ray.functions import cdc
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, size=500, dtype=np.uint8)
+        vec = cdc.window_hashes(data)
+        mod, W = 1 << 64, cdc.WINDOW
+        pW = pow(cdc.P, W, mod)
+        h = 0
+        for i, by in enumerate(data.tolist()):
+            h = (h * cdc.P + by) % mod
+            if i >= W:
+                h = (h - int(data[i - W]) * pW) % mod
+            if i >= W - 1:
+                assert int(vec[i]) == h

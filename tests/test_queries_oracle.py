@@ -92,7 +92,7 @@ GOLDEN_NAMES = [
     "substring_dedup_rewrite", "bm25_topk", "clip_align",
     "caption_neardup", "caption_dedup_images", "ccnet_perplexity",
     "pagerank_orders", "image_fidelity", "image_neardup_verified",
-    "vad_segments", "scene_cuts",
+    "vad_segments", "scene_cuts", "kcore_parts", "cdc_chunks",
 ]
 
 
