@@ -460,7 +460,7 @@ def joinstress() -> None:
              # part dimension is dense.
              "merge_upsert_users", "pareto_customers", "part_copurchase",
              "triangle_count", "bfs_reach", "decayed_revenue",
-             "price_histogram"], d,
+             "price_histogram", "audience_overlap", "kcore_parts"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -551,7 +551,7 @@ IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_training_manifest", "clip_align",
                      "image_fidelity",
                      "phash_knn", "phash_neardup", "phash_dedup_keep",
-                     "image_neardup_verified"]
+                     "image_neardup_verified", "cdc_chunks"]
 
 
 def imgstress() -> None:

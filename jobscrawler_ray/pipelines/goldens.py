@@ -771,21 +771,22 @@ def golden_cdc_chunks(sf_dir: str) -> pd.DataFrame:
                 h = (h - buf[i - W] * pW) % mod
             if i >= W - 1 and (h & mask) == 0:
                 cuts.append(i + 1)
+        # min/max enforcement via DIVMOD arithmetic (the engine walks a
+        # while-loop) — an independent route to the same chunk set
         start, bounds = 0, []
-        for c in cuts:
-            while c - start > cdc.MAX_LEN:
-                bounds.append((start, cdc.MAX_LEN))
-                start += cdc.MAX_LEN
-            if c - start < cdc.MIN_LEN:
+        for c in cuts + [len(buf)]:
+            gap = c - start
+            if gap <= 0:
                 continue
-            bounds.append((start, c - start))
+            n_forced = (gap - 1) // cdc.MAX_LEN
+            bounds += [(start + j * cdc.MAX_LEN, cdc.MAX_LEN)
+                       for j in range(n_forced)]
+            start += n_forced * cdc.MAX_LEN
+            rem = gap - n_forced * cdc.MAX_LEN
+            if c < len(buf) and rem < cdc.MIN_LEN:
+                continue  # candidate too close — keep accumulating
+            bounds.append((start, rem))
             start = c
-        n = len(buf)
-        while n - start > cdc.MAX_LEN:
-            bounds.append((start, cdc.MAX_LEN))
-            start += cdc.MAX_LEN
-        if n > start:
-            bounds.append((start, n - start))
         for k, (o, ln) in enumerate(bounds):
             hh = int.from_bytes(
                 hashlib.sha1(buf[o:o + ln]).digest()[:8], "big", signed=True)

@@ -814,30 +814,26 @@ def q_pii_redact(sf_dir: str):
         ids = t["doc_id"]
         idv = ids.to_numpy(zero_copy_only=False)
         ids_s = pc.cast(ids, pa.string())
-        n_rows = t.num_rows
-        empty = pa.array([""] * n_rows, type=pa.string())
-
-        def lit(s: str) -> pa.Array:
-            return pa.array([s] * n_rows, type=pa.string())
-
+        # constant operands stay SCALARS — binary_join_element_wise /
+        # if_else broadcast them with zero per-row allocation
         email = pc.if_else(
             pa.array(idv % 3 == 0),
             pc.binary_join_element_wise(
-                lit(" contact user"), ids_s, lit("@mail.example.com"), ""),
-            empty)
+                " contact user", ids_s, "@mail.example.com", ""),
+            "")
         phone = pc.if_else(
             pa.array(idv % 5 == 0),
             pc.binary_join_element_wise(
-                lit(" call 555-"),
+                " call 555-",
                 pc.utf8_lpad(pa.array((idv % 10000).astype(str)), 4, "0"),
                 ""),
-            empty)
+            "")
         ip = pc.if_else(
             pa.array(idv % 7 == 0),
             pc.binary_join_element_wise(
-                lit(" from 10.0."), pa.array((idv % 256).astype(str)),
-                lit("."), pa.array((idv % 100).astype(str)), ""),
-            empty)
+                " from 10.0.", pa.array((idv % 256).astype(str)),
+                ".", pa.array((idv % 100).astype(str)), ""),
+            "")
         itext = pc.binary_join_element_wise(t["text"], email, phone, ip, "")
         n = pc.count_substring_regex(itext, _PII_EMAIL)
         clean = pc.replace_substring_regex(itext, _PII_EMAIL, "<EMAIL>")

@@ -378,11 +378,12 @@ class TestCdc:
             for off, ln in bounds:
                 assert off == pos and ln > 0
                 pos += ln
-            # every chunk except possibly the last respects min/max
-            for off, ln in bounds[:-1]:
-                assert ln <= cdc.MAX_LEN
+            # every chunk respects MAX_LEN; every chunk except possibly
+            # the final one also respects MIN_LEN
             for off, ln in bounds:
                 assert ln <= cdc.MAX_LEN
+            for off, ln in bounds[:-1]:
+                assert ln >= cdc.MIN_LEN
 
     def test_boundaries_survive_prefix_insertion(self):
         """The CDC property: inserting bytes at the front only disturbs
