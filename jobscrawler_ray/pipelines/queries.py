@@ -3125,6 +3125,20 @@ def q_length_histogram(sf_dir: str):
 _PRICE_HIST_BINS = 64
 
 
+@lru_cache(maxsize=8)
+def _price_cents_minmax(sf_dir: str) -> tuple[int, int]:
+    """Global (min, max) of l_extendedprice in integer cents — the
+    associative first pass shared by the histogram/quantile sketches
+    (cached per table: the bounds are deterministic, so the quantile
+    sketch riding the histogram does not re-scan for them)."""
+    mm = _tbl(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Min("cents"), Max("cents"))
+    return int(mm["min(cents)"]), int(mm["max(cents)"])
+
+
 def q_price_histogram(sf_dir: str):
     """Equi-width histogram SKETCH over l_extendedprice — the order-free
     mergeable distribution profile (the exact-quantile complement to
@@ -3134,12 +3148,7 @@ def q_price_histogram(sf_dir: str):
     merged in a single coalesced reduce — no sort, no all-to-all.
     Binning is in integer CENTS with pure integer arithmetic, so the
     engine and the SQL oracle can never disagree on a boundary."""
-    mm = _tbl(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
-        lambda t: pa.table({"cents": pc.cast(
-            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())}),
-        batch_format="pyarrow",
-    ).aggregate(Min("cents"), Max("cents"))
-    mn, mx = int(mm["min(cents)"]), int(mm["max(cents)"])
+    mn, mx = _price_cents_minmax(sf_dir)
     width = mx - mn + 1
 
     def partial(t: pa.Table) -> pa.Table:
@@ -3162,6 +3171,34 @@ def q_price_histogram(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
     )
+
+
+_SKETCH_QUANTILES = (50, 90, 99)
+
+
+def q_price_quantiles_sketch(sf_dir: str):
+    """Approximate quantiles FROM the histogram sketch — the 100 TB
+    quantile path (``group_quantiles`` is exact but ships values; this
+    ships the 64 counters of ``price_histogram`` and answers p50/p90/
+    p99 from them). The estimate is the LOWER EDGE of the bin holding
+    the target rank, in pure integer arithmetic (``mn + ceil(b·W/64)``)
+    so the engine and the SQL oracle agree bit-for-bit. Error is
+    bounded by one bin width by construction."""
+    hist = q_price_histogram(sf_dir).to_pandas().sort_values("bin")
+    bins = hist["bin"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    mn, mx = _price_cents_minmax(sf_dir)
+    width = mx - mn + 1
+    cum = np.cumsum(counts)
+    rows = []
+    for q in _SKETCH_QUANTILES:
+        rank = (total * q + 99) // 100  # ceil(total*q/100), 1-based
+        b = int(bins[np.searchsorted(cum, rank)])
+        lo = mn + (b * width + _PRICE_HIST_BINS - 1) // _PRICE_HIST_BINS
+        rows.append((q, b, lo))
+    return pd.DataFrame(rows, columns=["q", "bin", "est_cents"]).astype(
+        {"q": np.int64, "bin": np.int64, "est_cents": np.int64})
 
 
 def _split_purchase_click(df: pd.DataFrame):
@@ -3673,7 +3710,9 @@ def q_vad_segments(sf_dir: str):
         _synth_speech, batch_format="pyarrow")
     return ds.map_batches(
         VadSegments, batch_format="pyarrow", batch_size=64,
-        concurrency=2, num_cpus=1)
+        concurrency=(2, 28), num_cpus=1)  # autoscale: Ray fuses the
+    # synthesis task stage INTO this pool (the clip_align lesson) —
+    # a fixed 2-actor pool would serialize synth+decode at 2 cores
 
 
 def _synth_scene_video(t: pa.Table) -> pa.Table:
@@ -9109,6 +9148,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audience_overlap": q_audience_overlap,
     "kcore_parts": q_kcore_parts,
     "cdc_chunks": q_cdc_chunks,
+    "price_quantiles_sketch": q_price_quantiles_sketch,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -9937,6 +9977,21 @@ ORACLE_SQL: dict[str, str] = {
         "b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c) "
         f"SELECT ((cents - mn) * {_PRICE_HIST_BINS}) // (mx - mn + 1) AS bin, "
         "count(*)::BIGINT AS n FROM c, b GROUP BY 1"
+    ),
+    "price_quantiles_sketch": (
+        "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "AS cents FROM lineitem), "
+        "b AS (SELECT min(cents) AS mn, max(cents) AS mx, "
+        "count(*) AS total FROM c), "
+        f"h AS (SELECT ((cents - mn) * {_PRICE_HIST_BINS}) // (mx - mn + 1) "
+        "AS bin, count(*) AS n FROM c, b GROUP BY 1), "
+        "cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cumn FROM h), "
+        f"qs AS (SELECT unnest({list(_SKETCH_QUANTILES)}) AS q), "
+        "pick AS (SELECT q, min(bin) AS bin FROM qs, cum, b "
+        "WHERE cumn >= (b.total * q + 99) // 100 GROUP BY q) "
+        "SELECT q::BIGINT AS q, bin::BIGINT AS bin, "
+        f"(b.mn + (bin * (b.mx - b.mn + 1) + {_PRICE_HIST_BINS - 1}) "
+        f"// {_PRICE_HIST_BINS})::BIGINT AS est_cents FROM pick, b"
     ),
     "audience_overlap": (
         "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
