@@ -584,7 +584,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "simhash_neardup", "langid", "fingerprints",
                      "ccnet_perplexity", "weighted_sample",
                      "global_rank_docs", "bigram_lift", "kn_continuation",
-                     "pii_redact", "vad_segments"]
+                     "pii_redact", "vad_segments", "bpe_merge_pairs"]
 
 
 def docstress() -> None:

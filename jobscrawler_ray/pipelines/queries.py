@@ -2978,6 +2978,43 @@ def q_bigram_counts(sf_dir: str):
     )
 
 
+def q_bpe_merge_pairs(sf_dir: str):
+    """First BPE training step — adjacent CHARACTER-pair counts over
+    the corpus weighted by word frequency (the merge-candidate table a
+    tokenizer trainer ranks every round): per-batch word-frequency
+    partials via ``np.unique``, pair extraction per DISTINCT word —
+    the classic BPE trick that makes the step vocab-bounded, not
+    corpus-bounded — then a single coalesced combine over the tiny
+    (≤alphabet²) pair space and top-50 by (n desc, pair asc)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        u, c = np.unique(words.to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        pairs: dict[str, int] = {}
+        for w, f in zip(u, c):
+            f = int(f)
+            for i in range(len(w) - 1):
+                p = w[i:i + 2]
+                pairs[p] = pairs.get(p, 0) + f
+        return pa.table({
+            "pair": pa.array(list(pairs.keys()), type=pa.string()),
+            "n": pa.array(np.fromiter(pairs.values(), dtype=np.int64,
+                                      count=len(pairs))),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "pair"], ascending=[False, True]).head(50)
+        return g.reset_index(drop=True).astype({"n": np.int64})
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # Above this many distinct terms the TF-IDF scorer stops broadcasting
 # the DF table and attaches DF via a distributed term-keyed cogroup:
 # raw web text (typos, URLs, hashes) reaches 10^8+ distinct terms —
@@ -8850,13 +8887,20 @@ def q_kcore_parts(sf_dir: str):
         deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
                .map_batches(deg_final, batch_format="pandas",
                             batch_size=1 << 30).to_pandas())
+        if len(deg) == 0:
+            # empty edge set → empty-schema frame; normalize columns
+            deg = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                "deg": pd.Series([], dtype=np.int64)})
+            break
         bad = deg.loc[deg["deg"] < _KCORE_K, "node"].to_numpy(np.int64)
-        if len(bad) == 0 or len(deg) == 0:
+        if len(bad) == 0:
             break
         ref = ray.put(np.sort(bad))
 
-        def drop_bad(t: pa.Table) -> pa.Table:
-            bd = _bget_slot("kcore_parts", ref)
+        def drop_bad(t: pa.Table, _ref=ref) -> pa.Table:
+            # default-arg capture (the PageRank idiom): the closure must
+            # pin THIS round's ref even if the loop variable moves
+            bd = _bget_slot("kcore_parts", _ref)
             a = t["part_a"].to_numpy(zero_copy_only=False)
             b = t["part_b"].to_numpy(zero_copy_only=False)
             keep = ~(np.isin(a, bd) | np.isin(b, bd))
@@ -9149,6 +9193,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kcore_parts": q_kcore_parts,
     "cdc_chunks": q_cdc_chunks,
     "price_quantiles_sketch": q_price_quantiles_sketch,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -9977,6 +10022,16 @@ ORACLE_SQL: dict[str, str] = {
         "b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c) "
         f"SELECT ((cents - mn) * {_PRICE_HIST_BINS}) // (mx - mn + 1) AS bin, "
         "count(*)::BIGINT AS n FROM c, b GROUP BY 1"
+    ),
+    "bpe_merge_pairs": (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "wf AS (SELECT w, count(*) AS f FROM w WHERE length(w) >= 2 "
+        "GROUP BY 1), "
+        "p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f FROM wf, "
+        "LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) t) "
+        "SELECT pair, sum(f)::BIGINT AS n FROM p GROUP BY 1 "
+        "ORDER BY n DESC, pair LIMIT 50"
     ),
     "price_quantiles_sketch": (
         "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) "

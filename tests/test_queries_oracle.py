@@ -611,6 +611,21 @@ class TestDistributedKeepPath:
             queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
         pd.testing.assert_frame_equal(bcast, cogroup, check_exact=True)
 
+    def test_kcore_dispatch_invariant(self, ray_session, monkeypatch):
+        """k-core output must be identical whichever path runs: the
+        single-task numpy peel (default at this scale) or the forced
+        distributed rounds (degree combines + broadcast bad-node edge
+        filters, `_CC_LOCAL_EDGE_LIMIT = -1` so even an empty edge set
+        cannot silently degrade to the local task)."""
+        from jobscrawler_ray.pipelines import queries
+
+        local = _normalize(_to_pandas(
+            queries.QUERIES["kcore_parts"](SF_DIR)))
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", -1)
+        dist = _normalize(_to_pandas(
+            queries.QUERIES["kcore_parts"](SF_DIR)))
+        pd.testing.assert_frame_equal(local, dist, check_exact=True)
+
     def test_substring_rewrite_consistent_with_detection(self,
                                                          ray_session):
         """A doc loses words iff the detection query says it has ≥1
