@@ -420,3 +420,49 @@ class TestCdc:
                 h = (h - int(data[i - W]) * pW) % mod
             if i >= W - 1:
                 assert int(vec[i]) == h
+
+    def test_cdc_properties_hypothesis(self):
+        """Property-based: for arbitrary byte strings, chunks tile the
+        buffer exactly, interior chunks respect [MIN_LEN, MAX_LEN], and
+        chunking is a pure function of content (same bytes → same
+        chunks)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jobscrawler_ray.functions import cdc
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(min_size=0, max_size=3000))
+        def check(buf):
+            bounds = cdc.cdc_boundaries(buf)
+            assert sum(ln for _, ln in bounds) == len(buf)
+            pos = 0
+            for off, ln in bounds:
+                assert off == pos and 0 < ln <= cdc.MAX_LEN
+                pos += ln
+            for off, ln in bounds[:-1]:
+                assert ln >= cdc.MIN_LEN
+            assert bounds == cdc.cdc_boundaries(buf)
+
+        check()
+
+    def test_cdc_content_locality_hypothesis(self):
+        """Property-based CDC locality: appending a suffix never changes
+        any chunk that ends at least MAX_LEN before the old end of the
+        buffer (boundaries are content-defined, not position-defined)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from jobscrawler_ray.functions import cdc
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.binary(min_size=600, max_size=2500),
+               st.binary(min_size=1, max_size=500))
+        def check(base, suffix):
+            b1 = cdc.cdc_boundaries(base)
+            b2 = cdc.cdc_boundaries(base + suffix)
+            stable_end = len(base) - cdc.MAX_LEN
+            expect = [(o, n) for o, n in b1 if o + n <= stable_end]
+            assert b2[:len(expect)] == expect
+
+        check()
