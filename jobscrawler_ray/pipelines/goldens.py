@@ -747,6 +747,39 @@ def golden_scene_cuts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["video_id", "cut_idx", "frame_diff"])
 
 
+def golden_scene_clips(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_scene_clips``: stateful span-building
+    loop (start a new span when the per-pair diff crosses the
+    threshold) — an independent route to the engine's vectorized
+    cut-edge concatenation."""
+    from ..functions import av_codecs
+    from ..stages.multimodal import SceneCuts
+
+    ids, _, _ = _documents(sf_dir)
+    thr = SceneCuts.DIFF_THRESHOLD
+    rows = []
+    for d in ids:
+        if int(d) >= 64:
+            continue
+        buf = av_codecs.encode_video(av_codecs.gen_scene_frames(int(d)))
+        frames = av_codecs.decode_video(buf)
+        n = len(frames)
+        if n == 0:
+            continue
+        start, idx = 0, 0
+        for i in range(1, n):
+            diff = float(np.mean(np.abs(
+                frames[i].astype(np.float64)
+                - frames[i - 1].astype(np.float64))))
+            if diff > thr:
+                rows.append((int(d), idx, start, i, i - start))
+                idx += 1
+                start = i
+        rows.append((int(d), idx, start, n, n - start))
+    return pd.DataFrame(rows, columns=[
+        "video_id", "scene_idx", "start_frame", "end_frame", "n_frames"])
+
+
 def golden_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``q_cdc_chunks``: per-byte sliding-recurrence
     rolling hash ``H_i = (H_{i-1}*P + b_i - b_{i-W}*P^W) mod 2^64`` —
@@ -1242,6 +1275,10 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "video_id": "BIGINT", "cut_idx": "BIGINT", "frame_diff": "DOUBLE"})
     out["kcore_parts"] = values_sql(golden_kcore_parts(sf_dir), {
         "part_key": "BIGINT", "core_degree": "BIGINT"})
+    out["scene_clips"] = values_sql(golden_scene_clips(sf_dir), {
+        "video_id": "BIGINT", "scene_idx": "BIGINT",
+        "start_frame": "BIGINT", "end_frame": "BIGINT",
+        "n_frames": "BIGINT"})
     out["cdc_chunks"] = values_sql(golden_cdc_chunks(sf_dir), {
         "image_id": "VARCHAR", "chunk_idx": "BIGINT", "off": "BIGINT",
         "length": "BIGINT", "chunk_hash": "BIGINT"})

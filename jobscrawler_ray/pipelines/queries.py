@@ -3787,6 +3787,25 @@ def q_scene_cuts(sf_dir: str):
         concurrency=2, num_cpus=1)
 
 
+def q_scene_clips(sf_dir: str):
+    """Scene SPANS — the clip-sampling units a video training pipeline
+    cuts after shot detection (the video analog of ``vad_segments``):
+    one row per contiguous scene ([start, end) frame range), the
+    complement of ``scene_cuts``' boundary set. Map-only per clip;
+    same doc_id<64 row-group pruning as the other video ops.
+    Rows-only (golden oracle)."""
+    import pyarrow.dataset as _pads
+
+    from ..stages.multimodal import SceneClips
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"],
+              filter=_pads.field("doc_id") < 64).map_batches(
+        _synth_scene_video, batch_format="pyarrow")
+    return ds.map_batches(
+        SceneClips, batch_format="pyarrow", batch_size=16,
+        concurrency=2, num_cpus=1)
+
+
 def q_phash_neardup(sf_dir: str):
     """SURVEY §2.7 D5: perceptual-hash near-dup over images — LSH-style
     banding on 16-bit phash bands → groupby band → candidate pairs →
@@ -9194,6 +9213,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_chunks": q_cdc_chunks,
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "scene_clips": q_scene_clips,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

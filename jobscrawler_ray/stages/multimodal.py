@@ -277,6 +277,46 @@ class SceneCuts:
         })
 
 
+class SceneClips:
+    """Actor-pool stage: binary video column → one row per SCENE span
+    (video_id, scene_idx, start_frame, end_frame, n_frames) — the
+    clip-sampling units a video training pipeline cuts AFTER shot
+    detection. Shares SceneCuts' consecutive-frame delta kernel; spans
+    are the complement of the cut set ([start, end) frame ranges)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"video_id": [], "scene_idx": [],
+                                "start_frame": [], "end_frame": [],
+                                "n_frames": []}
+        thr = SceneCuts.DIFF_THRESHOLD
+        for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+            frames = _decode_video(buf)
+            n = len(frames)
+            if n == 0:
+                continue
+            if n == 1:
+                cuts = np.array([], dtype=np.int64)
+            else:
+                stack = np.stack(frames).astype(np.float64)
+                diffs = np.mean(np.abs(stack[1:] - stack[:-1]), axis=(1, 2, 3))
+                cuts = np.flatnonzero(diffs > thr) + 1
+            edges = np.concatenate(([0], cuts, [n]))
+            for k in range(len(edges) - 1):
+                s, e = int(edges[k]), int(edges[k + 1])
+                out["video_id"].append(vid)
+                out["scene_idx"].append(k)
+                out["start_frame"].append(s)
+                out["end_frame"].append(e)
+                out["n_frames"].append(e - s)
+        return pa.table({
+            "video_id": pa.array(out["video_id"], type=pa.int64()),
+            "scene_idx": pa.array(out["scene_idx"], type=pa.int64()),
+            "start_frame": pa.array(out["start_frame"], type=pa.int64()),
+            "end_frame": pa.array(out["end_frame"], type=pa.int64()),
+            "n_frames": pa.array(out["n_frames"], type=pa.int64()),
+        })
+
+
 class ClipAlign:
     """CLIP-style image-caption alignment scorer (two-tower cosine) —
     the LAION-style curation signal (reference has no CLIP stage; this
