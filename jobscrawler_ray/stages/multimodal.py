@@ -242,6 +242,16 @@ class VadSegments:
         })
 
 
+def _frame_diffs(frames: list[np.ndarray]) -> np.ndarray:
+    """Consecutive-frame mean-absolute pixel deltas — ONE kernel shared
+    by SceneCuts (boundaries) and SceneClips (spans) so the two can
+    never desynchronize. Empty for clips under 2 frames."""
+    if len(frames) < 2:
+        return np.array([], dtype=np.float64)
+    stack = np.stack(frames).astype(np.float64)
+    return np.mean(np.abs(stack[1:] - stack[:-1]), axis=(1, 2, 3))
+
+
 class SceneCuts:
     """Actor-pool stage: binary video column → one row per detected
     scene cut (video_id, cut_idx, frame_diff): decode, stack frames,
@@ -260,12 +270,7 @@ class SceneCuts:
     def __call__(self, t: pa.Table) -> pa.Table:
         out: dict[str, list] = {"video_id": [], "cut_idx": [], "frame_diff": []}
         for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
-            frames = _decode_video(buf)
-            if len(frames) < 2:
-                continue
-            stack = np.stack(frames).astype(np.float64)
-            diffs = np.mean(
-                np.abs(stack[1:] - stack[:-1]), axis=(1, 2, 3))
+            diffs = _frame_diffs(_decode_video(buf))
             for i in np.flatnonzero(diffs > self.DIFF_THRESHOLD):
                 out["video_id"].append(vid)
                 out["cut_idx"].append(int(i) + 1)
@@ -294,12 +299,7 @@ class SceneClips:
             n = len(frames)
             if n == 0:
                 continue
-            if n == 1:
-                cuts = np.array([], dtype=np.int64)
-            else:
-                stack = np.stack(frames).astype(np.float64)
-                diffs = np.mean(np.abs(stack[1:] - stack[:-1]), axis=(1, 2, 3))
-                cuts = np.flatnonzero(diffs > thr) + 1
+            cuts = np.flatnonzero(_frame_diffs(frames) > thr) + 1
             edges = np.concatenate(([0], cuts, [n]))
             for k in range(len(edges) - 1):
                 s, e = int(edges[k]), int(edges[k + 1])

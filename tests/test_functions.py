@@ -426,8 +426,9 @@ class TestCdc:
         buffer exactly, interior chunks respect [MIN_LEN, MAX_LEN], and
         chunking is a pure function of content (same bytes → same
         chunks)."""
-        from hypothesis import given, settings
-        from hypothesis import strategies as st
+        hypothesis = pytest.importorskip("hypothesis")
+        given, settings = hypothesis.given, hypothesis.settings
+        st = hypothesis.strategies
 
         from jobscrawler_ray.functions import cdc
 
@@ -450,8 +451,9 @@ class TestCdc:
         """Property-based CDC locality: appending a suffix never changes
         any chunk that ends at least MAX_LEN before the old end of the
         buffer (boundaries are content-defined, not position-defined)."""
-        from hypothesis import given, settings
-        from hypothesis import strategies as st
+        hypothesis = pytest.importorskip("hypothesis")
+        given, settings = hypothesis.given, hypothesis.settings
+        st = hypothesis.strategies
 
         from jobscrawler_ray.functions import cdc
 

@@ -73,7 +73,7 @@ def test_query_vs_oracle(name, con, ray_session):
     _compare(name, ray_df, sql_df)
 
 
-# the previously rows-only queries (13 in round 2, 20 now), backed by
+# the previously rows-only queries (13 in round 2, 46 now), backed by
 # VALUES-rendered golden tables computed by an independent sequential
 # implementation (jobscrawler_ray/pipelines/goldens.py) — plus the
 # image-table ops (curate/aspect/knn) whose INPUT is the golden crawl
