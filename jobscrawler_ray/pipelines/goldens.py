@@ -59,6 +59,9 @@ from .queries import (
     _MH_VERIFY_TAU,
     _norm_rows,
     _probe_lists,
+    _BPE_TOPV,
+    _bpe_train,
+    _bpe_token_len,
     crawl_world_params,
 )
 
@@ -392,6 +395,37 @@ def golden_bm25_topk(sf_dir: str) -> pd.DataFrame:
         "doc_id": pd.Series(ida[order], dtype=np.int64),
         "score": pd.Series(s[order], dtype=np.float64),
     })
+
+
+def golden_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_bpe_encode``: full-corpus
+    ``Counter`` word frequencies capped to the same (f desc, word asc)
+    top-``_BPE_TOPV``, the shared ``_bpe_train`` / ``_bpe_token_len``
+    kernels, and a plain per-doc loop with a word→token-count cache —
+    independent counting/encode orchestration, shared leaves."""
+    from collections import Counter
+
+    ids, texts, _ = _documents(sf_dir)
+    cnt: Counter = Counter()
+    for x in texts:
+        cnt.update(x.split(" "))
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPV]
+    ranks = {p: r for r, p in enumerate(
+        _bpe_train([w for w, _ in items], [f for _, f in items]))}
+    cache: dict[str, int] = {}
+    rows = []
+    for i, x in zip(ids, texts):
+        toks = x.split(" ")
+        s = 0
+        for w in toks:
+            v = cache.get(w)
+            if v is None:
+                v = cache[w] = _bpe_token_len(w, ranks)
+            s += v
+        rows.append((int(i), len(toks), s))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"]) \
+        .astype({"doc_id": np.int64, "n_words": np.int64,
+                 "n_tokens": np.int64})
 
 
 def golden_dsir_weights(sf_dir: str) -> pd.DataFrame:
@@ -1159,6 +1193,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
             "removed_words": "BIGINT", "text": "VARCHAR"})
     out["bm25_topk"] = values_sql(golden_bm25_topk(sf_dir), {
         "rank": "BIGINT", "doc_id": "BIGINT", "score": "DOUBLE"})
+    out["bpe_encode"] = values_sql(golden_bpe_encode(sf_dir), {
+        "doc_id": "BIGINT", "n_words": "BIGINT", "n_tokens": "BIGINT"})
     out["pq_encode"] = values_sql(golden_pq_encode(sf_dir), {
         "vec_id": "BIGINT", "pq_code": "BIGINT"})
     out["ann_pq"] = values_sql(golden_ann_pq(sf_dir), {

@@ -9055,6 +9055,335 @@ def q_event_paths(sf_dir: str):
     )
 
 
+# C4-style duplicate-LINE removal: docs are segmented into consecutive
+# _LINE_W-word "lines" (the synthetic corpus has no sentence
+# punctuation, so a fixed word window stands in for C4's
+# three-sentence span); every occurrence of a line except the globally
+# FIRST one (min (doc_id, idx)) is deleted and the doc re-joined.
+_LINE_W = 10
+# broadcast-vs-cogroup dispatch threshold for the loser (doc_id, idx)
+# rows, same convention as _SUBDUP_BCAST_LIMIT
+_LINEDUP_BCAST_LIMIT = int(os.environ.get("JCR_LINEDUP_BCAST_LIMIT",
+                                          "2000000"))
+
+
+def _line_hashes(toks: list[str]) -> np.ndarray:
+    """63-bit hashes of the consecutive ``_LINE_W``-word chunks of
+    ``toks`` (entry ``i`` covers words ``[i*_LINE_W, (i+1)*_LINE_W)``;
+    the last chunk may be shorter). Words sha1-hash once through the
+    shared ``_word_h64`` cache; full chunks combine as a column-wise
+    uint64 polynomial fold (10 numpy ops over ALL full chunks at once,
+    no per-chunk Python), the one ragged tail chunk folds scalar.
+    Chunk-hash equality stands in for chunk-STRING equality — words
+    contain no spaces, so distinct word tuples give distinct joined
+    strings; 64-bit collisions are the same accepted risk documented
+    for the substring family (the 100 TB remedy is a widened or
+    verify-pass hash, not a different shape)."""
+    n = len(toks)
+    wh = np.fromiter((_word_h64(w) for w in toks),
+                     dtype=np.uint64, count=n)
+    full = n // _LINE_W
+    n_chunks = (n + _LINE_W - 1) // _LINE_W
+    acc = np.zeros(n_chunks, dtype=np.uint64)
+    if full:
+        m = wh[:full * _LINE_W].reshape(full, _LINE_W)
+        a = np.zeros(full, dtype=np.uint64)
+        for j in range(_LINE_W):
+            a = a * _SUB_ROLL_B + m[:, j]
+        acc[:full] = a
+    if n_chunks > full:  # ragged tail — length-1 array fold so the
+        # intended uint64 wraparound stays silent (numpy warns on
+        # scalar overflow but not on array overflow)
+        t = np.zeros(1, dtype=np.uint64)
+        for v in wh[full * _LINE_W:]:
+            t = t * _SUB_ROLL_B + v
+        acc[full] = t[0]
+    return (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
+
+def q_line_dedup(sf_dir: str):
+    """C4-style corpus-wide duplicate-line removal: split every doc
+    into consecutive ``_LINE_W``-word lines, keep only the globally
+    FIRST occurrence (min (doc_id, idx)) of each distinct line, and
+    rewrite each doc from its surviving lines in order. Output per doc
+    (all docs): (doc_id, n_lines, removed_lines, text). Detection is
+    map-side line hashing (shared cached word sha1s + vectorized
+    polynomial fold) into ONE coarse hash partition on the line hash —
+    every occurrence of a line lands in the same partition, so the
+    global first is locally decidable and only the LOSER (doc_id, idx)
+    rows leave the exchange (dup-rate-bounded, not corpus-bounded).
+    Losers reach the text by size dispatch exactly like
+    ``substring_dedup_rewrite``: broadcast doc-sorted arrays below
+    ``_LINEDUP_BCAST_LIMIT``, else a doc_id coarse cogroup so neither
+    side lands on the driver. Reference anchor: C4's three-sentence
+    dedup (Raffel et al.) re-expressed over the punctuation-free
+    synthetic corpus."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _tbl_rows(sf_dir, "documents")
+    parts = _SUB_PARTS or int(min(256, max(16, n_docs // 50_000 + 16)))
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs: list[np.ndarray] = []
+        ds: list[np.ndarray] = []
+        xs: list[np.ndarray] = []
+        for i, x in zip(ids, t["text"].to_pylist()):
+            h = _line_hashes(x.split(" "))
+            hs.append(h)
+            ds.append(np.full(len(h), i, dtype=np.int64))
+            xs.append(np.arange(len(h), dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(h),
+            "doc_id": pa.array(np.concatenate(ds) if ds
+                               else np.empty(0, np.int64)),
+            "idx": pa.array(np.concatenate(xs) if xs
+                            else np.empty(0, np.int64)),
+            "part": pa.array((h.view(np.uint64) % np.uint64(parts))
+                             .astype(np.int64)),
+        })
+
+    def losers(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        x = t["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, d, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        lose = order[~first]
+        return pa.table({"doc_id": pa.array(d[lose]),
+                         "idx": pa.array(x[lose])})
+
+    def rewrite_tbl(ids: np.ndarray, texts: list[str],
+                    d_ids: np.ndarray, d_idx: np.ndarray) -> pa.Table:
+        outs: list[str] = []
+        nls = np.empty(len(texts), dtype=np.int64)
+        rms = np.empty(len(texts), dtype=np.int64)
+        for k, (i, x) in enumerate(zip(ids, texts)):
+            toks = x.split(" ")
+            n_chunks = (len(toks) + _LINE_W - 1) // _LINE_W
+            lo = np.searchsorted(d_ids, i, "left")
+            hi = np.searchsorted(d_ids, i, "right")
+            drop = d_idx[lo:hi]
+            nls[k] = n_chunks
+            rms[k] = hi - lo
+            if lo == hi:
+                outs.append(x)
+                continue
+            keep = np.ones(n_chunks, dtype=bool)
+            keep[drop] = False
+            kept: list[str] = []
+            for c in np.nonzero(keep)[0]:
+                kept.extend(toks[c * _LINE_W:(c + 1) * _LINE_W])
+            outs.append(" ".join(kept))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "n_lines": pa.array(nls),
+            "removed_lines": pa.array(rms),
+            "text": pa.array(outs, type=pa.string()),
+        })
+
+    with _shuffle_scaled(n_docs * 16 * 32):
+        drops = (
+            docs.map_batches(line_rows, batch_format="pyarrow")
+            .groupby("part", num_partitions=parts)
+            .map_groups(losers, batch_format="pyarrow")
+        ).materialize()
+    ndrop = drops.count()
+
+    if ndrop <= _LINEDUP_BCAST_LIMIT:
+        tbls = [t for t in ray.get(drops.to_arrow_refs())
+                if t.num_rows > 0]
+        if tbls:
+            dt = pa.concat_tables(tbls)
+            di = dt["doc_id"].to_numpy(zero_copy_only=False)
+            dx = dt["idx"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((dx, di))
+            dref = ray.put((di[order], dx[order]))
+        else:
+            e = np.empty(0, dtype=np.int64)
+            dref = ray.put((e, e))
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            d_ids, d_idx = _bget(dref)
+            return rewrite_tbl(
+                t["doc_id"].to_numpy(zero_copy_only=False),
+                t["text"].to_pylist(), d_ids, d_idx)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow")
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "idx": pa.nulls(t.num_rows, pa.int64()),
+            "dpart": pa.array(d % parts),
+        })
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "idx": t["idx"],
+            "dpart": pa.array(d % parts),
+        })
+
+    def rewrite_group(t: pa.Table) -> pa.Table:
+        isdoc = pc.is_valid(t["text"])
+        doc_t = t.filter(isdoc)
+        dup_t = t.filter(pc.invert(isdoc))
+        di = dup_t["doc_id"].to_numpy(zero_copy_only=False)
+        dx = dup_t["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dx, di))
+        return rewrite_tbl(
+            doc_t["doc_id"].to_numpy(zero_copy_only=False),
+            doc_t["text"].to_pylist(), di[order], dx[order])
+
+    with _shuffle_scaled(n_docs * 400):
+        return (
+            docs.map_batches(tag_docs, batch_format="pyarrow")
+            .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+            .groupby("dpart", num_partitions=parts)
+            .map_groups(rewrite_group, batch_format="pyarrow")
+        )
+
+
+# BPE tokenizer: train _BPE_MERGES merges on the corpus word-frequency
+# table (bounded to the _BPE_TOPV most frequent words — the standard
+# scale move: a raw-web vocabulary reaches 10^8+ distinct strings, and
+# every practical trainer counts on a capped/sampled vocabulary), then
+# apply them corpus-wide. Completes the loop bpe_merge_pairs starts
+# (that op ranks the FIRST merge's candidates; this one trains the
+# whole table and encodes).
+_BPE_MERGES = 24
+_BPE_TOPV = 4096
+
+
+def _bpe_train(words: list[str], freqs: list[int]) -> list[tuple[str, str]]:
+    """Sequential BPE trainer over a (word, freq) vocabulary — tiny
+    (≤ _BPE_TOPV rows) and inherently iterative, so it runs on the
+    driver; shared verbatim with the golden so the merge table cannot
+    drift. Deterministic: each round picks the max-count pair, ties
+    broken by lexicographically smallest pair."""
+    vocab = [list(w) for w in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_MERGES):
+        pairs: dict[tuple[str, str], int] = {}
+        for seq, f in zip(vocab, freqs):
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        mc = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == mc)
+        merges.append(best)
+        tok = best[0] + best[1]
+        for seq in vocab:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == best[0] and seq[i + 1] == best[1]:
+                    seq[i:i + 2] = [tok]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_token_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of ``word`` under the trained merge table — the
+    canonical greedy BPE apply (repeatedly merge every occurrence of
+    the present pair with the lowest rank). Deterministic: ranks are
+    unique per pair, so the min is never a tie."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_r = 1 << 30
+        best = None
+        for p in zip(seq, seq[1:]):
+            r = ranks.get(p, 1 << 30)
+            if r < best_r:
+                best_r = r
+                best = p
+        if best is None or best_r == 1 << 30:
+            break
+        tok = best[0] + best[1]
+        i = 0
+        while i < len(seq) - 1:
+            if seq[i] == best[0] and seq[i + 1] == best[1]:
+                seq[i:i + 2] = [tok]
+            else:
+                i += 1
+    return len(seq)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Train-and-apply BPE over the corpus: (1) a distributed exact
+    word-frequency table — per-batch ``np.unique`` partials into ONE
+    coarse hash partition on the word, so per-partition sums are
+    global sums and each partition's top-``_BPE_TOPV`` candidates are
+    globally sufficient (≤ parts × V tiny rows reach the driver, never
+    the vocabulary); (2) the sequential ``_bpe_train`` on the capped
+    (f desc, word asc) top-V table; (3) one broadcast of the merge
+    ranks and a map-only encode pass — per batch, each DISTINCT word
+    is encoded once (``np.unique`` inverse) and per-doc token counts
+    come from a vectorized ``np.add.reduceat`` over the doc's word
+    offsets. Output per doc: (doc_id, n_words, n_tokens)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _tbl_rows(sf_dir, "documents")
+    parts = _SUB_PARTS or int(min(64, max(8, n_docs // 100_000 + 8)))
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        u, c = np.unique(words.to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({
+            "word": pa.array(u, type=pa.string()),
+            "f": pa.array(c.astype(np.int64)),
+            "part": pa.array(
+                (pd.util.hash_array(u).astype(np.uint64)
+                 % np.uint64(parts)).astype(np.int64)),
+        })
+
+    def wf_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["f"].sum()
+        g = g.sort_values(["f", "word"], ascending=[False, True],
+                          kind="stable").head(_BPE_TOPV)
+        return g.reset_index(drop=True).astype({"f": np.int64})
+
+    cand = (
+        docs.map_batches(wf_partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(wf_top, batch_format="pandas")
+    ).to_pandas()
+    cand = cand.sort_values(["f", "word"], ascending=[False, True],
+                            kind="stable").head(_BPE_TOPV)
+    merges = _bpe_train(cand["word"].tolist(), cand["f"].tolist())
+    rref = ray.put({p: r for r, p in enumerate(merges)})
+
+    def encode(t: pa.Table) -> pa.Table:
+        ranks = _bget(rref)
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(flat, return_inverse=True)
+        toks = np.fromiter((_bpe_token_len(w, ranks) for w in u),
+                           dtype=np.int64, count=len(u))
+        per_word = toks[inv]
+        off = np.zeros(t.num_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        n_tok = (np.add.reduceat(per_word, off)
+                 if len(per_word) else np.zeros(t.num_rows, np.int64))
+        n_tok[lens == 0] = 0
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(lens.astype(np.int64)),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -9214,6 +9543,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "scene_clips": q_scene_clips,
+    "line_dedup": q_line_dedup,
+    "bpe_encode": q_bpe_encode,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -10067,6 +10398,22 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT q::BIGINT AS q, bin::BIGINT AS bin, "
         f"(b.mn + (bin * (b.mx - b.mn + 1) + {_PRICE_HIST_BINS - 1}) "
         f"// {_PRICE_HIST_BINS})::BIGINT AS est_cents FROM pick, b"
+    ),
+    "line_dedup": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        f"l AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, "
+        f"array_to_string(ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ') "
+        "AS line FROM w, LATERAL (SELECT unnest(generate_series(0, "
+        f"CAST((len(ws) + {_LINE_W - 1}) // {_LINE_W} AS INTEGER) - 1)) "
+        "AS i) t), "
+        "k AS (SELECT doc_id, idx, line, row_number() OVER "
+        "(PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l) "
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+        "sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS removed_lines, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
+        "ORDER BY idx), '') AS text "
+        "FROM k GROUP BY doc_id"
     ),
     "audience_overlap": (
         "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "

@@ -93,7 +93,7 @@ GOLDEN_NAMES = [
     "caption_neardup", "caption_dedup_images", "ccnet_perplexity",
     "pagerank_orders", "image_fidelity", "image_neardup_verified",
     "vad_segments", "scene_cuts", "kcore_parts", "cdc_chunks",
-    "scene_clips",
+    "scene_clips", "bpe_encode",
 ]
 
 
@@ -610,6 +610,21 @@ class TestDistributedKeepPath:
         monkeypatch.setattr(queries, "_SUBDUP_BCAST_LIMIT", -1)
         cogroup = _normalize(_to_pandas(
             queries.QUERIES["substring_dedup_rewrite"](SF_DIR)))
+        pd.testing.assert_frame_equal(bcast, cogroup, check_exact=True)
+
+    def test_line_dedup_dispatch_invariant(self, ray_session,
+                                           monkeypatch):
+        """C4-style line dedup must be identical whichever way the
+        loser (doc_id, idx) rows travel: broadcast (default at this
+        scale) or the forced doc_id-cogroup exchange (-1 so a
+        zero-loser fixture cannot silently degrade to broadcast)."""
+        from jobscrawler_ray.pipelines import queries
+
+        bcast = _normalize(_to_pandas(
+            queries.QUERIES["line_dedup"](SF_DIR)))
+        monkeypatch.setattr(queries, "_LINEDUP_BCAST_LIMIT", -1)
+        cogroup = _normalize(_to_pandas(
+            queries.QUERIES["line_dedup"](SF_DIR)))
         pd.testing.assert_frame_equal(bcast, cogroup, check_exact=True)
 
     def test_kcore_dispatch_invariant(self, ray_session, monkeypatch):
