@@ -584,7 +584,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "simhash_neardup", "langid", "fingerprints",
                      "ccnet_perplexity", "weighted_sample",
                      "global_rank_docs", "bigram_lift", "kn_continuation",
-                     "pii_redact", "vad_segments", "bpe_merge_pairs"]
+                     "pii_redact", "vad_segments", "bpe_merge_pairs",
+                     "line_dedup", "bpe_encode"]
 
 
 def docstress() -> None:
