@@ -279,6 +279,11 @@ def _stress(query_names: list[str], table_dir: str, metric: str,
 
     from jobscrawler_ray.pipelines.queries import QUERIES
 
+    only = os.environ.get("GRAFT_STRESS_ONLY")
+    if only:
+        pick = {s.strip() for s in only.split(",") if s.strip()}
+        query_names = [q for q in query_names if q in pick]
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
@@ -460,7 +465,11 @@ def joinstress() -> None:
              # part dimension is dense.
              "merge_upsert_users", "pareto_customers", "part_copurchase",
              "triangle_count", "bfs_reach", "decayed_revenue",
-             "price_histogram", "audience_overlap", "kcore_parts"], d,
+             "price_histogram", "audience_overlap", "kcore_parts",
+             # v7 additions: interval sweep + SCD2 + two-pass moments +
+             # histogram-fence outliers
+             "peak_concurrency", "scd2_intervals", "corr_price_qty",
+             "iqr_outliers"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

@@ -9384,6 +9384,315 @@ def q_bpe_encode(sf_dir: str):
     return docs.map_batches(encode, batch_format="pyarrow")
 
 
+# Interval-sweep family: every event holds a presence interval of
+# _PEAK_SPAN_US; peak concurrency is the classic sweep-line running-sum
+# max, distributed via per-day partial sweeps + a tiny cross-day
+# exclusive prefix (the two-pass distributed prefix-sum pattern).
+_PEAK_SPAN_US = 3_600_000_000   # 1 hour
+_PEAK_DAY_US = 86_400_000_000   # sweep co-partition granularity
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrently-open intervals per event_type, each event
+    holding [ts, ts+1h): a sweep-line running-sum max WITHOUT a global
+    sort. Map side emits ±1 deltas pre-aggregated per (type, exact µs
+    timestamp) — exchange volume is distinct-timestamp bounded, not
+    2×rows. ONE exchange co-partitions deltas by (type, UTC day); each
+    day's sweep is locally decidable up to an additive offset, so the
+    per-day kernel returns just (day_total, local_running_max) — two
+    scalars per (type, day). A final tiny task (types × days rows, not
+    data-bounded) turns day totals into exclusive prefix offsets:
+    peak = max over days of (offset + local max) — the distributed
+    prefix-sum trick. Tie rule matches the oracle's ORDER BY t, d
+    DESC: at equal t all +1s land before any -1, so each timestamp's
+    peak candidate is prefix_before + pos. Partitioning assumption: a
+    (type, day)'s distinct timestamps fit a worker — salt to hour
+    buckets at 100 TB."""
+    ev = _tbl(sf_dir, "events", ["ts", "event_type"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = _copart_count(2 * n_ev)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": np.concatenate([et, et]),
+            "t": np.concatenate([ts, ts + _PEAK_SPAN_US]),
+        })
+        sign = np.ones(2 * len(ts), dtype=np.int64)
+        sign[len(ts):] = 0
+        df["pos"] = sign
+        df["neg"] = 1 - sign
+        out = df.groupby(["event_type", "t"], sort=False,
+                         as_index=False)[["pos", "neg"]].sum()
+        codes, uniq = pd.factorize(out["event_type"].to_numpy())
+        th = np.fromiter((zlib.crc32(s.encode()) for s in uniq),
+                         dtype=np.int64, count=len(uniq))[codes]
+        day = out["t"].to_numpy(np.int64) // _PEAK_DAY_US
+        out["part"] = (th * np.int64(1_000_003) + day) % parts
+        return _arrow_out(out)
+
+    def day_sweep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "day": pd.Series(dtype=np.int64),
+                "local_max": pd.Series(dtype=np.int64),
+                "day_total": pd.Series(dtype=np.int64)})
+        et = df["event_type"].to_numpy()
+        t = df["t"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        neg = df["neg"].to_numpy(np.int64)
+        o = np.lexsort((t, et))
+        et, t, pos, neg = et[o], t[o], pos[o], neg[o]
+        # merge same-(type, t) partials arriving from different batches
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = (et[1:] != et[:-1]) | (t[1:] != t[:-1])
+        seg = np.cumsum(new) - 1
+        P = np.bincount(seg, pos).astype(np.int64)
+        Ng = np.bincount(seg, neg).astype(np.int64)
+        E, T = et[new], t[new]
+        D = T // _PEAK_DAY_US
+        net = P - Ng
+        cum = np.concatenate([[0], np.cumsum(net)])  # cum[i] = Σ net[:i]
+        gnew = np.ones(len(T), dtype=bool)
+        gnew[1:] = (E[1:] != E[:-1]) | (D[1:] != D[:-1])
+        gseg = np.cumsum(gnew) - 1
+        base = cum[:-1][gnew]                 # cum entering each group
+        cand = cum[:-1] - base[gseg] + P      # prefix-in-group + pos
+        gmax = np.full(gseg[-1] + 1, np.int64(-2**62))
+        np.maximum.at(gmax, gseg, cand)
+        gtot = np.bincount(gseg, net).astype(np.int64)
+        return pd.DataFrame({"event_type": E[gnew], "day": D[gnew],
+                             "local_max": gmax, "day_total": gtot})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "day"], kind="stable")
+        et = df["event_type"].to_numpy()
+        lm = df["local_max"].to_numpy(np.int64)
+        tot = df["day_total"].to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        gseg = np.cumsum(new) - 1
+        cum = np.concatenate([[0], np.cumsum(tot)])
+        base = cum[:-1][new]
+        peak_cand = cum[:-1] - base[gseg] + lm  # exclusive day offset
+        gmax = np.full(gseg[-1] + 1, np.int64(-2**62))
+        np.maximum.at(gmax, gseg, peak_cand)
+        return pd.DataFrame({"event_type": et[new], "peak": gmax})
+
+    return (
+        ev.map_batches(deltas, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(day_sweep, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD2 (slowly-changing-dimension type-2) build: per user,
+    collapse the (ts, event_id)-ordered event stream into validity
+    intervals of the user's CURRENT event_type — one row per change
+    point, valid_from = the change's ts, valid_to = the NEXT change's
+    ts; each user's final still-open interval is dropped (closed
+    intervals only, so the output carries no NULLs through the value
+    hash). Same one-exchange shape as the LAG/funnel family: user-hash
+    co-partition, then a fully vectorized per-partition kernel (lexsort
+    → change mask → shifted change timestamps). Partitioning
+    assumption: a user's history fits its partition."""
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"])
+    n_ev = _tbl_rows(sf_dir, "events")
+    parts = _copart_count(n_ev)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _append_user_part(t, parts)
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((df["event_id"].to_numpy(np.int64),
+                        df["ts"].to_numpy("datetime64[us]")
+                        .astype(np.int64),
+                        df["user_id"].to_numpy(np.int64)))
+        uid = df["user_id"].to_numpy(np.int64)[o]
+        ts = df["ts"].to_numpy("datetime64[us]")[o]
+        et = df["event_type"].to_numpy()[o]
+        ch = np.ones(len(uid), dtype=bool)
+        ch[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        cu, cts, cet = uid[ch], ts[ch], et[ch]
+        keep = np.zeros(len(cu), dtype=bool)
+        if len(cu):
+            keep[:-1] = cu[:-1] == cu[1:]  # next change is same user
+        return _arrow_out(pd.DataFrame({
+            "user_id": cu[keep],
+            "event_type": cet[keep],
+            "valid_from": cts[keep],
+            "valid_to": np.roll(cts, -1)[keep],
+        }))
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def q_corr_price_qty(sf_dir: str):
+    """Per-returnflag Pearson correlation + regression slope of
+    (l_quantity → l_extendedprice) via TWO linear passes with
+    order-free partials — the cancellation-safe distributed moment
+    kernel. Pass 1: per-flag (n, Σx, Σy) map partials → tiny coalesced
+    means (3 groups, driver-free until a ≤#groups-row table). Pass 2:
+    broadcast the means, map partials accumulate CENTERED products
+    Σ(x-x̄)(y-ȳ), Σ(x-x̄)², Σ(y-ȳ)² — centering kills the Σxy − n·x̄·ȳ
+    subtractive cancellation that makes the one-pass formula disagree
+    with the oracle's streaming kernel near corr≈0 — then one tiny
+    finish computes corr = sxy/√(sxx·syy) and slope = sxy/sxx, SQL
+    ROUND-half-up to 4. Both passes are column-pruned reads; all
+    exchanges are #groups-bounded."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+
+    def sums(t: pa.Table) -> pa.Table:
+        f = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(f)
+        return pa.table({
+            "f": pa.array(np.asarray(uniq, dtype=object),
+                          type=pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sx": pa.array(np.bincount(codes, x)),
+            "sy": pa.array(np.bincount(codes, y)),
+        })
+
+    means = (
+        _tbl(sf_dir, "lineitem", cols)
+        .map_batches(sums, batch_format="pyarrow")
+        .to_pandas()  # partials: ≤ #flags rows per input block
+        .groupby("f", as_index=False).sum()
+    )
+    mean_map = {r.f: (r.sx / r.n, r.sy / r.n) for r in
+                means.itertuples(index=False)}
+    ref = ray.put(mean_map)
+
+    def centered(t: pa.Table) -> pa.Table:
+        mm = _bget_slot("corr_means", ref)
+        f = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(f)
+        xm = np.array([mm[u][0] for u in uniq])
+        ym = np.array([mm[u][1] for u in uniq])
+        cx = x - xm[codes]
+        cy = y - ym[codes]
+        return pa.table({
+            "f": pa.array(np.asarray(uniq, dtype=object),
+                          type=pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sxy": pa.array(np.bincount(codes, cx * cy)),
+            "sxx": pa.array(np.bincount(codes, cx * cx)),
+            "syy": pa.array(np.bincount(codes, cy * cy)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("f", as_index=False).sum() \
+            .sort_values("f", kind="stable")
+        sxy = g["sxy"].to_numpy()
+        sxx = g["sxx"].to_numpy()
+        syy = g["syy"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": g["f"].to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "corr_qty_price": _round_half_up(
+                sxy / np.sqrt(sxx * syy), 4),
+            "slope": _round_half_up(sxy / sxx, 4),
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem", cols)
+        .map_batches(centered, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_IQR_FENCE = 1.5
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Per-event_type Tukey-fence outlier counts over ``value``: exact
+    q1/q3 (quantile_cont 0.25/0.75) via the group_quantiles bit-pattern
+    value-histogram kernel — map-side (type, value-bits) count partials,
+    ONE domain-bounded merge, per-type interpolation with
+    quantile_cont's lo*(1-f)+hi*f formula — and the outlier count
+    (value < q1 − 1.5·IQR or > q3 + 1.5·IQR) read from the SAME merged
+    histogram (cumulative counts either side of the fences), so the
+    whole op is one linear pass + a domain-bounded exchange: no second
+    scan, no per-group sort. Bit-pattern keys require the value domain
+    be positive (holds here: value ≥ 0.01); the fences are computed
+    with the identical fp expression the oracle uses, so the floats
+    compare exactly."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "vb": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        vb = t["value"].to_numpy(zero_copy_only=False).view(np.int64)
+        gs, vs, cs = [], [], []
+        for f in np.unique(g):
+            u, c = np.unique(vb[g == f], return_counts=True)
+            gs.append(np.full(len(u), f, dtype=object))
+            vs.append(u)
+            cs.append(c.astype(np.int64))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), type=pa.string()),
+            "vb": pa.array(np.concatenate(vs)),
+            "cnt": pa.array(np.concatenate(cs)),
+        })
+
+    def finish(t: pa.Table) -> pd.DataFrame:
+        g = t["g"].to_numpy(zero_copy_only=False)
+        vb = t["vb"].to_numpy(zero_copy_only=False)
+        cn = t["cnt"].to_numpy(zero_copy_only=False)
+        rows = []
+        for f in np.unique(g):
+            m = g == f
+            uq, inv = np.unique(vb[m], return_inverse=True)
+            tot = np.zeros(len(uq), dtype=np.int64)
+            np.add.at(tot, inv, cn[m])
+            vals = uq.view(np.float64)
+            cum = tot.cumsum()
+            n = int(cum[-1])
+            qs = {}
+            for q, nm in ((0.25, "q1"), (0.75, "q3")):
+                h_pos = (n - 1) * q
+                lo = int(np.floor(h_pos))
+                fr = h_pos - lo
+                xlo = vals[np.searchsorted(cum, lo, side="right")]
+                xhi = vals[np.searchsorted(cum, min(lo + 1, n - 1),
+                                           side="right")]
+                qs[nm] = xlo * (1.0 - fr) + xhi * fr
+            iqr = qs["q3"] - qs["q1"]
+            lo_f = qs["q1"] - _IQR_FENCE * iqr
+            hi_f = qs["q3"] + _IQR_FENCE * iqr
+            below = int(cum[np.searchsorted(vals, lo_f, "left") - 1]) \
+                if np.searchsorted(vals, lo_f, "left") else 0
+            at_hi = np.searchsorted(vals, hi_f, "right")
+            above = n - (int(cum[at_hi - 1]) if at_hi else 0)
+            rows.append({"event_type": f, "q1": qs["q1"],
+                         "q3": qs["q3"], "n_out": below + above})
+        out = pd.DataFrame(rows)
+        out["n_out"] = out["n_out"].astype(np.int64)
+        return out
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -9545,6 +9854,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "scene_clips": q_scene_clips,
     "line_dedup": q_line_dedup,
     "bpe_encode": q_bpe_encode,
+    "peak_concurrency": q_peak_concurrency,
+    "scd2_intervals": q_scd2_intervals,
+    "corr_price_qty": q_corr_price_qty,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -10414,6 +10727,46 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "peak_concurrency": (
+        "WITH deltas AS ("
+        "SELECT event_type, ts AS t, 1 AS d FROM events "
+        "UNION ALL "
+        "SELECT event_type, ts + INTERVAL 1 HOUR AS t, -1 AS d "
+        "FROM events), "
+        "sweep AS (SELECT event_type, sum(d) OVER ("
+        "PARTITION BY event_type ORDER BY t, d DESC) AS open "
+        "FROM deltas) "
+        "SELECT event_type, max(open)::BIGINT AS peak FROM sweep "
+        "GROUP BY event_type"
+    ),
+    "scd2_intervals": (
+        "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev FROM events), "
+        "ch AS (SELECT user_id, event_type, ts, event_id FROM o "
+        "WHERE prev IS NULL OR prev <> event_type), "
+        "iv AS (SELECT user_id, event_type, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS valid_to FROM ch) "
+        "SELECT user_id, event_type, valid_from, valid_to FROM iv "
+        "WHERE valid_to IS NOT NULL"
+    ),
+    "corr_price_qty": (
+        "SELECT l_returnflag, count(*)::BIGINT AS n, "
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+        "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "iqr_outliers": (
+        "WITH q AS (SELECT event_type, "
+        "quantile_cont(value, 0.25) AS q1, "
+        "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1) "
+        "SELECT e.event_type AS event_type, q1, q3, "
+        f"count(*) FILTER (value < q1 - {_IQR_FENCE}*(q3-q1) "
+        f"OR value > q3 + {_IQR_FENCE}*(q3-q1))::BIGINT AS n_out "
+        "FROM events e JOIN q USING (event_type) "
+        "GROUP BY e.event_type, q1, q3"
     ),
     "audience_overlap": (
         "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
