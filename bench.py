@@ -594,7 +594,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "ccnet_perplexity", "weighted_sample",
                      "global_rank_docs", "bigram_lift", "kn_continuation",
                      "pii_redact", "vad_segments", "bpe_merge_pairs",
-                     "line_dedup", "bpe_encode"]
+                     "line_dedup", "bpe_encode",
+                     "skipgram_pairs", "minhash_dedup_best"]
 
 
 def docstress() -> None:

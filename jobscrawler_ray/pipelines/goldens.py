@@ -236,6 +236,43 @@ def golden_minhash_drops(sf_dir: str) -> list[int]:
 # --------------------------------------------------------------------------
 
 
+def golden_minhash_best_drops(sf_dir: str) -> list[int]:
+    """Sequential twin of ``queries.q_minhash_dedup_best``'s drop set:
+    union-find over the golden pair list, then per component keep the
+    LONGEST member (max whitespace n_tokens via the shared
+    ``textstats.token_count_ws`` leaf, tie → min doc_id) and drop the
+    rest — independent orchestration (dict union-find + max() loop) of
+    the engine's CC + encoded-key Max aggregate."""
+    pairs = golden_minhash_lsh(sf_dir)
+    ids, texts, _ = _documents(sf_dir)
+    ntok = {int(i): int(textstats.token_count_ws(x))
+            for i, x in zip(ids, texts)}
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = int(a), int(b)
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    comps: dict[int, list[int]] = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    drops: list[int] = []
+    for members in comps.values():
+        best = max(members, key=lambda d: (ntok[d], -d))
+        drops.extend(m for m in members if m != best)
+    return sorted(drops)
+
+
 def golden_embedding_drops(sf_dir: str) -> list[int]:
     """Sequential twin of ``q_embedding_dedup_keep``: brute-force exact
     cosine pairs (cos ≥ 0.4) + union-find → dropped vec_ids (every
@@ -1166,6 +1203,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["minhash_dedup_keep"] = (
         "SELECT doc_id FROM documents"
         + (f" WHERE doc_id NOT IN ({', '.join(map(str, drops))})" if drops else "")
+    )
+    bdrops = golden_minhash_best_drops(sf_dir)
+    out["minhash_dedup_best"] = (
+        "SELECT doc_id FROM documents"
+        + (f" WHERE doc_id NOT IN ({', '.join(map(str, bdrops))})"
+           if bdrops else "")
     )
     out["embedding_neardup_ann"] = values_sql(golden_embedding_neardup_ann(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT"})

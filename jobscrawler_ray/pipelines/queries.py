@@ -9693,6 +9693,158 @@ def q_iqr_outliers(sf_dir: str):
     )
 
 
+_SKIP_K = 3  # skip-gram window: unordered pairs within ±_SKIP_K words
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """Skip-gram co-occurrence statistics (the word2vec-style window
+    counts an embedding trainer consumes): unordered word pairs within
+    a ±3 window, global top-50 by (count desc, pair asc). Map-side
+    partials vectorize the window as THREE shifted-array passes with
+    elementwise object-array min/max (no per-pair Python tuple sort)
+    and pre-combine per batch via np.unique, so the exchange moves
+    (pair, count) partials bounded by the distinct co-occurrence
+    vocabulary — never the corpus text. Same partial→groupby→top-k
+    shape as bigram_counts."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunks: list[np.ndarray] = []
+        for x in t["text"].to_pylist():
+            w = np.array(x.split(" "), dtype=object)
+            for off in range(1, _SKIP_K + 1):
+                if len(w) <= off:
+                    break
+                a, b = w[:-off], w[off:]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                chunks.append(lo + " " + hi)
+        if not chunks:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.concatenate(chunks), return_counts=True)
+        return pa.table({"pair": pa.array(u, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(50)
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
+# rank key for the quality-canonical dedup keep: (n_tokens << 33) −
+# doc_id, so Max(key) = (max n_tokens, tie → min doc_id) AND the
+# winner doc_id decodes straight out of the aggregate (no second
+# join). Requires doc_id < 2^33 and n_tokens < 2^30.
+_BEST_KEY_SHIFT = np.int64(33)
+
+
+def q_minhash_dedup_best(sf_dir: str):
+    """Quality-CANONICAL near-dup removal: where ``minhash_dedup_keep``
+    keeps each duplicate cluster's min doc_id, production curation
+    keeps its BEST member — here the longest (max whitespace
+    n_tokens, tie → min doc_id), the usual keep-the-superset policy
+    for crawl dups. Shape: verified pairs → distributed CC →
+    (node → rank key) attach, size-dispatched like ``_keep_corpus``
+    (broadcast the node set below ``_DROP_BCAST_LIMIT`` and filter the
+    corpus scan map-side; above it, emit keys for every doc and let
+    the node-hash cogroup drop non-nodes) → ONE cogroup join with the
+    CC labels → ``groupby(lab).Max(key)`` — the key encodes the
+    winner, so winners decode from the aggregate with NO
+    representative re-join — → survivors = (corpus minus all pair
+    nodes) ∪ winners. Every intermediate is pair-set bounded; the
+    only corpus-wide stages are map-only scans and the dispatched
+    anti-join."""
+    pairs = q_minhash_lsh(sf_dir).materialize()  # bounded: dup pairs
+    labels = _cc_min_labels(pairs).materialize()  # (node, lab)
+    n_nodes = labels.count()
+    ids_only = _tbl(sf_dir, "documents", ["doc_id"])
+    if n_nodes == 0:
+        return ids_only
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def _key_table(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = np.fromiter(
+            (textstats.token_count_ws(x) for x in t["text"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({
+            "node": pa.array(ids),
+            "val": pa.array((nt << _BEST_KEY_SHIFT) - ids),
+        })
+
+    if n_nodes <= _DROP_BCAST_LIMIT:
+        tbls = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+        nref = ray.put(pa.concat_tables(tbls)["node"].combine_chunks())
+
+        def keys_fn(t: pa.Table) -> pa.Table:
+            return _key_table(
+                t.filter(pc.is_in(t["doc_id"], value_set=_bget(nref))))
+    else:  # node set is corpus-scale: ship narrow (node, key) rows
+        # for every doc through the cogroup instead of a broadcast
+        keys_fn = _key_table
+
+    keys = docs.map_batches(keys_fn, batch_format="pyarrow")
+    parts = _copart_count(n_nodes, lo=4, hi=64)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t["node"], "val": t["lab"],
+            "role": pa.array(np.zeros(len(node), dtype=np.int8)),
+            "part": pa.array(node % parts),
+        })
+
+    def tag_key(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "role", pa.array(np.ones(len(node), dtype=np.int8))
+        ).append_column("part", pa.array(node % parts))
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        role = df["role"].to_numpy()
+        node = df["node"].to_numpy(np.int64)
+        val = df["val"].to_numpy(np.int64)
+        lm = role == 0
+        ln, lv = node[lm], val[lm]
+        kn, kv = node[~lm], val[~lm]
+        if not len(ln):
+            return pd.DataFrame({"lab": pd.Series(dtype=np.int64),
+                                 "key": pd.Series(dtype=np.int64)})
+        o = np.argsort(kn, kind="stable")
+        kn, kv = kn[o], kv[o]
+        idx = np.searchsorted(kn, ln)
+        if len(kn) == 0 or not np.array_equal(
+                kn[np.minimum(idx, len(kn) - 1)], ln):
+            raise ValueError(
+                "minhash_dedup_best: pair node missing from corpus")
+        return pd.DataFrame({"lab": lv, "key": kv[idx]})
+
+    joined = (
+        labels.map_batches(tag_lab, batch_format="pyarrow")
+        .union(keys.map_batches(tag_key, batch_format="pyarrow"))
+        .groupby("part", num_partitions=parts)
+        .map_groups(join, batch_format="pandas")
+    )
+    best = joined.groupby("lab").aggregate(Max("key", alias_name="best_key"))
+
+    def winner(t: pa.Table) -> pa.Table:
+        k = t["best_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        one = np.int64(1)
+        nt = (k + (one << _BEST_KEY_SHIFT) - one) >> _BEST_KEY_SHIFT
+        return pa.table({"doc_id": pa.array((nt << _BEST_KEY_SHIFT) - k)})
+
+    winners = best.map_batches(winner, batch_format="pyarrow")
+    node_drops = labels.map_batches(
+        lambda t: pa.table({"drop_id": t["node"]}), batch_format="pyarrow")
+    return _keep_corpus(ids_only, "doc_id", node_drops).union(winners)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -9858,6 +10010,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "scd2_intervals": q_scd2_intervals,
     "corr_price_qty": q_corr_price_qty,
     "iqr_outliers": q_iqr_outliers,
+    "skipgram_pairs": q_skipgram_pairs,
+    "minhash_dedup_best": q_minhash_dedup_best,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -10727,6 +10881,18 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "skipgram_pairs": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w, "
+        "CAST(i AS BIGINT) AS i FROM w, "
+        "LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u), "
+        "p AS (SELECT least(a.w, b.w) || ' ' || greatest(a.w, b.w) "
+        "AS pair FROM tok a JOIN tok b ON a.doc_id = b.doc_id "
+        f"AND b.i > a.i AND b.i <= a.i + {_SKIP_K}) "
+        "SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1 "
+        "ORDER BY n DESC, pair LIMIT 50"
     ),
     "peak_concurrency": (
         "WITH deltas AS ("

@@ -93,7 +93,7 @@ GOLDEN_NAMES = [
     "caption_neardup", "caption_dedup_images", "ccnet_perplexity",
     "pagerank_orders", "image_fidelity", "image_neardup_verified",
     "vad_segments", "scene_cuts", "kcore_parts", "cdc_chunks",
-    "scene_clips", "bpe_encode",
+    "scene_clips", "bpe_encode", "minhash_dedup_best",
 ]
 
 
