@@ -560,7 +560,8 @@ IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_training_manifest", "clip_align",
                      "image_fidelity",
                      "phash_knn", "phash_neardup", "phash_dedup_keep",
-                     "image_neardup_verified", "cdc_chunks"]
+                     "image_neardup_verified", "cdc_chunks",
+                     "image_patches"]
 
 
 def imgstress() -> None:
@@ -595,7 +596,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "global_rank_docs", "bigram_lift", "kn_continuation",
                      "pii_redact", "vad_segments", "bpe_merge_pairs",
                      "line_dedup", "bpe_encode",
-                     "skipgram_pairs", "minhash_dedup_best"]
+                     "skipgram_pairs", "minhash_dedup_best",
+                     "asr_chunks"]
 
 
 def docstress() -> None:

@@ -745,6 +745,60 @@ def golden_clip_align(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["image_id", "clip_score", "kept"])
 
 
+def golden_image_patches(sf_dir: str, p: int = 8,
+                         flat_var: float = 400.0) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_image_patches``: same decode +
+    luma leaves, but per-patch variance via an explicit (i, j) Python
+    loop over the grid — independent orchestration of the engine's
+    reshape→var(axis=1) vectorization."""
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        px, _ = codecs.decode(buf)
+        lum = px.astype(np.float64) @ [0.299, 0.587, 0.114]
+        hp, wp = lum.shape[0] // p, lum.shape[1] // p
+        crop = lum[:hp * p, :wp * p]
+        n_flat = 0
+        for i in range(hp):
+            for j in range(wp):
+                block = crop[i * p:(i + 1) * p, j * p:(j + 1) * p]
+                if np.var(block.reshape(-1)) < flat_var:
+                    n_flat += 1
+        rows.append((iid, hp * wp, n_flat, round(float(crop.mean()), 4)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "n_patches", "n_flat", "mean_luma"]
+    ).astype({"n_patches": np.int64, "n_flat": np.int64,
+              "mean_luma": np.float64})
+
+
+def golden_asr_chunks(sf_dir: str, chunk_s: float = 0.25,
+                      hop_s: float = 0.20) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_asr_chunks``: same synthesis +
+    codec round-trip + ``audio_rms`` leaves, while-loop chunk walk
+    instead of the engine's range() enumeration."""
+    from ..functions import av_codecs
+    from ..stages.multimodal import audio_rms
+
+    ids, _, _ = _documents(sf_dir)
+    rows = []
+    for d in ids:
+        buf = av_codecs.encode_audio(av_codecs.gen_wave(int(d)), 16000)
+        wave, sr = av_codecs.decode_audio(buf)
+        cl, hop = int(round(chunk_s * sr)), int(round(hop_s * sr))
+        s = k = 0
+        while s < len(wave):
+            seg = wave[s:s + cl]
+            rows.append((int(d), k, round(s / sr, 6),
+                         round(len(seg) / sr, 6), audio_rms(seg)))
+            s += hop
+            k += 1
+    return pd.DataFrame(rows, columns=["clip_id", "chunk_idx",
+                                       "start_s", "dur_s", "rms"]) \
+        .astype({"clip_id": np.int64, "chunk_idx": np.int64,
+                 "start_s": np.float64, "dur_s": np.float64,
+                 "rms": np.float64})
+
+
 def golden_audio_features(sf_dir: str) -> pd.DataFrame:
     """Sequential audio path: same synthesis + codec round-trip +
     feature kernels as the engine's leaves, orchestration-free loop."""
@@ -1345,6 +1399,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["audio_features"] = values_sql(golden_audio_features(sf_dir), {
         "clip_id": "BIGINT", "sample_rate": "BIGINT",
         "duration_s": "DOUBLE", "rms": "DOUBLE"})
+    out["image_patches"] = values_sql(golden_image_patches(sf_dir), {
+        "image_id": "VARCHAR", "n_patches": "BIGINT",
+        "n_flat": "BIGINT", "mean_luma": "DOUBLE"})
+    out["asr_chunks"] = values_sql(golden_asr_chunks(sf_dir), {
+        "clip_id": "BIGINT", "chunk_idx": "BIGINT",
+        "start_s": "DOUBLE", "dur_s": "DOUBLE", "rms": "DOUBLE"})
     out["video_frames"] = values_sql(golden_video_frames(sf_dir), {
         "video_id": "BIGINT", "frame_idx": "BIGINT", "frame_phash": "BIGINT"})
     out["vad_segments"] = values_sql(golden_vad_segments(sf_dir), {

@@ -9845,6 +9845,42 @@ def q_minhash_dedup_best(sf_dir: str):
     return _keep_corpus(ids_only, "doc_id", node_drops).union(winners)
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patch-grid statistics over the binary image column:
+    per image the 8×8-pixel patch count, the count of FLAT
+    (low-detail, luma variance < 400) patches — the standard
+    low-information gate for image curation — and cropped mean luma.
+    Actor-pool map_batches with small batches (wide binary rows),
+    map-only at any corpus size; per-image kernel is one
+    reshape→var(axis) pass, no per-patch loop. Golden twin runs an
+    explicit per-patch loop over the sequential oracle crawl's
+    images."""
+    from ..stages.multimodal import ImagePatches
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes"])
+    return ds.map_batches(ImagePatches, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 16), num_cpus=1)
+
+
+def q_asr_chunks(sf_dir: str):
+    """ASR batching prep over binary audio: fixed 0.25 s windows at a
+    0.2 s hop (Whisper-style fixed inference windows; the tail chunk
+    keeps its short remainder), one row per chunk with start/duration/
+    RMS. Decode + chunk + feature in ONE actor-pool map stage — no
+    shuffle at any corpus size. Autoscaled pool: Ray fuses the
+    upstream synthesis task stage INTO the pool (the vad_segments
+    lesson), so a fixed 2-actor pool would serialize synthesis."""
+    from ..stages.multimodal import AsrChunks
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _synth_audio, batch_format="pyarrow")
+    return ds.map_batches(
+        AsrChunks, batch_format="pyarrow", batch_size=64,
+        concurrency=(2, 16), num_cpus=1)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10012,6 +10048,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "iqr_outliers": q_iqr_outliers,
     "skipgram_pairs": q_skipgram_pairs,
     "minhash_dedup_best": q_minhash_dedup_best,
+    "image_patches": q_image_patches,
+    "asr_chunks": q_asr_chunks,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

@@ -162,6 +162,83 @@ class AudioFeatures:
         })
 
 
+_PATCH_P = 8            # ViT-style patch side (pixels)
+_PATCH_FLAT_VAR = 400.0  # luma variance below which a patch is "flat"
+
+
+class ImagePatches:
+    """Actor-pool stage: decode binary images, emit ViT-style
+    fixed-grid patch statistics per image — patch count, flat
+    (low-detail) patch count, and cropped mean luma. The patch grid is
+    the unit a vision-transformer tokenizes; flat-patch fraction is
+    the standard low-information gate for image curation. Vectorized:
+    one reshape→transpose→var(axis) per image, no per-patch loop."""
+
+    def __init__(self, p: int = _PATCH_P,
+                 flat_var: float = _PATCH_FLAT_VAR):
+        self.p, self.flat_var = p, flat_var
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, n_p, n_f, ml = [], [], [], []
+        for iid, buf in zip(t["image_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            px, _ = codecs.decode(buf)
+            lum = px.astype(np.float64) @ [0.299, 0.587, 0.114]
+            hp, wp = lum.shape[0] // self.p, lum.shape[1] // self.p
+            crop = lum[:hp * self.p, :wp * self.p]
+            v = crop.reshape(hp, self.p, wp, self.p) \
+                .transpose(0, 2, 1, 3).reshape(hp * wp, -1).var(axis=1)
+            ids.append(iid)
+            n_p.append(hp * wp)
+            n_f.append(int((v < self.flat_var).sum()))
+            ml.append(round(float(crop.mean()), 4))
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "n_patches": pa.array(n_p, type=pa.int64()),
+            "n_flat": pa.array(n_f, type=pa.int64()),
+            "mean_luma": pa.array(ml, type=pa.float64()),
+        })
+
+
+_ASR_CHUNK_S = 0.25  # fixed ASR inference window
+_ASR_HOP_S = 0.20    # hop (0.05 s overlap tail carried into next chunk)
+
+
+class AsrChunks:
+    """Actor-pool stage: binary audio → fixed-window chunk rows for
+    batched ASR inference (the Whisper-style fixed window + hop an
+    ASR pipeline feeds its model): one row per chunk with
+    (clip_id, chunk_idx, start_s, dur_s, rms). Map-only — no shuffle
+    at any corpus size; the last chunk may be shorter (tail kept)."""
+
+    def __init__(self, chunk_s: float = _ASR_CHUNK_S,
+                 hop_s: float = _ASR_HOP_S):
+        self.chunk_s, self.hop_s = chunk_s, hop_s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"clip_id": [], "chunk_idx": [],
+                                "start_s": [], "dur_s": [], "rms": []}
+        for cid, buf in zip(t["clip_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            wave, sr = _decode_audio(buf)
+            cl = int(round(self.chunk_s * sr))
+            hop = int(round(self.hop_s * sr))
+            for k, s in enumerate(range(0, len(wave), hop)):
+                seg = wave[s:s + cl]
+                out["clip_id"].append(cid)
+                out["chunk_idx"].append(k)
+                out["start_s"].append(round(s / sr, 6))
+                out["dur_s"].append(round(len(seg) / sr, 6))
+                out["rms"].append(audio_rms(seg))
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], type=pa.int64()),
+            "start_s": pa.array(out["start_s"], type=pa.float64()),
+            "dur_s": pa.array(out["dur_s"], type=pa.float64()),
+            "rms": pa.array(out["rms"], type=pa.float64()),
+        })
+
+
 class FrameSample:
     """Actor-pool stage: binary video column → one row per sampled
     frame (video_id, frame_idx, frame_bytes, frame_phash). The ``jvid``
