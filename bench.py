@@ -469,7 +469,11 @@ def joinstress() -> None:
              # v7 additions: interval sweep + SCD2 + two-pass moments +
              # histogram-fence outliers
              "peak_concurrency", "scd2_intervals", "corr_price_qty",
-             "iqr_outliers"], d,
+             "iqr_outliers",
+             # v8 additions: calendar heatmap + grouped bottom-k +
+             # prefix-max drawdown scan
+             "activity_heatmap", "group_bottomk_sample",
+             "price_drawdown"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

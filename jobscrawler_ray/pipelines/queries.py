@@ -9881,6 +9881,176 @@ def q_asr_chunks(sf_dir: str):
         concurrency=(2, 16), num_cpus=1)
 
 
+def q_activity_heatmap(sf_dir: str):
+    """Day-of-week × hour-of-day activity heatmap over events — the
+    wall-calendar usage grid every analytics dashboard draws: per
+    (dow, hod) cell the event count and its share of total. Map-side
+    bincount over the fixed 7×24 grid (partials are 168 ints per
+    batch regardless of row count — no key exchange at ANY corpus
+    size), one coalesced combine. dow matches DuckDB's dayofweek
+    (Sunday=0; 1970-01-01 was a Thursday → (epoch_days+4)%7)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        dow = (us // 86_400_000_000 + 4) % 7
+        hod = (us // 3_600_000_000) % 24
+        cnt = np.bincount(dow * 24 + hod, minlength=168)
+        return pa.table({"cell": pa.array(np.arange(168, dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        g = g[g["n"] > 0]
+        total = float(g["n"].sum())
+        cell = g["cell"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "dow": cell // 24, "hod": cell % 24, "n": n,
+            "pct": _round_half_up(n / total, 4),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_GBK_K = 5  # per-group deterministic sample size
+
+
+def q_group_bottomk_sample(sf_dir: str):
+    """Per-GROUP deterministic uniform sample: for each event_type the
+    K=5 distinct users with the smallest multiplicative user_id hash
+    (tie → user_id) — the grouped bottom-k sketch, i.e. 'ORDER BY
+    random() LIMIT k PER GROUP' with no RNG state and no global sort.
+    Per-batch: distinct (type, user) then LOCAL bottom-k per type
+    (bottom-k is a semilattice, so local-then-merge is exact); the
+    merge input is bounded at K × types × blocks rows, one coalesced
+    final take."""
+
+    def _bottomk(et: np.ndarray, uid: np.ndarray) -> pa.Table:
+        h = (uid * _HASH_MULT) % _HASH_MOD
+        o = np.lexsort((uid, h, et))
+        et, uid, h = et[o], uid[o], h[o]
+        new = np.ones(len(et), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        rank = np.arange(len(et)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(et)), 0))
+        m = rank < _GBK_K
+        return pa.table({"event_type": pa.array(et[m], type=pa.string()),
+                         "user_id": pa.array(uid[m])})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return _bottomk(df["event_type"].to_numpy(),
+                        df["user_id"].to_numpy(np.int64))
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return _bottomk(df["event_type"].to_numpy(),
+                        df["user_id"].to_numpy(np.int64))
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+_DRAWDOWN_FRAC = 0.5
+_DD_MONTH_US = np.int64(2_678_400_000_000)  # 31-day bucket (fixed width)
+
+
+def q_price_drawdown(sf_dir: str):
+    """Running-peak drawdown count — the distributed PREFIX-MAX scan:
+    per order priority, how many orders arrive (by (o_orderdate,
+    o_orderkey) order) priced below half the running maximum of all
+    EARLIER orders. The global ordered scan decomposes exactly like
+    ``peak_concurrency``'s prefix-sum, but with max and BROADCAST
+    offsets instead of a final-task prefix: a map-only pre-pass
+    reduces each batch to per-time-bucket max partials (tiny — bucket
+    count, not row count), one coalesced task turns them into
+    per-bucket EXCLUSIVE prefix maxima, broadcast; then ONE bucket
+    cogroup sorts each bucket locally, takes the within-bucket
+    exclusive running max, combines it with the bucket's offset, and
+    emits per-(bucket, priority) counts — so only counts leave the
+    second exchange. Partitioning assumption: a time bucket's orders
+    fit a worker (31-day fixed buckets here; narrow at 100 TB)."""
+    cols = ["o_orderkey", "o_orderdate", "o_orderpriority",
+            "o_totalprice"]
+
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        us = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return us // _DD_MONTH_US
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        ub = np.unique(b)
+        mx = np.array([p[b == x].max() for x in ub])
+        return pa.table({"bucket": pa.array(ub), "mx": pa.array(mx)})
+
+    # tiny: one row per (bucket, batch) — collect, exclusive prefix max
+    parts_df = (
+        _tbl(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(max_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts_df.groupby("bucket")["mx"].max().sort_index()
+    buckets = g.index.to_numpy(np.int64)
+    run = np.concatenate([[-np.inf], np.maximum.accumulate(
+        g.to_numpy())])[:-1]  # exclusive: max over EARLIER buckets
+    ref = ray.put({int(b): float(r) for b, r in zip(buckets, run)})
+
+    def count_dd(df: pd.DataFrame) -> pd.DataFrame:
+        # map_groups delivers ONE bucket per call: sort it, take the
+        # within-bucket exclusive running max, fold in the broadcast
+        # cross-bucket offset, and emit only per-priority counts.
+        off = _bget_slot("drawdown_offsets", ref)
+        o = np.lexsort((df["o_orderkey"].to_numpy(np.int64),
+                        df["o_orderdate"].to_numpy("datetime64[us]")
+                        .astype(np.int64)))
+        pr = df["o_orderpriority"].to_numpy()[o]
+        px = df["o_totalprice"].to_numpy()[o]
+        inb = np.concatenate([[-np.inf], np.maximum.accumulate(px)])[:-1]
+        run_max = np.maximum(inb, off[int(df["bucket"].iloc[0])])
+        dd = px < _DRAWDOWN_FRAC * run_max  # -inf run_max → False
+        out = pd.DataFrame({"o_orderpriority": pr, "dd": dd}) \
+            .groupby("o_orderpriority", as_index=False) \
+            .agg(n_drawdown=("dd", "sum"), n=("dd", "size"))
+        out["n_drawdown"] = out["n_drawdown"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        g["n_drawdown"] = g["n_drawdown"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(bucket_of(t)))
+
+    n_ord = _tbl_rows(sf_dir, "orders")
+    nparts = _copart_count(n_ord)
+    return (
+        _tbl(sf_dir, "orders", cols)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=nparts)
+        .map_groups(count_dd, batch_format="pandas")
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10050,6 +10220,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_dedup_best": q_minhash_dedup_best,
     "image_patches": q_image_patches,
     "asr_chunks": q_asr_chunks,
+    "activity_heatmap": q_activity_heatmap,
+    "group_bottomk_sample": q_group_bottomk_sample,
+    "price_drawdown": q_price_drawdown,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -10919,6 +11092,28 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "activity_heatmap": (
+        "WITH c AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hod, "
+        "count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+        "SELECT dow, hod, n, round(n / sum(n) OVER (), 4) AS pct FROM c"
+    ),
+    "group_bottomk_sample": (
+        "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+        "r AS (SELECT event_type, user_id, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY "
+        f"(user_id * {_HASH_MULT}) % {_HASH_MOD}, user_id) AS rn FROM d) "
+        f"SELECT event_type, user_id FROM r WHERE rn <= {_GBK_K}"
+    ),
+    "price_drawdown": (
+        "WITH s AS (SELECT o_orderpriority, o_totalprice, "
+        "max(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max "
+        "FROM orders) "
+        "SELECT o_orderpriority, count(*) FILTER (run_max IS NOT NULL "
+        f"AND o_totalprice < {_DRAWDOWN_FRAC} * run_max)::BIGINT "
+        "AS n_drawdown, count(*)::BIGINT AS n "
+        "FROM s GROUP BY o_orderpriority"
     ),
     "skipgram_pairs": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
