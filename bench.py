@@ -473,7 +473,7 @@ def joinstress() -> None:
              # v8 additions: calendar heatmap + grouped bottom-k +
              # prefix-max drawdown scan
              "activity_heatmap", "group_bottomk_sample",
-             "price_drawdown"], d,
+             "price_drawdown", "kmv_jaccard"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -565,7 +565,7 @@ IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_fidelity",
                      "phash_knn", "phash_neardup", "phash_dedup_keep",
                      "image_neardup_verified", "cdc_chunks",
-                     "image_patches"]
+                     "image_patches", "image_color_hist"]
 
 
 def imgstress() -> None:
@@ -601,7 +601,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "pii_redact", "vad_segments", "bpe_merge_pairs",
                      "line_dedup", "bpe_encode",
                      "skipgram_pairs", "minhash_dedup_best",
-                     "asr_chunks"]
+                     "asr_chunks", "audio_spectral"]
 
 
 def docstress() -> None:

@@ -273,6 +273,43 @@ def golden_minhash_best_drops(sf_dir: str) -> list[int]:
     return sorted(drops)
 
 
+def golden_entity_clusters(sf_dir: str, tau: float = 0.9) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_entity_clusters``: brand-blocked
+    pairwise char-SET Jaccard via plain Python sets (independent of the
+    engine's 128-bit SWAR mask kernel), dict union-find, every part
+    mapped to its component-min representative."""
+    tbl = papq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name", "p_brand"])
+    keys = tbl["p_partkey"].to_pylist()
+    names = tbl["p_name"].to_pylist()
+    brands = tbl["p_brand"].to_pylist()
+    blocks: dict[str, list[int]] = {}
+    for i, b in enumerate(brands):
+        blocks.setdefault(b, []).append(i)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for idxs in blocks.values():
+        sets = [set(names[i]) for i in idxs]
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= tau:
+                    ra, rb = find(keys[idxs[a]]), find(keys[idxs[b]])
+                    if ra != rb:
+                        lo, hi = sorted((ra, rb))
+                        parent[hi] = lo
+    return pd.DataFrame({
+        "p_partkey": pd.Series(keys, dtype=np.int64),
+        "cluster_rep": pd.Series([find(k) for k in keys],
+                                 dtype=np.int64),
+    })
+
+
 def golden_embedding_drops(sf_dir: str) -> list[int]:
     """Sequential twin of ``q_embedding_dedup_keep``: brute-force exact
     cosine pairs (cos ≥ 0.4) + union-find → dropped vec_ids (every
@@ -799,6 +836,50 @@ def golden_asr_chunks(sf_dir: str, chunk_s: float = 0.25,
                  "rms": np.float64})
 
 
+def golden_audio_spectral(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_audio_spectral``: same synthesis
+    + codec round-trip + shared ``spectral_stats`` leaf, plain loop."""
+    from ..functions import av_codecs
+    from ..stages.multimodal import spectral_stats
+
+    ids, _, _ = _documents(sf_dir)
+    rows = []
+    for d in ids:
+        buf = av_codecs.encode_audio(av_codecs.gen_wave(int(d)), 16000)
+        wave, sr = av_codecs.decode_audio(buf)
+        c, b, r = spectral_stats(wave, sr)
+        rows.append((int(d), c, b, r))
+    return pd.DataFrame(rows, columns=["clip_id", "centroid_hz",
+                                       "bandwidth_hz", "rolloff_hz"]) \
+        .astype({"clip_id": np.int64})
+
+
+def golden_image_color_hist(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_image_color_hist``: per-bin
+    counts via explicit boolean masks (independent of the engine's
+    single bincount), same entropy formula over the ascending bins."""
+    img = _crawl_oracle(sf_dir)["images"]
+    rows = []
+    for iid, buf in zip(img["image_id"], img["bytes"]):
+        px, _ = codecs.decode(buf)
+        q = px.reshape(-1, 3) // 64
+        hist = np.zeros(64, dtype=np.int64)
+        for r in range(4):
+            for g in range(4):
+                for b in range(4):
+                    hist[r * 16 + g * 4 + b] = int(
+                        ((q[:, 0] == r) & (q[:, 1] == g)
+                         & (q[:, 2] == b)).sum())
+        n = int(hist.sum())
+        p = hist[hist > 0] / n
+        rows.append((iid, n, int(np.argmax(hist)),
+                     round(float(-(p * np.log2(p)).sum()), 4)))
+    return pd.DataFrame(rows, columns=["image_id", "n_px", "top_bin",
+                                       "entropy"]) \
+        .astype({"n_px": np.int64, "top_bin": np.int64,
+                 "entropy": np.float64})
+
+
 def golden_audio_features(sf_dir: str) -> pd.DataFrame:
     """Sequential audio path: same synthesis + codec round-trip +
     feature kernels as the engine's leaves, orchestration-free loop."""
@@ -1258,6 +1339,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "SELECT doc_id FROM documents"
         + (f" WHERE doc_id NOT IN ({', '.join(map(str, drops))})" if drops else "")
     )
+    out["entity_clusters"] = values_sql(golden_entity_clusters(sf_dir), {
+        "p_partkey": "BIGINT", "cluster_rep": "BIGINT"})
     bdrops = golden_minhash_best_drops(sf_dir)
     out["minhash_dedup_best"] = (
         "SELECT doc_id FROM documents"
@@ -1405,6 +1488,13 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["asr_chunks"] = values_sql(golden_asr_chunks(sf_dir), {
         "clip_id": "BIGINT", "chunk_idx": "BIGINT",
         "start_s": "DOUBLE", "dur_s": "DOUBLE", "rms": "DOUBLE"})
+    out["audio_spectral"] = values_sql(golden_audio_spectral(sf_dir), {
+        "clip_id": "BIGINT", "centroid_hz": "DOUBLE",
+        "bandwidth_hz": "DOUBLE", "rolloff_hz": "DOUBLE"})
+    out["image_color_hist"] = values_sql(
+        golden_image_color_hist(sf_dir), {
+            "image_id": "VARCHAR", "n_px": "BIGINT",
+            "top_bin": "BIGINT", "entropy": "DOUBLE"})
     out["video_frames"] = values_sql(golden_video_frames(sf_dir), {
         "video_id": "BIGINT", "frame_idx": "BIGINT", "frame_phash": "BIGINT"})
     out["vad_segments"] = values_sql(golden_vad_segments(sf_dir), {

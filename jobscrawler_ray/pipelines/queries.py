@@ -10051,6 +10051,166 @@ def q_price_drawdown(sf_dir: str):
     )
 
 
+_KMV_K = 256  # bottom-k sketch size (KMV / theta-sketch family)
+
+
+def q_kmv_jaccard(sf_dir: str):
+    """Set-overlap ESTIMATION from mergeable sketches — the KMV /
+    theta-sketch completion of the sketch family (HLL = distinct
+    count, count-min = point counts, this = pairwise Jaccard): per
+    event_type a bottom-256 sketch of distinct multiplicative user
+    hashes, built local-then-merge (bottom-k is a semilattice, so the
+    merge input is K × types × blocks rows and the sketch is exact);
+    the T×T pair estimate runs in ONE tiny final task over merged
+    sketches. The estimate is DETERMINISTIC and the sketch-only
+    combine equals the full-data definition exactly (any union-
+    bottom-k element that belongs to A is necessarily in A's own
+    bottom-k), so the oracle is plain SQL over all rows — no golden
+    needed. jacc_est ≈ the exact audience_overlap jacc, at 1/√K
+    error, from K rows per type instead of the distinct-pair
+    exchange."""
+
+    def _bk(et: np.ndarray, hv: np.ndarray) -> pa.Table:
+        o = np.lexsort((hv, et))
+        et, hv = et[o], hv[o]
+        keep = np.ones(len(et), dtype=bool)
+        keep[1:] = (et[1:] != et[:-1]) | (hv[1:] != hv[:-1])
+        et, hv = et[keep], hv[keep]  # distinct (type, hash)
+        new = np.ones(len(et), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        rank = np.arange(len(et)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(et)), 0))
+        m = rank < _KMV_K
+        return pa.table({"event_type": pa.array(et[m], type=pa.string()),
+                         "hv": pa.array(hv[m])})
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return _bk(et, (uid * _HASH_MULT) % _HASH_MOD)
+
+    def combine(t: pa.Table) -> pd.DataFrame:
+        bk = _bk(t["event_type"].to_numpy(zero_copy_only=False),
+                 t["hv"].to_numpy(zero_copy_only=False))
+        et = bk["event_type"].to_numpy(zero_copy_only=False)
+        hv = bk["hv"].to_numpy(zero_copy_only=False)
+        types = np.unique(et)
+        sk = {x: hv[et == x] for x in types}  # each sorted ascending
+        rows = []
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                merged = np.union1d(sk[a], sk[b])[:_KMV_K]
+                both = int((np.isin(merged, sk[a])
+                            & np.isin(merged, sk[b])).sum())
+                rows.append((a, b, len(merged),
+                             float(_round_half_up(both / len(merged),
+                                                  4))))
+        return pd.DataFrame(rows, columns=["type_a", "type_b",
+                                           "k_used", "jacc_est"]) \
+            .astype({"k_used": np.int64, "jacc_est": np.float64})
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end — the composition the fuzzy join
+    exists for: brand-blocked char-set-Jaccard pairs
+    (``q_fuzzy_join_names``) → distributed connected components →
+    every part labeled with its cluster representative (component min
+    partkey; singletons map to themselves). The labels attach to the
+    full part table through ONE node-hash cogroup (narrow int rows;
+    parts without a fuzzy partner pass through rep = self), so the
+    pair set stays the only dup-bounded intermediate. Golden twin:
+    independent Python set-Jaccard + union-find."""
+    pairs = q_fuzzy_join_names(sf_dir).materialize()  # bounded: pairs
+    labels = _cc_min_labels(pairs)
+    n_part = _tbl_rows(sf_dir, "part")
+    parts_n = _copart_count(n_part, lo=4, hi=64)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": t["node"], "v": t["lab"],
+            "role": pa.array(np.zeros(len(node), dtype=np.int8)),
+            "part": pa.array(node % parts_n),
+        })
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": t["p_partkey"], "v": t["p_partkey"],
+            "role": pa.array(np.ones(len(k), dtype=np.int8)),
+            "part": pa.array(k % parts_n),
+        })
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        role = df["role"].to_numpy()
+        k = df["k"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        lm = role == 0
+        ln, lv = k[lm], v[lm]
+        pk = k[~lm]
+        if not len(pk):
+            return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                                 "cluster_rep": pd.Series(dtype=np.int64)})
+        rep = pk.copy()
+        if len(ln):
+            o = np.argsort(ln, kind="stable")
+            ln, lv = ln[o], lv[o]
+            idx = np.searchsorted(ln, pk)
+            ok = (idx < len(ln))
+            ok[ok] = ln[np.minimum(idx[ok], len(ln) - 1)] == pk[ok]
+            rep[ok] = lv[np.minimum(idx, len(ln) - 1)][ok]
+        return pd.DataFrame({"p_partkey": pk, "cluster_rep": rep})
+
+    return (
+        labels.map_batches(tag_lab, batch_format="pyarrow")
+        .union(_tbl(sf_dir, "part", ["p_partkey"])
+               .map_batches(tag_part, batch_format="pyarrow"))
+        .groupby("part", num_partitions=parts_n)
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def q_audio_spectral(sf_dir: str):
+    """Frequency-domain audio features over the binary audio column:
+    per-clip spectral centroid / bandwidth / 85% rolloff (Hz) — the
+    curation gates for hiss, hum and band-limited clips that pair
+    with AudioFeatures' time-domain RMS. Decode + one rfft per clip in
+    an autoscaled map-only actor pool (the synthesis task stage fuses
+    into the pool — the vad_segments lesson); no shuffle at any
+    corpus size. Golden twin shares the ``spectral_stats`` leaf with
+    its own loop (the audio_rms precedent)."""
+    from ..stages.multimodal import AudioSpectral
+
+    ds = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _synth_audio, batch_format="pyarrow")
+    return ds.map_batches(
+        AudioSpectral, batch_format="pyarrow", batch_size=64,
+        concurrency=(2, 16), num_cpus=1)
+
+
+def q_image_color_hist(sf_dir: str):
+    """Color-palette statistics over the binary image column: 4×4×4
+    quantized RGB histogram per image → dominant-color bin and color
+    entropy (bits) — the palette-diversity gate that separates flat
+    logos/screenshots from photographs in image curation. Map-only
+    autoscaled actor pool; per-image kernel is one bincount. Golden
+    twin counts each of the 64 bins with explicit boolean masks over
+    the sequential oracle crawl's images."""
+    from ..stages.multimodal import ImageColorHist
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes"])
+    return ds.map_batches(ImageColorHist, batch_format="pyarrow",
+                          batch_size=64, concurrency=(2, 16), num_cpus=1)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10223,6 +10383,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "activity_heatmap": q_activity_heatmap,
     "group_bottomk_sample": q_group_bottomk_sample,
     "price_drawdown": q_price_drawdown,
+    "kmv_jaccard": q_kmv_jaccard,
+    "entity_clusters": q_entity_clusters,
+    "audio_spectral": q_audio_spectral,
+    "image_color_hist": q_image_color_hist,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -11092,6 +11256,25 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "kmv_jaccard": (
+        "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+        "h AS (SELECT event_type, "
+        f"(user_id * {_HASH_MULT}) % {_HASH_MOD} AS hv FROM d), "
+        "t AS (SELECT DISTINCT event_type FROM events), "
+        "p AS (SELECT a.event_type AS ta, b.event_type AS tb FROM t a "
+        "JOIN t b ON a.event_type < b.event_type), "
+        "u AS (SELECT p.ta, p.tb, h.hv, "
+        "max(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END) AS ina, "
+        "max(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END) AS inb "
+        "FROM p JOIN h ON h.event_type IN (p.ta, p.tb) "
+        "GROUP BY p.ta, p.tb, h.hv), "
+        "r AS (SELECT ta, tb, ina, inb, row_number() OVER ("
+        "PARTITION BY ta, tb ORDER BY hv) AS rn FROM u), "
+        f"sel AS (SELECT * FROM r WHERE rn <= {_KMV_K}) "
+        "SELECT ta AS type_a, tb AS type_b, count(*)::BIGINT AS k_used, "
+        "round(sum(ina * inb) / count(*), 4) AS jacc_est "
+        "FROM sel GROUP BY ta, tb"
     ),
     "activity_heatmap": (
         "WITH c AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hod, "

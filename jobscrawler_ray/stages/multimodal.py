@@ -239,6 +239,82 @@ class AsrChunks:
         })
 
 
+_ROLLOFF_FRAC = 0.85
+
+
+def spectral_stats(wave: np.ndarray, sr: int) -> tuple[float, float, float]:
+    """Magnitude-spectrum summary of an int16 clip: spectral centroid,
+    bandwidth (magnitude-weighted std around the centroid) and the
+    85% rolloff frequency, all in Hz rounded to 3 — the shared leaf of
+    the engine stage and its golden twin (the audio_rms precedent)."""
+    x = wave.astype(np.float64) / 32768.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    total = mag.sum()
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt((mag * (freqs - centroid) ** 2).sum()
+                              / total))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(mag),
+                                          _ROLLOFF_FRAC * total)])
+    return round(centroid, 3), round(bandwidth, 3), round(rolloff, 3)
+
+
+class AudioSpectral:
+    """Actor-pool stage: binary audio → per-clip spectral summary
+    (centroid / bandwidth / rolloff Hz) — the frequency-domain
+    complement of AudioFeatures' time-domain RMS; what an audio
+    curation gate filters on (hiss, hum, band-limited clips)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"clip_id": [], "centroid_hz": [], "bandwidth_hz": [],
+               "rolloff_hz": []}
+        for cid, buf in zip(t["clip_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            wave, sr = _decode_audio(buf)
+            c, b, r = spectral_stats(wave, sr)
+            out["clip_id"].append(cid)
+            out["centroid_hz"].append(c)
+            out["bandwidth_hz"].append(b)
+            out["rolloff_hz"].append(r)
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.int64()),
+            "centroid_hz": pa.array(out["centroid_hz"],
+                                    type=pa.float64()),
+            "bandwidth_hz": pa.array(out["bandwidth_hz"],
+                                     type=pa.float64()),
+            "rolloff_hz": pa.array(out["rolloff_hz"],
+                                   type=pa.float64()),
+        })
+
+
+class ImageColorHist:
+    """Actor-pool stage: decode binary images, emit a 4×4×4 RGB
+    histogram summary per image — dominant-color bin (tie → lowest
+    index) and color entropy in bits, the palette-diversity gate an
+    image curation pass filters on (flat logos vs photographs)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, npx, top, ent = [], [], [], []
+        for iid, buf in zip(t["image_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            px, _ = codecs.decode(buf)
+            q = px.reshape(-1, 3) // 64
+            idx = q[:, 0] * 16 + q[:, 1] * 4 + q[:, 2]
+            hist = np.bincount(idx, minlength=64)
+            n = int(hist.sum())
+            p = hist[hist > 0] / n
+            ids.append(iid)
+            npx.append(n)
+            top.append(int(np.argmax(hist)))
+            ent.append(round(float(-(p * np.log2(p)).sum()), 4))
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "n_px": pa.array(npx, type=pa.int64()),
+            "top_bin": pa.array(top, type=pa.int64()),
+            "entropy": pa.array(ent, type=pa.float64()),
+        })
+
+
 class FrameSample:
     """Actor-pool stage: binary video column → one row per sampled
     frame (video_id, frame_idx, frame_bytes, frame_phash). The ``jvid``

@@ -94,7 +94,8 @@ GOLDEN_NAMES = [
     "pagerank_orders", "image_fidelity", "image_neardup_verified",
     "vad_segments", "scene_cuts", "kcore_parts", "cdc_chunks",
     "scene_clips", "bpe_encode", "minhash_dedup_best",
-    "image_patches", "asr_chunks",
+    "image_patches", "asr_chunks", "entity_clusters",
+    "audio_spectral", "image_color_hist",
 ]
 
 
