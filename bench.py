@@ -473,7 +473,8 @@ def joinstress() -> None:
              # v8 additions: calendar heatmap + grouped bottom-k +
              # prefix-max drawdown scan
              "activity_heatmap", "group_bottomk_sample",
-             "price_drawdown", "kmv_jaccard"], d,
+             "price_drawdown", "kmv_jaccard", "graph_walks",
+             "approx_distinct_by_type"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

@@ -273,6 +273,62 @@ def golden_minhash_best_drops(sf_dir: str) -> list[int]:
     return sorted(drops)
 
 
+def golden_graph_walks(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_graph_walks``: dict-of-lists
+    co-purchase adjacency (own order→parts mining loop), the shared
+    (A, B, C) step-chooser constants, plain per-walk loop."""
+    from .queries import _WALK_A, _WALK_B, _WALK_C, _WALK_LEN
+
+    tbl = papq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_orderkey", "l_partkey"])
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in zip(tbl["l_orderkey"].to_pylist(),
+                      tbl["l_partkey"].to_pylist()):
+        baskets.setdefault(int(ok), set()).add(int(pk))
+    cnt: dict[tuple[int, int], int] = {}
+    for ps in baskets.values():
+        ms = sorted(ps)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    adj: dict[int, list[int]] = {}
+    for (a, b), n in cnt.items():
+        if n >= 2:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    nbr_sorted = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for start in sorted(adj):
+        cur = start
+        rows.append((start, 0, cur))
+        for step in range(1, _WALK_LEN + 1):
+            nb = nbr_sorted[cur]
+            idx = int((start * int(_WALK_A) + cur * int(_WALK_B)
+                       + step * int(_WALK_C)) % len(nb))
+            cur = nb[idx]
+            rows.append((start, step, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "step", "node"]) \
+        .astype({"walk_id": np.int64, "step": np.int64,
+                 "node": np.int64})
+
+
+def golden_approx_distinct_by_type(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_approx_distinct_by_type``: one
+    whole-column HLL per event_type via the shared sketch leaves."""
+    from ..functions import sketch
+
+    tbl = papq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "user_id"])
+    et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+    uid = tbl["user_id"].to_numpy()
+    rows = []
+    for x in sorted(set(et)):
+        regs = sketch.hll_registers(uid[et == x])
+        rows.append((x, int(sketch.hll_estimate(regs))))
+    return pd.DataFrame(rows, columns=["event_type", "n_approx"]) \
+        .astype({"n_approx": np.int64})
+
+
 def golden_entity_clusters(sf_dir: str, tau: float = 0.9) -> pd.DataFrame:
     """Sequential twin of ``queries.q_entity_clusters``: brand-blocked
     pairwise char-SET Jaccard via plain Python sets (independent of the
@@ -1341,6 +1397,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["entity_clusters"] = values_sql(golden_entity_clusters(sf_dir), {
         "p_partkey": "BIGINT", "cluster_rep": "BIGINT"})
+    out["graph_walks"] = values_sql(golden_graph_walks(sf_dir), {
+        "walk_id": "BIGINT", "step": "BIGINT", "node": "BIGINT"})
+    out["approx_distinct_by_type"] = values_sql(
+        golden_approx_distinct_by_type(sf_dir), {
+            "event_type": "VARCHAR", "n_approx": "BIGINT"})
     bdrops = golden_minhash_best_drops(sf_dir)
     out["minhash_dedup_best"] = (
         "SELECT doc_id FROM documents"

@@ -10211,6 +10211,208 @@ def q_image_color_hist(sf_dir: str):
                           batch_size=64, concurrency=(2, 16), num_cpus=1)
 
 
+# Deterministic walk step chooser: next = nbrs[(walk*A + cur*B +
+# step*C) % deg]. Pure int64 (values < 2^33 × 1e6 < 2^53), shared with
+# the golden twin so both sides pick identical steps.
+_WALK_LEN = 4
+_WALK_A, _WALK_B, _WALK_C = (np.int64(1_000_003), np.int64(69_069),
+                             np.int64(97))
+
+
+@ray.remote
+def _walk_local_task(*tables: pa.Table) -> pa.Table:
+    """Single-task walk kernel — the bounded-size dispatch twin of
+    ``_cc_local_task``: same symmetrize/sort/step-chooser as the BSP
+    path, minus its per-step AllToAll (each ~8 s of fixed floor at 32
+    CPUs on graphs whose real walk work is milliseconds)."""
+    tabs = _nonempty_arrow(tables)
+    if not tabs:
+        return pa.table({"walk_id": pa.array([], type=pa.int64()),
+                         "step": pa.array([], type=pa.int64()),
+                         "node": pa.array([], type=pa.int64())})
+    edges = pa.concat_tables(tabs)
+    a = edges["part_a"].to_numpy(zero_copy_only=False)
+    b = edges["part_b"].to_numpy(zero_copy_only=False)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    us, starts = np.unique(src, return_index=True)
+    deg = np.diff(np.append(starts, len(src)))
+    wid = us.copy()
+    cur = us.copy()
+    ws, ss, ns = [wid], [np.zeros(len(us), dtype=np.int64)], [cur]
+    for step in range(1, _WALK_LEN + 1):
+        pos = np.searchsorted(us, cur)
+        idx = (wid * _WALK_A + cur * _WALK_B
+               + np.int64(step) * _WALK_C) % deg[pos]
+        cur = dst[starts[pos] + idx]
+        ws.append(wid)
+        ss.append(np.full(len(us), step, dtype=np.int64))
+        ns.append(cur)
+    return pa.table({"walk_id": pa.array(np.concatenate(ws)),
+                     "step": pa.array(np.concatenate(ss)),
+                     "node": pa.array(np.concatenate(ns))})
+
+
+def q_graph_walks(sf_dir: str):
+    """Node2vec-style WALK CORPUS generation over the co-purchase
+    graph — the graph-embedding prep step (DeepWalk/node2vec train on
+    exactly these walk sequences): one length-4 walk per node,
+    deterministic next-step choice (hash of (walk, cur, step) mod
+    degree — no RNG state to coordinate across a cluster, the same
+    determinism policy as every sampler here). Size-dispatched like
+    the CC family: bounded edge sets run ONE remote vectorized task
+    (``_walk_local_task``); above ``_CC_LOCAL_EDGE_LIMIT`` the BSP
+    path runs — the symmetrized edge list materializes ONCE and each
+    step is ONE node-hash cogroup of the walk frontier against the
+    adjacency (frontier rows carry only (walk_id, cur)), materialized
+    per step so no step's chain re-executes its predecessors. Output
+    is the full corpus: (walk_id, step, node) for steps 0..4.
+    Partitioning assumption (BSP path): a node's neighbor list fits
+    its partition (hub salting is the 100 TB lever, as in the CC
+    family)."""
+    edges = q_part_copurchase(sf_dir).materialize()  # support-bounded
+    if edges.count() <= _CC_LOCAL_EDGE_LIMIT:
+        refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([_walk_local_task.remote(*refs)])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    parts = _copart_count(adj.count(), lo=4, hi=64)
+
+    frontier = (
+        adj.map_batches(lambda t: pa.table(
+            {"node": pc.unique(t["src"])}), batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="c"))
+        .map_batches(lambda t: pa.table(
+            {"walk_id": t["node"], "cur": t["node"]}),
+            batch_format="pyarrow")
+    )
+
+    def tag_front(t: pa.Table) -> pa.Table:
+        cur = t["cur"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": t["cur"], "a": t["walk_id"],
+            "role": pa.array(np.zeros(len(cur), dtype=np.int8)),
+            "part": pa.array(cur % parts),
+        })
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": t["src"], "a": t["dst"],
+            "role": pa.array(np.ones(len(src), dtype=np.int8)),
+            "part": pa.array(src % parts),
+        })
+
+    def make_step(step: int):
+        def step_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            role = df["role"].to_numpy()
+            k = df["k"].to_numpy(np.int64)
+            a = df["a"].to_numpy(np.int64)
+            fm = role == 0
+            cur, wid = k[fm], a[fm]
+            if not len(cur):
+                return pd.DataFrame({
+                    "walk_id": pd.Series(dtype=np.int64),
+                    "cur": pd.Series(dtype=np.int64)})
+            src, dst = k[~fm], a[~fm]
+            o = np.lexsort((dst, src))
+            src, dst = src[o], dst[o]
+            us, starts = np.unique(src, return_index=True)
+            deg = np.diff(np.append(starts, len(src)))
+            pos = np.searchsorted(us, cur)
+            if not np.array_equal(us[np.minimum(pos, len(us) - 1)], cur):
+                raise ValueError("graph_walks: frontier node has no "
+                                 "adjacency in its partition")
+            idx = (wid * _WALK_A + cur * _WALK_B
+                   + np.int64(step) * _WALK_C) % deg[pos]
+            return pd.DataFrame({"walk_id": wid,
+                                 "cur": dst[starts[pos] + idx]})
+        return step_kernel
+
+    tagged_adj = adj.map_batches(tag_adj, batch_format="pyarrow")
+    outs = [frontier.map_batches(
+        lambda t: pa.table({"walk_id": t["walk_id"],
+                            "step": pa.array(np.zeros(t.num_rows,
+                                                      dtype=np.int64)),
+                            "node": t["cur"]}), batch_format="pyarrow")]
+    for s in range(1, _WALK_LEN + 1):
+        # materialize each step's frontier (one row per walk, bounded)
+        # — a lazy chain would re-execute every earlier step per step
+        # AND per output union (measured 128 s → 16 s at 5M rows)
+        frontier = (
+            frontier.map_batches(tag_front, batch_format="pyarrow")
+            .union(tagged_adj)
+            .groupby("part", num_partitions=parts)
+            .map_groups(make_step(s), batch_format="pandas")
+        ).materialize()
+        step_arr = np.int64(s)
+        outs.append(frontier.map_batches(
+            lambda t, _s=step_arr: pa.table(
+                {"walk_id": t["walk_id"],
+                 "step": pa.array(np.full(t.num_rows, _s)),
+                 "node": t["cur"]}), batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def q_approx_distinct_by_type(sf_dir: str):
+    """GROUPED HyperLogLog — the sketch-as-aggregation-state shape:
+    per event_type a p=12 HLL of distinct users, register partials
+    keyed (type, reg) merged by elementwise max through one
+    grid-bounded groupby (types × 4096 rows max — never a key
+    exchange over users). Estimates are bit-deterministic on any
+    partitioning; the oracle is the identical sequential sketch per
+    type (golden twin)."""
+    from ..functions import sketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts, rs, ks = [], [], []
+        for x in np.unique(et):
+            regs = sketch.hll_registers(uid[et == x])
+            nz = np.nonzero(regs)[0]
+            ts.append(np.full(len(nz), x, dtype=object))
+            rs.append(nz)
+            ks.append(regs[nz])
+        return pa.table({
+            "event_type": pa.array(np.concatenate(ts), type=pa.string()),
+            "reg": pa.array(np.concatenate(rs).astype(np.int64)),
+            "rank": pa.array(np.concatenate(ks).astype(np.int64)),
+        })
+
+    merged = (
+        _tbl(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import sketch as sk
+
+        rows = []
+        for x, g in df.groupby("event_type"):
+            regs = np.zeros(sk.HLL_M, dtype=np.int64)
+            regs[g["reg"].to_numpy(np.int64)] = g["rank"].to_numpy(np.int64)
+            rows.append((x, int(sk.hll_estimate(regs))))
+        return pd.DataFrame(rows, columns=["event_type", "n_approx"]) \
+            .astype({"n_approx": np.int64})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=1 << 30)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10387,6 +10589,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "entity_clusters": q_entity_clusters,
     "audio_spectral": q_audio_spectral,
     "image_color_hist": q_image_color_hist,
+    "graph_walks": q_graph_walks,
+    "approx_distinct_by_type": q_approx_distinct_by_type,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

@@ -95,7 +95,8 @@ GOLDEN_NAMES = [
     "vad_segments", "scene_cuts", "kcore_parts", "cdc_chunks",
     "scene_clips", "bpe_encode", "minhash_dedup_best",
     "image_patches", "asr_chunks", "entity_clusters",
-    "audio_spectral", "image_color_hist",
+    "audio_spectral", "image_color_hist", "graph_walks",
+    "approx_distinct_by_type",
 ]
 
 
@@ -642,6 +643,20 @@ class TestDistributedKeepPath:
         monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", -1)
         dist = _normalize(_to_pandas(
             queries.QUERIES["kcore_parts"](SF_DIR)))
+        pd.testing.assert_frame_equal(local, dist, check_exact=True)
+
+    def test_graph_walks_dispatch_invariant(self, ray_session,
+                                            monkeypatch):
+        """The walk corpus must be identical whichever path runs: the
+        single-task vectorized kernel (default at this scale) or the
+        forced per-step BSP cogroups (`_CC_LOCAL_EDGE_LIMIT = -1`)."""
+        from jobscrawler_ray.pipelines import queries
+
+        local = _normalize(_to_pandas(
+            queries.QUERIES["graph_walks"](SF_DIR)))
+        monkeypatch.setattr(queries, "_CC_LOCAL_EDGE_LIMIT", -1)
+        dist = _normalize(_to_pandas(
+            queries.QUERIES["graph_walks"](SF_DIR)))
         pd.testing.assert_frame_equal(local, dist, check_exact=True)
 
     def test_substring_rewrite_consistent_with_detection(self,
