@@ -474,11 +474,11 @@ def joinstress() -> None:
              # prefix-max drawdown scan
              "activity_heatmap", "group_bottomk_sample",
              "price_drawdown", "kmv_jaccard", "graph_walks",
-             "approx_distinct_by_type"], d,
+             "approx_distinct_by_type", "zorder_layout"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
-VECSTRESS_QUERIES = ["knn_cosine", "embedding_neardup_ann", "ann_ivf",
+VECSTRESS_QUERIES = ["knn_cosine", "ann_dim_recall", "embedding_neardup_ann", "ann_ivf",
                      "kmeans_assign", "semantic_dedup",
                      "pq_encode", "ann_pq", "ann_ivfpq"]
 

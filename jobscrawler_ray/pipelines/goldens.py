@@ -329,6 +329,65 @@ def golden_approx_distinct_by_type(sf_dir: str) -> pd.DataFrame:
         .astype({"n_approx": np.int64})
 
 
+def golden_ann_dim_recall(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_ann_dim_recall``: two whole-
+    corpus numpy scans (full dims / first half renormalized), same
+    rounded-score/id tie order, set intersection per probe."""
+    from .queries import _MRL_K, _norm_rows, _round_half_up
+
+    tbl = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    half = mat.shape[1] // 2
+    qm = ids < 5
+    qids = ids[qm]
+    rows = []
+    for q in qids:
+        tops = []
+        for cn, qn in ((_norm_rows(mat), _norm_rows(mat[qm][qids == q])),
+                       (_norm_rows(mat[:, :half]),
+                        _norm_rows(mat[qm][qids == q][:, :half]))):
+            sims = _round_half_up(qn @ cn.T, 6)[0]
+            m = ids != q
+            order = np.lexsort((ids[m], -sims[m]))[:_MRL_K]
+            tops.append(set(int(x) for x in ids[m][order]))
+        rows.append((int(q), len(tops[0] & tops[1])))
+    return pd.DataFrame(rows, columns=["query_id", "n_overlap"]) \
+        .astype({"query_id": np.int64, "n_overlap": np.int64})
+
+
+def golden_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_zorder_layout``: same 21-bit
+    range scaling, bit interleave via a per-row Python loop over the
+    42 bit positions (independent of the engine's SWAR spread)."""
+    from .queries import _Z_BITS, _Z_BUCKETS
+
+    tbl = papq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_partkey", "l_suppkey"])
+    pk = tbl["l_partkey"].to_pylist()
+    sk = tbl["l_suppkey"].to_pylist()
+    pm, sm = max(pk), max(sk)
+    agg: dict[int, list[int]] = {}
+    for p, s in zip(pk, sk):
+        pq = (p << _Z_BITS) // (pm + 1)
+        sq = (s << _Z_BITS) // (sm + 1)
+        code = 0
+        for bit in range(_Z_BITS):
+            code |= ((pq >> bit) & 1) << (2 * bit)
+            code |= ((sq >> bit) & 1) << (2 * bit + 1)
+        b = code >> (2 * _Z_BITS - 4)
+        e = agg.setdefault(b, [0, p, p, s, s])
+        e[0] += 1
+        e[1], e[2] = min(e[1], p), max(e[2], p)
+        e[3], e[4] = min(e[3], s), max(e[4], s)
+    rows = [(b, *agg[b]) for b in sorted(agg)]
+    return pd.DataFrame(rows, columns=["bucket", "n", "pk_min",
+                                       "pk_max", "sk_min", "sk_max"]) \
+        .astype({c: np.int64 for c in ["bucket", "n", "pk_min",
+                                       "pk_max", "sk_min", "sk_max"]})
+
+
 def golden_entity_clusters(sf_dir: str, tau: float = 0.9) -> pd.DataFrame:
     """Sequential twin of ``queries.q_entity_clusters``: brand-blocked
     pairwise char-SET Jaccard via plain Python sets (independent of the
@@ -1397,6 +1456,11 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["entity_clusters"] = values_sql(golden_entity_clusters(sf_dir), {
         "p_partkey": "BIGINT", "cluster_rep": "BIGINT"})
+    out["ann_dim_recall"] = values_sql(golden_ann_dim_recall(sf_dir), {
+        "query_id": "BIGINT", "n_overlap": "BIGINT"})
+    out["zorder_layout"] = values_sql(golden_zorder_layout(sf_dir), {
+        "bucket": "BIGINT", "n": "BIGINT", "pk_min": "BIGINT",
+        "pk_max": "BIGINT", "sk_min": "BIGINT", "sk_max": "BIGINT"})
     out["graph_walks"] = values_sql(golden_graph_walks(sf_dir), {
         "walk_id": "BIGINT", "step": "BIGINT", "node": "BIGINT"})
     out["approx_distinct_by_type"] = values_sql(

@@ -10413,6 +10413,161 @@ def q_approx_distinct_by_type(sf_dir: str):
                               batch_size=1 << 30)
 
 
+_MRL_K = 10  # truncation eval: top-k overlap between full and half dims
+
+
+def q_ann_dim_recall(sf_dir: str):
+    """Matryoshka-style DIMENSION-TRUNCATION evaluation — the modern
+    embedding-pipeline question 'can we serve at half the dims?':
+    for each probe (vec_id < 5), exact cosine top-10 under FULL dims
+    and under the first-HALF dims (renormalized), reported as the
+    per-probe overlap count. ONE corpus pass computes both variants'
+    batch-local top-k (same matmul batch, two normalized views); the
+    per-(probe, variant) partials merge through the shared
+    ``_merge_topk`` total order, and a tiny final task intersects the
+    two lists per probe. Deterministic (rounded-score/id tie order),
+    golden twin does the same two scans in numpy."""
+    k = _MRL_K
+    qids, qmat = _query_vectors(sf_dir)
+    half = qmat.shape[1] // 2
+    qref = ray.put((qids, _norm_rows(qmat), _norm_rows(qmat[:, :half])))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"qv": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        qi, qn_full, qn_half = _bget(qref)
+        cids = t["vec_id"].to_numpy()
+        cm = _emb_matrix(t["embedding"])
+        out_qv, out_id, out_s = [], [], []
+        for variant, (qn, cn) in enumerate(
+                ((qn_full, _norm_rows(cm)),
+                 (qn_half, _norm_rows(cm[:, :half])))):
+            sims = _round_half_up(qn @ cn.T, 6)
+            for row in range(len(qi)):
+                mask = cids != qi[row]
+                ids_m, s_m = cids[mask], sims[row][mask]
+                order = np.lexsort((ids_m, -s_m))[:k]
+                out_qv.extend([int(qi[row]) * 2 + variant] * len(order))
+                out_id.extend(int(ids_m[o]) for o in order)
+                out_s.extend(float(s_m[o]) for o in order)
+        return pa.table({"qv": pa.array(out_qv, type=pa.int64()),
+                         "neighbor_id": pa.array(out_id, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    merged = (
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=512)
+        .groupby("qv")
+        .map_groups(_merge_topk(k, out_cols=("qv", "neighbor_id",
+                                             "rank")),
+                    batch_format="pandas")
+    )
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        qv = df["qv"].to_numpy(np.int64)
+        nb = df["neighbor_id"].to_numpy(np.int64)
+        rows = []
+        for q in np.unique(qv // 2):
+            full = set(nb[qv == q * 2])
+            halfs = set(nb[qv == q * 2 + 1])
+            rows.append((int(q), len(full & halfs)))
+        return pd.DataFrame(rows, columns=["query_id", "n_overlap"]) \
+            .astype({"query_id": np.int64, "n_overlap": np.int64})
+
+    return merged.map_batches(overlap, batch_format="pandas",
+                              batch_size=1 << 30)
+
+
+_Z_BITS = 21       # bits per dimension in the Morton interleave
+_Z_BUCKETS = 16    # top-4-bit z-range buckets
+
+
+def _morton2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D Morton (z-order) interleave of two ≤21-bit int
+    columns → 42-bit code (x in even bits, y in odd)."""
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64)
+        v = (v | (v << 16)) & np.int64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.int64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x3333333333333333)
+        v = (v | (v << 1)) & np.int64(0x5555555555555555)
+        return v
+
+    return spread(x) | (spread(y) << np.int64(1))
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton-curve) layout analysis — the lakehouse
+    OPTIMIZE ZORDER primitive: interleave (l_partkey, l_suppkey) into
+    a 42-bit Morton code, bucket rows by the code's top 4 bits (16
+    z-ranges — the file boundaries a z-ordered rewrite would cut) and
+    report each bucket's row count and per-dimension min/max — the
+    ranges that make multi-column data skipping work. Each dimension
+    is scaled to the full 21-bit range first (integer
+    (v<<21)//(max+1), from a tiny max pre-pass) — raw low-cardinality
+    keys would leave the top interleave bits empty and collapse every
+    row into bucket 0. Map-side fixed-grid partials (16 rows per
+    batch: bincount + min/max.at), one coalesced combine — no key
+    exchange at any corpus size. Golden twin interleaves bits with
+    per-row Python int arithmetic."""
+
+    def maxes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pkmax": pa.array([int(pc.max(t["l_partkey"]).as_py())],
+                              type=pa.int64()),
+            "skmax": pa.array([int(pc.max(t["l_suppkey"]).as_py())],
+                              type=pa.int64()),
+        })
+
+    mx = (
+        _tbl(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(maxes, batch_format="pyarrow")
+        .to_pandas()  # one row per input block — tiny
+    )
+    pkmax, skmax = int(mx["pkmax"].max()), int(mx["skmax"].max())
+    sref = ray.put((pkmax, skmax))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm, sm = _bget_slot("zorder_maxes", sref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pq = (pk.astype(np.int64) << np.int64(_Z_BITS)) // (pm + 1)
+        sq = (sk.astype(np.int64) << np.int64(_Z_BITS)) // (sm + 1)
+        code = _morton2(pq, sq)
+        b = (code >> np.int64(2 * _Z_BITS - 4)).astype(np.int64)
+        n = np.bincount(b, minlength=_Z_BUCKETS).astype(np.int64)
+        pmin = np.full(_Z_BUCKETS, np.iinfo(np.int64).max)
+        pmax = np.full(_Z_BUCKETS, np.iinfo(np.int64).min)
+        smin = np.full(_Z_BUCKETS, np.iinfo(np.int64).max)
+        smax = np.full(_Z_BUCKETS, np.iinfo(np.int64).min)
+        np.minimum.at(pmin, b, pk)
+        np.maximum.at(pmax, b, pk)
+        np.minimum.at(smin, b, sk)
+        np.maximum.at(smax, b, sk)
+        return pa.table({
+            "bucket": pa.array(np.arange(_Z_BUCKETS, dtype=np.int64)),
+            "n": pa.array(n), "pmin": pa.array(pmin),
+            "pmax": pa.array(pmax), "smin": pa.array(smin),
+            "smax": pa.array(smax),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).agg(
+            n=("n", "sum"), pk_min=("pmin", "min"), pk_max=("pmax", "max"),
+            sk_min=("smin", "min"), sk_max=("smax", "max"))
+        g = g[g["n"] > 0]
+        return g.astype({c: np.int64 for c in g.columns})
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10591,6 +10746,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_color_hist": q_image_color_hist,
     "graph_walks": q_graph_walks,
     "approx_distinct_by_type": q_approx_distinct_by_type,
+    "ann_dim_recall": q_ann_dim_recall,
+    "zorder_layout": q_zorder_layout,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"

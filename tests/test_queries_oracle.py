@@ -96,7 +96,7 @@ GOLDEN_NAMES = [
     "scene_clips", "bpe_encode", "minhash_dedup_best",
     "image_patches", "asr_chunks", "entity_clusters",
     "audio_spectral", "image_color_hist", "graph_walks",
-    "approx_distinct_by_type",
+    "approx_distinct_by_type", "ann_dim_recall", "zorder_layout",
 ]
 
 
