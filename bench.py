@@ -602,7 +602,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "pii_redact", "vad_segments", "bpe_merge_pairs",
                      "line_dedup", "bpe_encode",
                      "skipgram_pairs", "minhash_dedup_best",
-                     "asr_chunks", "audio_spectral"]
+                     "asr_chunks", "audio_spectral",
+                     "dup_cluster_sizes"]
 
 
 def docstress() -> None:

@@ -329,6 +329,76 @@ def golden_approx_distinct_by_type(sf_dir: str) -> pd.DataFrame:
         .astype({"n_approx": np.int64})
 
 
+def golden_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_dup_cluster_sizes``: union-find
+    over the golden pair list → component-size histogram."""
+    pairs = golden_minhash_lsh(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = int(a), int(b)
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    sizes: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    return pd.DataFrame(
+        sorted(hist.items()), columns=["cluster_size", "n_clusters"]
+    ).astype({"cluster_size": np.int64, "n_clusters": np.int64})
+
+
+def golden_compaction_plan(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_compaction_plan``: same listing,
+    same (size desc, path asc) order, first-fit re-implemented as an
+    index scan over bin-remaining capacities."""
+    from .queries import _COMPACT_TARGET, _crawl_out
+
+    root = os.path.join(_crawl_out(sf_dir), "image_caption")
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                p = os.path.join(dirpath, nm)
+                files.append((os.path.relpath(p, root),
+                              os.path.getsize(p)))
+    order = sorted(files, key=lambda x: (-x[1], x[0]))
+    remaining: list[int] = []
+    counts: list[int] = []
+    for _, size in order:
+        placed = None
+        for i in range(len(remaining)):
+            if remaining[i] >= size:
+                placed = i
+                break
+        if placed is None:
+            remaining.append(_COMPACT_TARGET - size)
+            counts.append(1)
+        else:
+            remaining[placed] -= size
+            counts[placed] += 1
+    return pd.DataFrame({
+        "bin_id": pd.Series(range(len(counts)), dtype=np.int64),
+        "n_files": pd.Series(counts, dtype=np.int64),
+        "total_bytes": pd.Series(
+            [int(_COMPACT_TARGET - r) for r in remaining],
+            dtype=np.int64),
+    })
+
+
 def golden_ann_dim_recall(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``queries.q_ann_dim_recall``: two whole-
     corpus numpy scans (full dims / first half renormalized), same
@@ -1456,6 +1526,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["entity_clusters"] = values_sql(golden_entity_clusters(sf_dir), {
         "p_partkey": "BIGINT", "cluster_rep": "BIGINT"})
+    out["dup_cluster_sizes"] = values_sql(
+        golden_dup_cluster_sizes(sf_dir), {
+            "cluster_size": "BIGINT", "n_clusters": "BIGINT"})
+    out["compaction_plan"] = values_sql(golden_compaction_plan(sf_dir), {
+        "bin_id": "BIGINT", "n_files": "BIGINT",
+        "total_bytes": "BIGINT"})
     out["ann_dim_recall"] = values_sql(golden_ann_dim_recall(sf_dir), {
         "query_id": "BIGINT", "n_overlap": "BIGINT"})
     out["zorder_layout"] = values_sql(golden_zorder_layout(sf_dir), {

@@ -10568,6 +10568,78 @@ def q_zorder_layout(sf_dir: str):
     )
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Dedup DIAGNOSTICS — the histogram a curation run reports before
+    committing a dedup policy: sizes of the minhash near-dup clusters
+    (connected components over the verified pair set) as
+    (cluster_size, n_clusters). Labels come from the shared
+    ``_cc_min_labels``; per-cluster sizes are one pair-bounded
+    groupby count, and the histogram over sizes is a second tiny
+    grid-bounded combine (distinct sizes, not clusters). Everything
+    after the pair set is dup-rate bounded."""
+    pairs = q_minhash_lsh(sf_dir).materialize()
+    sizes = (
+        _cc_min_labels(pairs)
+        .groupby("lab")
+        .aggregate(Count(alias_name="sz"))
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["sz"].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"cluster_size": u,
+                             "n_clusters": c.astype(np.int64)})
+
+    return sizes.map_batches(hist, batch_format="pandas",
+                             batch_size=1 << 30)
+
+
+_COMPACT_TARGET = int(os.environ.get("JCR_COMPACT_TARGET",
+                                     str(256 << 10)))  # 256 KiB at
+# test SF (the sf0.01 tree totals ~1 MiB — a 1 MiB target packed
+# every file into one bin, which tests nothing)
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file COMPACTION planning over the crawl's hive-
+    partitioned ``image_caption`` tree — the lakehouse OPTIMIZE
+    primitive that pairs with the sink's rows_per_file targeting:
+    first-fit-decreasing bin packing of the data files under a target
+    bin size, reported as (bin_id, n_files, total_bytes). Planning is
+    METADATA-bounded driver work by design (a compaction service
+    plans over the file listing, never the data — file count scales
+    with partitions, not rows); the rewrite a plan drives would be
+    one map-only pass per bin. Deterministic: files sort (size desc,
+    path asc) before packing. Golden twin re-packs the same listing
+    with an independent loop."""
+    root = os.path.join(_crawl_out(sf_dir), "image_caption")
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                p = os.path.join(dirpath, nm)
+                files.append((os.path.relpath(p, root),
+                              os.path.getsize(p)))
+    files.sort(key=lambda x: (-x[1], x[0]))
+    bins: list[list[int]] = []  # [n_files, total_bytes]
+    assign: list[int] = []
+    for _, size in files:
+        for i, b in enumerate(bins):
+            if b[1] + size <= _COMPACT_TARGET:
+                b[0] += 1
+                b[1] += size
+                assign.append(i)
+                break
+        else:
+            bins.append([1, size])
+            assign.append(len(bins) - 1)
+    return pd.DataFrame({
+        "bin_id": pd.Series(range(len(bins)), dtype=np.int64),
+        "n_files": pd.Series([b[0] for b in bins], dtype=np.int64),
+        "total_bytes": pd.Series([b[1] for b in bins], dtype=np.int64),
+    })
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10748,6 +10820,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_by_type": q_approx_distinct_by_type,
     "ann_dim_recall": q_ann_dim_recall,
     "zorder_layout": q_zorder_layout,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "compaction_plan": q_compaction_plan,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
