@@ -212,10 +212,12 @@ def golden_minhash_lsh(sf_dir: str) -> pd.DataFrame:
         {"id_a": np.int64, "id_b": np.int64, "jacc": np.float64})
 
 
-def golden_minhash_drops(sf_dir: str) -> list[int]:
-    """Union-find over the golden pair list → dropped doc_ids (every
-    component member except its minimum)."""
-    pairs = golden_minhash_lsh(sf_dir)
+def _uf():
+    """Dict-backed int union-find shared by the golden CC twins (the
+    independence contract is engine-vs-golden, not golden-vs-golden):
+    ``union`` roots to the SMALLER root, so ``find`` yields the
+    component minimum. Returns (find, union, parent) — ``parent``
+    exposed for the drop-list idiom ``x in parent and find(x) != x``."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -223,11 +225,22 @@ def golden_minhash_drops(sf_dir: str) -> list[int]:
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
+
+    return find, union, parent
+
+
+def golden_minhash_drops(sf_dir: str) -> list[int]:
+    """Union-find over the golden pair list → dropped doc_ids (every
+    component member except its minimum)."""
+    pairs = golden_minhash_lsh(sf_dir)
+    find, union, parent = _uf()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        union(int(a), int(b))
     return sorted(x for x in parent if find(x) != x)
 
 
@@ -247,22 +260,13 @@ def golden_minhash_best_drops(sf_dir: str) -> list[int]:
     ids, texts, _ = _documents(sf_dir)
     ntok = {int(i): int(textstats.token_count_ws(x))
             for i, x in zip(ids, texts)}
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
+    find, union, _parent = _uf()
     nodes: set[int] = set()
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         a, b = int(a), int(b)
         nodes.add(a)
         nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
+        union(a, b)
     comps: dict[int, list[int]] = {}
     for n in nodes:
         comps.setdefault(find(n), []).append(n)
@@ -333,22 +337,13 @@ def golden_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``queries.q_dup_cluster_sizes``: union-find
     over the golden pair list → component-size histogram."""
     pairs = golden_minhash_lsh(sf_dir)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
+    find, union, _parent = _uf()
     nodes: set[int] = set()
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         a, b = int(a), int(b)
         nodes.add(a)
         nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
+        union(a, b)
     sizes: dict[int, int] = {}
     for n in nodes:
         r = find(n)
@@ -471,23 +466,14 @@ def golden_entity_clusters(sf_dir: str, tau: float = 0.9) -> pd.DataFrame:
     blocks: dict[str, list[int]] = {}
     for i, b in enumerate(brands):
         blocks.setdefault(b, []).append(i)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
+    find, union, _parent = _uf()
     for idxs in blocks.values():
         sets = [set(names[i]) for i in idxs]
         for a in range(len(idxs)):
             for b in range(a + 1, len(idxs)):
                 j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
                 if j >= tau:
-                    ra, rb = find(keys[idxs[a]]), find(keys[idxs[b]])
-                    if ra != rb:
-                        lo, hi = sorted((ra, rb))
-                        parent[hi] = lo
+                    union(keys[idxs[a]], keys[idxs[b]])
     return pd.DataFrame({
         "p_partkey": pd.Series(keys, dtype=np.int64),
         "cluster_rep": pd.Series([find(k) for k in keys],
@@ -504,18 +490,9 @@ def golden_embedding_drops(sf_dir: str) -> list[int]:
     sims = n @ n.T
     iu = np.triu_indices(len(ids), k=1)
     sel = sims[iu] >= _COS_TAU
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            x = parent[x]
-        return x
-
+    find, union, parent = _uf()
     for a, b in zip(ids[iu[0][sel]], ids[iu[1][sel]]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
+        union(int(a), int(b))
     return sorted(x for x in parent if find(x) != x)
 
 

@@ -9920,6 +9920,16 @@ def q_activity_heatmap(sf_dir: str):
 _GBK_K = 5  # per-group deterministic sample size
 
 
+def _group_rank(grp: np.ndarray) -> np.ndarray:
+    """Within-group 0-based ranks over a GROUP-SORTED array — the one
+    shared leaf of every grouped bottom-k kernel (group_bottomk_sample,
+    kmv_jaccard) so their rank semantics cannot drift."""
+    new = np.ones(len(grp), dtype=bool)
+    new[1:] = grp[1:] != grp[:-1]
+    return np.arange(len(grp)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(grp)), 0))
+
+
 def q_group_bottomk_sample(sf_dir: str):
     """Per-GROUP deterministic uniform sample: for each event_type the
     K=5 distinct users with the smallest multiplicative user_id hash
@@ -9930,38 +9940,27 @@ def q_group_bottomk_sample(sf_dir: str):
     merge input is bounded at K × types × blocks rows, one coalesced
     final take."""
 
-    def _bottomk(et: np.ndarray, uid: np.ndarray) -> pa.Table:
+    def bottomk(t: pa.Table) -> pa.Table:
+        # local bottom-k and the final merge are the SAME kernel (the
+        # semilattice property is exactly that) — one function, used
+        # for both stages
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
         h = (uid * _HASH_MULT) % _HASH_MOD
         o = np.lexsort((uid, h, et))
-        et, uid, h = et[o], uid[o], h[o]
-        new = np.ones(len(et), dtype=bool)
-        new[1:] = et[1:] != et[:-1]
-        rank = np.arange(len(et)) - np.maximum.accumulate(
-            np.where(new, np.arange(len(et)), 0))
-        m = rank < _GBK_K
+        et, uid = et[o], uid[o]
+        m = _group_rank(et) < _GBK_K
         return pa.table({"event_type": pa.array(et[m], type=pa.string()),
                          "user_id": pa.array(uid[m])})
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-        }).drop_duplicates()
-        return _bottomk(df["event_type"].to_numpy(),
-                        df["user_id"].to_numpy(np.int64))
-
-    def merge(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-        }).drop_duplicates()
-        return _bottomk(df["event_type"].to_numpy(),
-                        df["user_id"].to_numpy(np.int64))
-
     return (
         _tbl(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(partial, batch_format="pyarrow")
-        .map_batches(merge, batch_format="pyarrow", batch_size=1 << 30)
+        .map_batches(bottomk, batch_format="pyarrow")
+        .map_batches(bottomk, batch_format="pyarrow", batch_size=1 << 30)
     )
 
 
@@ -10076,11 +10075,7 @@ def q_kmv_jaccard(sf_dir: str):
         keep = np.ones(len(et), dtype=bool)
         keep[1:] = (et[1:] != et[:-1]) | (hv[1:] != hv[:-1])
         et, hv = et[keep], hv[keep]  # distinct (type, hash)
-        new = np.ones(len(et), dtype=bool)
-        new[1:] = et[1:] != et[:-1]
-        rank = np.arange(len(et)) - np.maximum.accumulate(
-            np.where(new, np.arange(len(et)), 0))
-        m = rank < _KMV_K
+        m = _group_rank(et) < _KMV_K
         return pa.table({"event_type": pa.array(et[m], type=pa.string()),
                          "hv": pa.array(hv[m])})
 
@@ -10376,6 +10371,11 @@ def q_approx_distinct_by_type(sf_dir: str):
     from ..functions import sketch
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "reg": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64())})
         et = t["event_type"].to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         ts, rs, ks = [], [], []
