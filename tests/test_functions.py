@@ -468,3 +468,119 @@ class TestCdc:
             assert b2[:len(expect)] == expect
 
         check()
+
+
+class TestSessionKernels:
+    """Pure-kernel properties for the round-5 eighth-session ops —
+    no Ray session needed (the actor stages are plain callables)."""
+
+    def test_morton2_matches_bit_loop_hypothesis(self):
+        """SWAR 2-D Morton spread == per-bit interleave for any pair
+        of 21-bit ints (the golden twin's formulation)."""
+        hypothesis = pytest.importorskip("hypothesis")
+        given, settings = hypothesis.given, hypothesis.settings
+        st = hypothesis.strategies
+
+        from jobscrawler_ray.pipelines.queries import _Z_BITS, _morton2
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1))
+        def check(x, y):
+            code = 0
+            for bit in range(_Z_BITS):
+                code |= ((x >> bit) & 1) << (2 * bit)
+                code |= ((y >> bit) & 1) << (2 * bit + 1)
+            got = _morton2(np.array([x]), np.array([y]))[0]
+            assert int(got) == code
+
+        check()
+
+    def test_group_rank_matches_cumcount_hypothesis(self):
+        """_group_rank over a group-sorted array == pandas
+        groupby.cumcount (the shared leaf of every grouped bottom-k)."""
+        hypothesis = pytest.importorskip("hypothesis")
+        given, settings = hypothesis.given, hypothesis.settings
+        st = hypothesis.strategies
+        import pandas as pd
+
+        from jobscrawler_ray.pipelines.queries import _group_rank
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(0, 5), min_size=1, max_size=60))
+        def check(groups):
+            g = np.sort(np.array(groups, dtype=np.int64))
+            want = pd.Series(g).groupby(g).cumcount().to_numpy()
+            assert np.array_equal(_group_rank(g), want)
+
+        check()
+
+    def test_asr_chunks_tile_exactly(self):
+        """AsrChunks covers every sample: starts step by the hop, the
+        tail chunk is kept, durations never exceed the window, and
+        per-chunk RMS equals the shared audio_rms leaf on the slice."""
+        import pyarrow as pa
+
+        from jobscrawler_ray.functions import av_codecs
+        from jobscrawler_ray.stages.multimodal import (AsrChunks,
+                                                       audio_rms)
+
+        stage = AsrChunks()
+        for seed in (0, 3, 17):
+            wave = av_codecs.gen_wave(seed)
+            buf = av_codecs.encode_audio(wave, 16000)
+            out = stage(pa.table({"clip_id": pa.array([seed],
+                                                      type=pa.int64()),
+                                  "bytes": pa.array([buf],
+                                                    type=pa.binary())}))
+            starts = np.array(out["start_s"].to_pylist())
+            durs = np.array(out["dur_s"].to_pylist())
+            rms = out["rms"].to_pylist()
+            hop, cl = 0.2, 0.25
+            assert np.allclose(np.diff(starts), hop)
+            assert durs.max() <= cl + 1e-9
+            # last chunk reaches the end of the clip exactly
+            assert round(starts[-1] + durs[-1], 6) == round(
+                len(wave) / 16000, 6)
+            for k, s in enumerate(starts):
+                seg = wave[int(round(s * 16000)):
+                           int(round(s * 16000)) + int(cl * 16000)]
+                assert rms[k] == audio_rms(seg)
+
+    def test_image_patches_flat_gate(self):
+        """ImagePatches: a constant image is ALL flat patches; a
+        checkerboard-noise image is none — and patch counts follow
+        the crop arithmetic."""
+        import pyarrow as pa
+
+        from jobscrawler_ray.functions import codecs
+        from jobscrawler_ray.stages.multimodal import ImagePatches
+
+        stage = ImagePatches()
+        flat = np.full((19, 26, 3), 77, dtype=np.uint8)
+        rng = np.random.default_rng(7)
+        noisy = rng.integers(0, 256, size=(19, 26, 3), dtype=np.uint8)
+        t = pa.table({
+            "image_id": pa.array(["flat", "noisy"], type=pa.string()),
+            "bytes": pa.array([codecs.encode(flat, "raw"),
+                               codecs.encode(noisy, "raw")],
+                              type=pa.binary()),
+        })
+        out = stage(t).to_pydict()
+        assert out["n_patches"] == [2 * 3, 2 * 3]  # 19//8=2, 26//8=3
+        assert out["n_flat"][0] == 6 and out["n_flat"][1] == 0
+
+    def test_spectral_stats_pure_tone(self):
+        """spectral_stats localizes a pure tone: centroid within a few
+        Hz of the tone, tight bandwidth, rolloff at/above the tone."""
+        from jobscrawler_ray.stages.multimodal import spectral_stats
+
+        sr, f = 16000, 440.0
+        t = np.arange(sr, dtype=np.float64) / sr
+        wave = np.round(0.5 * np.sin(2 * np.pi * f * t)
+                        * 32767.0).astype(np.int16)
+        c, b, r = spectral_stats(wave, sr)
+        assert abs(c - f) < 5.0
+        # bandwidth: spectral-leakage skirt of a finite rectangular
+        # window — tight relative to the 8 kHz Nyquist span
+        assert b < 100.0
+        assert f - 2.0 <= r <= f + 20.0
