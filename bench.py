@@ -603,7 +603,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "line_dedup", "bpe_encode",
                      "skipgram_pairs", "minhash_dedup_best",
                      "asr_chunks", "audio_spectral",
-                     "dup_cluster_sizes"]
+                     "dup_cluster_sizes", "boilerplate_lines",
+                     "mixture_upsample"]
 
 
 def docstress() -> None:

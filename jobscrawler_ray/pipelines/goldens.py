@@ -888,6 +888,34 @@ def golden_recrawl_delta(sf_dir: str) -> pd.DataFrame:
     return delta[["url_sha1", "site_id", "strategy", "title", "link", "location"]].copy()
 
 
+def golden_recrawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``queries.q_recrawl_schedule``: per-site
+    counts from the sequential prior/current oracle crawls (the same
+    world derivation as golden_recrawl_delta), same rate/interval
+    arithmetic."""
+    from dataclasses import replace
+
+    from .queries import _round_half_up
+
+    wp = crawl_world_params(sf_dir)
+    prior = run_oracle(replace(
+        wp, jobs_per_page=wp.jobs_per_page - 1))["records"]
+    delta = golden_recrawl_delta(sf_dir)
+    np_ = prior.groupby("site_id").size()
+    nn = delta.groupby("site_id").size().reindex(np_.index,
+                                                 fill_value=0)
+    rate = nn.to_numpy(np.int64) / np_.to_numpy(np.int64)
+    interval = _round_half_up(
+        np.minimum(168.0, np.maximum(1.0, 24.0 / (rate + 0.01))), 2)
+    return pd.DataFrame({
+        "site_id": np_.index.to_numpy(),
+        "n_prior": np_.to_numpy(np.int64),
+        "n_new": nn.to_numpy(np.int64),
+        "change_rate": _round_half_up(rate, 4),
+        "interval_h": interval,
+    }).sort_values("site_id", kind="stable").reset_index(drop=True)
+
+
 def golden_multimodal_features(sf_dir: str) -> pd.DataFrame:
     img = _crawl_oracle(sf_dir)["images"]
     rows = []
@@ -1570,6 +1598,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["recrawl_delta"] = values_sql(golden_recrawl_delta(sf_dir), {
         "url_sha1": "VARCHAR", "site_id": "VARCHAR", "strategy": "VARCHAR",
         "title": "VARCHAR", "link": "VARCHAR", "location": "VARCHAR"})
+    out["recrawl_schedule"] = values_sql(golden_recrawl_schedule(sf_dir), {
+        "site_id": "VARCHAR", "n_prior": "BIGINT", "n_new": "BIGINT",
+        "change_rate": "DOUBLE", "interval_h": "DOUBLE"})
     out["multimodal_features"] = values_sql(golden_multimodal_features(sf_dir), {
         "image_id": "VARCHAR", "mean_pixel": "DOUBLE", "mean_luma": "DOUBLE"})
     out["multimodal_resize"] = values_sql(golden_multimodal_resize(sf_dir), {

@@ -2570,12 +2570,13 @@ def q_crawl_job_records(sf_dir: str):
 _RECRAWL_CACHE: dict[str, str] = {}
 
 
-def _recrawl_out(sf_dir: str) -> str:
+def _recrawl_dirs(sf_dir: str) -> tuple[str, str]:
     """Cached incremental recrawl: full crawl of the world at
     jobs_per_page−1, then ``run_recrawl`` with the standard world —
     the evolved world adds one job slot per listing page while keeping
     every existing job URL, so the recrawl output is exactly the new
-    slots' records (minus deterministic fail_pct failures)."""
+    slots' records (minus deterministic fail_pct failures). Returns
+    (prior crawl dir, delta dir)."""
     key = sf_dir
     if key not in _RECRAWL_CACHE:
         import hashlib
@@ -2593,8 +2594,12 @@ def _recrawl_out(sf_dir: str) -> str:
         cfg = CrawlConfig(num_seen_shards=4, num_pol_shards=2, exact_sidecar=False)
         run_crawl(replace(wp, jobs_per_page=wp.jobs_per_page - 1), prior, cfg)
         run_recrawl(wp, prior, out, cfg)
-        _RECRAWL_CACHE[key] = out
+        _RECRAWL_CACHE[key] = (prior, out)
     return _RECRAWL_CACHE[key]
+
+
+def _recrawl_out(sf_dir: str) -> str:
+    return _recrawl_dirs(sf_dir)[1]
 
 
 def q_recrawl_delta(sf_dir: str):
@@ -10640,6 +10645,136 @@ def q_compaction_plan(sf_dir: str):
     })
 
 
+_BOILER_TOPK = 20
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """Boilerplate detection — the diagnostics pass that motivates
+    C4-style line dedup: the top-20 most repeated ``_LINE_W``-word
+    lines across the corpus ((line, n), count desc then line asc).
+    Per-batch line extraction + np.unique pre-combine, ONE
+    (line, count) partial exchange bounded by the distinct-line
+    vocabulary — never the corpus text. At 100 TB the distinct-line
+    exchange itself gets heavy; the sketch path is the existing
+    Misra-Gries ``heavy_hitters_terms`` shape applied to line hashes
+    (documented, not needed at bench scale)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunks: list[np.ndarray] = []
+        for x in t["text"].to_pylist():
+            w = x.split(" ")
+            chunks.append(np.array(
+                [" ".join(w[i:i + _LINE_W])
+                 for i in range(0, len(w), _LINE_W)], dtype=object))
+        if not chunks:
+            return pa.table({"line": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.concatenate(chunks), return_counts=True)
+        return pa.table({"line": pa.array(u, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "line"], descending=[True, False])
+        .limit(_BOILER_TOPK)
+        .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
+                     batch_format="pandas")
+    )
+
+
+def q_mixture_upsample(sf_dir: str):
+    """Language REBALANCING by integer repetition — the data-mixing
+    epoch trick (low-resource languages repeat until every language
+    reaches the majority count): per-lang factor = ceil(max_n / n),
+    each doc emitted with copy_idx 1..factor. One tiny lang-count
+    pre-pass broadcast as a factor map; the expansion itself is
+    map-only ``np.repeat`` (output bounded by factor × corpus, the
+    quantity the mixing recipe chose on purpose)."""
+    counts = (
+        _tbl(sf_dir, "documents", ["lang"])
+        .groupby("lang").aggregate(Count(alias_name="n"))
+        .to_pandas()  # one row per language — tiny
+    )
+    mx = int(counts["n"].max())
+    fac = {r.lang: int(np.ceil(mx / r.n)) for r in
+           counts.itertuples(index=False)}
+    ref = ray.put(fac)
+
+    def expand(t: pa.Table) -> pa.Table:
+        fm = _bget_slot("mixture_upsample_fac", ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs)
+        f = np.array([fm[u] for u in uniq], dtype=np.int64)[codes]
+        rep = np.repeat(ids, f)
+        idx = np.concatenate([np.arange(1, k + 1) for k in f]) \
+            if len(f) else np.array([], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(rep),
+                         "copy_idx": pa.array(idx.astype(np.int64))})
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(expand, batch_format="pyarrow")
+    )
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Adaptive RECRAWL SCHEDULING from observed change rates — the
+    planning loop a production crawler closes (stale sites crawl less,
+    churning sites crawl more): per site, the prior crawl's record
+    count, the recrawl delta's new-record count, the change rate, and
+    the next-crawl interval 24h/(rate+0.01) clamped to [1, 168] h.
+    Both inputs are per-site count aggregates (site count is
+    config-bounded, so the combine is one tiny task); the expensive
+    work — the two crawls — already ran as the recrawl pipeline."""
+    prior_dir, delta_dir = _recrawl_dirs(sf_dir)
+    pc_ = (
+        rd.read_parquet(os.path.join(prior_dir, "job_records"),
+                        columns=["site_id"])
+        .groupby("site_id").aggregate(Count(alias_name="n_prior"))
+    )
+    dc_ = (
+        rd.read_parquet(os.path.join(delta_dir, "job_records"),
+                        columns=["site_id"])
+        .groupby("site_id").aggregate(Count(alias_name="n_new"))
+    )
+
+    def tag(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "site_id": t["site_id"],
+                "n": t[col],
+                "is_new": pa.array(np.full(t.num_rows, col == "n_new")),
+            })
+        return f
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        prior = df[~df["is_new"]].set_index("site_id")["n"]
+        new = df[df["is_new"]].set_index("site_id")["n"]
+        sites = prior.index.to_numpy()
+        n_prior = prior.to_numpy(np.int64)
+        n_new = new.reindex(prior.index, fill_value=0) \
+            .to_numpy(np.int64)
+        rate = n_new / n_prior
+        interval = _round_half_up(
+            np.minimum(168.0, np.maximum(1.0, 24.0 / (rate + 0.01))), 2)
+        out = pd.DataFrame({
+            "site_id": sites, "n_prior": n_prior, "n_new": n_new,
+            "change_rate": _round_half_up(rate, 4),
+            "interval_h": interval,
+        }).sort_values("site_id", kind="stable")
+        return out.astype({"n_prior": np.int64, "n_new": np.int64})
+
+    return (
+        pc_.map_batches(tag("n_prior"), batch_format="pyarrow")
+        .union(dc_.map_batches(tag("n_new"), batch_format="pyarrow"))
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10822,6 +10957,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zorder_layout": q_zorder_layout,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "compaction_plan": q_compaction_plan,
+    "boilerplate_lines": q_boilerplate_lines,
+    "mixture_upsample": q_mixture_upsample,
+    "recrawl_schedule": q_recrawl_schedule,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -11691,6 +11829,27 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "boilerplate_lines": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        f"l AS (SELECT array_to_string("
+        f"ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ') AS line "
+        "FROM w, LATERAL (SELECT unnest(generate_series(0, "
+        f"CAST((len(ws) + {_LINE_W - 1}) // {_LINE_W} AS INTEGER) - 1)) "
+        "AS i) t) "
+        "SELECT line, count(*)::BIGINT AS n FROM l GROUP BY line "
+        f"ORDER BY n DESC, line LIMIT {_BOILER_TOPK}"
+    ),
+    "mixture_upsample": (
+        "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+        "GROUP BY 1), "
+        "m AS (SELECT max(n) AS mx FROM c), "
+        "f AS (SELECT lang, CAST(ceil(mx::DOUBLE / n) AS BIGINT) "
+        "AS fac FROM c, m) "
+        "SELECT d.doc_id, CAST(i AS BIGINT) AS copy_idx "
+        "FROM documents d JOIN f USING (lang), "
+        "LATERAL (SELECT unnest(generate_series(1, fac)) AS i) u"
     ),
     "kmv_jaccard": (
         "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "

@@ -97,7 +97,7 @@ GOLDEN_NAMES = [
     "image_patches", "asr_chunks", "entity_clusters",
     "audio_spectral", "image_color_hist", "graph_walks",
     "approx_distinct_by_type", "ann_dim_recall", "zorder_layout",
-    "dup_cluster_sizes", "compaction_plan",
+    "dup_cluster_sizes", "compaction_plan", "recrawl_schedule",
 ]
 
 
