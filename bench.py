@@ -474,7 +474,8 @@ def joinstress() -> None:
              # prefix-max drawdown scan
              "activity_heatmap", "group_bottomk_sample",
              "price_drawdown", "kmv_jaccard", "graph_walks",
-             "approx_distinct_by_type", "zorder_layout"], d,
+             "approx_distinct_by_type", "zorder_layout",
+             "geo_mean_prices"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -604,7 +605,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "skipgram_pairs", "minhash_dedup_best",
                      "asr_chunks", "audio_spectral",
                      "dup_cluster_sizes", "boilerplate_lines",
-                     "mixture_upsample"]
+                     "mixture_upsample", "percent_rank_docs"]
 
 
 def docstress() -> None:

@@ -10775,6 +10775,68 @@ def q_recrawl_schedule(sf_dir: str):
     )
 
 
+def q_percent_rank_docs(sf_dir: str):
+    """Global percent_rank over (n_chars, doc_id) — the normalized
+    completion of ``global_rank_docs``' sort-free ranking (curriculum
+    schedules consume exactly this [0, 1] position): same
+    histogram-offset machinery, then pr = (rank−1)/(N−1) with N from
+    parquet metadata. All the rank arithmetic is integer; only the
+    final division is float, computed identically to the oracle's
+    percent_rank()."""
+    n = _tbl_rows(sf_dir, "documents")
+
+    def pr(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pct_rank": pa.array(_round_half_up(
+                (r - 1) / (n - 1), 6)),
+        })
+
+    return q_global_rank_docs(sf_dir).map_batches(
+        pr, batch_format="pyarrow")
+
+
+def q_geo_mean_prices(sf_dir: str):
+    """Geometric + harmonic mean of l_extendedprice per returnflag —
+    the multiplicative/rate analytics pair arithmetic mean misstates:
+    order-free map partials of (n, Σln x, Σ1/x) per flag, one tiny
+    combine, gm = exp(Σln/n), hm = n/Σ(1/x), SQL-rounded to 4 (the
+    log/reciprocal sums differ from the oracle's streaming
+    accumulation only in last-ulp order effects, absorbed by the
+    rounding — the same contract as the corr op)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(f)
+        return pa.table({
+            "f": pa.array(np.asarray(uniq, dtype=object),
+                          type=pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sln": pa.array(np.bincount(codes, np.log(x))),
+            "srec": pa.array(np.bincount(codes, 1.0 / x)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("f", as_index=False).sum() \
+            .sort_values("f", kind="stable")
+        n = g["n"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_returnflag": g["f"].to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "geo_mean": _round_half_up(np.exp(g["sln"].to_numpy() / n),
+                                       4),
+            "harm_mean": _round_half_up(n / g["srec"].to_numpy(), 4),
+        })
+
+    return (
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -10960,6 +11022,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "boilerplate_lines": q_boilerplate_lines,
     "mixture_upsample": q_mixture_upsample,
     "recrawl_schedule": q_recrawl_schedule,
+    "percent_rank_docs": q_percent_rank_docs,
+    "geo_mean_prices": q_geo_mean_prices,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -11829,6 +11893,16 @@ ORACLE_SQL: dict[str, str] = {
         "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' "
         "ORDER BY idx), '') AS text "
         "FROM k GROUP BY doc_id"
+    ),
+    "percent_rank_docs": (
+        "SELECT doc_id, round(percent_rank() OVER "
+        "(ORDER BY n_chars, doc_id), 6) AS pct_rank FROM documents"
+    ),
+    "geo_mean_prices": (
+        "SELECT l_returnflag, count(*)::BIGINT AS n, "
+        "round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean, "
+        "round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "boilerplate_lines": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
