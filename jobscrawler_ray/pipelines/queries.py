@@ -10837,6 +10837,283 @@ def q_geo_mean_prices(sf_dir: str):
     )
 
 
+_MIX_ALPHA = 0.7
+
+
+def q_mixture_weights(sf_dir: str):
+    """Temperature-scaled SOURCE SAMPLING WEIGHTS — the multilingual /
+    multi-domain mixing formula (w_i = n_i^α / Σ n_j^α, α = 0.7) that
+    upweights low-resource sources before an epoch plan is drawn:
+    per source its count, weight, and the expected docs per epoch
+    (N × w). The heavy side is ONE source-count groupby (source
+    cardinality is config-bounded); the power/normalize math is a
+    single tiny combine over that dimension-sized table."""
+    counts = (
+        _tbl(sf_dir, "documents", ["source"])
+        .groupby("source").aggregate(Count(alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("source", kind="stable")
+        n = df["n"].to_numpy(np.float64)
+        p = np.power(n, _MIX_ALPHA)
+        w = p / p.sum()
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n": df["n"].to_numpy(np.int64),
+            "weight": _round_half_up(w, 6),
+            "expected_docs": _round_half_up(n.sum() * w, 0)
+            .astype(np.int64),
+        })
+
+    return counts.map_batches(finish, batch_format="pandas",
+                              batch_size=1 << 30)
+
+
+_COV_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer VOCABULARY COVERAGE curve — for each candidate vocab
+    size K, the fraction of corpus token OCCURRENCES the top-K most
+    frequent tokens cover (the curve a tokenizer budget decision reads
+    off). Per-batch np.unique term-frequency partials, ONE
+    vocab-bounded (term, n) groupby, then sort-desc/limit(max K) —
+    top-K extraction never materializes the tail — and a single tiny
+    cumsum combine. The corpus total rides the same partials (summed
+    over the full vocab table map-side) so no second text scan."""
+    counts = (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(_tf_partial, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-bounded; feeds both total and top-K
+    )
+    total = int(counts.sum("n"))
+    kmax = max(_COV_KS)
+    top = counts.sort(["n", "w"], descending=[True, False]).limit(kmax)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.cumsum(df["n"].to_numpy(np.int64))
+        ks = np.array(_COV_KS, dtype=np.int64)
+        cov = np.array(
+            [c[min(int(k), len(c)) - 1] if len(c) else 0 for k in ks],
+            dtype=np.int64)
+        return pd.DataFrame({
+            "k": ks, "covered": cov,
+            "total": np.full(len(ks), total, dtype=np.int64),
+            "coverage": _round_half_up(cov / total, 6),
+        })
+
+    return top.map_batches(finish, batch_format="pandas",
+                           batch_size=1 << 30)
+
+
+def _tf_partial(t: pa.Table) -> pa.Table:
+    """Per-batch corpus term-frequency partial: (token, count)."""
+    toks: list[np.ndarray] = []
+    for x in t["text"].to_pylist():
+        toks.append(np.array(x.split(" "), dtype=object))
+    if not toks:
+        return pa.table({"w": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    u, c = np.unique(np.concatenate(toks), return_counts=True)
+    return pa.table({"w": pa.array(u, type=pa.string()),
+                     "n": pa.array(c.astype(np.int64))})
+
+
+def q_copurchase_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard LINK PREDICTION over the co-purchase
+    graph: for every support≥2 pair from ``_copurchase_edges``,
+    jacc = co / (deg_a + deg_b − co) where deg is the part's distinct
+    order count. Degrees reuse the SAME orderkey co-partition as the
+    edge kernel (an order's rows land in one bucket, so the in-bucket
+    dedup is globally exact) and the part-indexed degree vector is
+    dimension-bounded — broadcast once via ray.put and applied to the
+    support-bounded edge stream with two searchsorted lookups."""
+    parts_n = _copart_count(_tbl_rows(sf_dir, "lineitem"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts_n, type=pa.int64()),
+            "okey": pa.array(k),
+            "pkey": pa.array(t["l_partkey"].to_numpy(
+                zero_copy_only=False)),
+        })
+
+    def bucket_deg(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["okey"].to_numpy(np.int64)
+        pk = df["pkey"].to_numpy(np.int64)
+        order_ = np.lexsort((pk, ok))
+        ok, pk = ok[order_], pk[order_]
+        uniq = np.ones(len(ok), dtype=bool)
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        u, c = np.unique(pk[uniq], return_counts=True)
+        return pd.DataFrame({"pkey": u, "d": c.astype(np.int64)})
+
+    deg = (
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts_n)
+        .map_groups(bucket_deg, batch_format="pandas")
+        .groupby("pkey").aggregate(Sum("d", alias_name="deg"))
+        .to_pandas()  # one row per part — dimension-bounded
+    )
+    keys = deg["pkey"].to_numpy(np.int64)
+    order_ = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order_],
+                   deg["deg"].to_numpy(np.int64)[order_]))
+
+    def jacc(t: pa.Table) -> pa.Table:
+        dk, dv = _bget_slot("copurchase_deg", ref)
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        co = t["n_orders"].to_numpy(zero_copy_only=False)
+        da = dv[np.searchsorted(dk, a)]
+        db = dv[np.searchsorted(dk, b)]
+        return pa.table({
+            "part_a": t["part_a"], "part_b": t["part_b"],
+            "n_orders": t["n_orders"],
+            "jacc": pa.array(_round_half_up(co / (da + db - co), 6)),
+        })
+
+    return _copurchase_edges(sf_dir).map_batches(
+        jacc, batch_format="pyarrow")
+
+
+# zonemap predicate window + orderkey row-group surrogate width
+_ZM_LO = "1996-03-01"
+_ZM_HI = "1996-09-30"
+_ZM_OK_WIDTH = 256
+
+
+def q_zonemap_prune(sf_dir: str):
+    """ZONE-MAP PRUNING estimate for a layout A/B decision — the scan
+    planner's side of ``zorder_layout``: per candidate layout
+    (natural ``l_orderkey // 256`` row groups vs 31-day shipdate
+    clustering), the per-bucket min/max zonemaps of ``l_shipdate``
+    and how much of the table a fixed date-range predicate would
+    actually scan. ONE pruned read; per-batch (layout, bucket,
+    n, min, max) partials; the combine groupby is bucket-count-
+    bounded, and the prune evaluation is a tiny final pass. The
+    clustered layout prunes ~90% where the natural layout prunes
+    nothing — the number that justifies a re-layout job."""
+    lo = np.int64(pd.Timestamp(_ZM_LO).value // 1000)
+    hi = np.int64(pd.Timestamp(_ZM_HI).value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out = {"layout": [], "bucket": [], "n": [], "mn": [], "mx": []}
+        for layout, bk in (
+                ("orderkey", ok // _ZM_OK_WIDTH),
+                ("shipdate", (sd // np.int64(2678400000000)))):
+            # clustered surrogate: fixed 31-day epoch grid — the
+            # oracle uses the identical `us // 2678400000000`
+            u, inv = np.unique(bk, return_inverse=True)
+            out["layout"].extend([layout] * len(u))
+            out["bucket"].extend(u.tolist())
+            out["n"].extend(np.bincount(inv).astype(np.int64).tolist())
+            mn = np.full(len(u), np.iinfo(np.int64).max)
+            np.minimum.at(mn, inv, sd)
+            mx = np.full(len(u), np.iinfo(np.int64).min)
+            np.maximum.at(mx, inv, sd)
+            out["mn"].extend(mn.tolist())
+            out["mx"].extend(mx.tolist())
+        return pa.table({
+            "layout": pa.array(out["layout"], type=pa.string()),
+            "bucket": pa.array(out["bucket"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "mn": pa.array(out["mn"], type=pa.int64()),
+            "mx": pa.array(out["mx"], type=pa.int64()),
+        })
+
+    agg = (
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["layout", "bucket"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pruned = (df["mx"].to_numpy(np.int64) < lo) \
+            | (df["mn"].to_numpy(np.int64) > hi)
+        df = df.assign(pruned=pruned)
+        g = df.groupby("layout", as_index=False).agg(
+            n_buckets=("bucket", "size"),
+            n_pruned=("pruned", "sum"),
+            rows_total=("n", "sum"),
+        )
+        scanned = df[~df["pruned"]].groupby("layout", as_index=False) \
+            .agg(rows_scanned=("n", "sum"))
+        g = g.merge(scanned, on="layout", how="left")
+        g["rows_scanned"] = g["rows_scanned"].fillna(0)
+        return pd.DataFrame({
+            "layout": g["layout"].to_numpy(),
+            "n_buckets": g["n_buckets"].to_numpy(np.int64),
+            "n_pruned": g["n_pruned"].to_numpy(np.int64),
+            "rows_total": g["rows_total"].to_numpy(np.int64),
+            "rows_scanned": g["rows_scanned"].to_numpy(np.int64),
+            "scan_frac": _round_half_up(
+                g["rows_scanned"].to_numpy(np.float64)
+                / g["rows_total"].to_numpy(np.float64), 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas",
+                           batch_size=1 << 30)
+
+
+def q_incremental_agg_merge(sf_dir: str):
+    """Materialized-view DELTA MAINTENANCE — the incremental-refresh
+    contract: a per-user (count, Σvalue) state aggregated over events
+    at or before the watermark−14d cutoff, MERGED with the delta
+    aggregated over events after it, must equal the full recompute
+    (the oracle). Both legs are row-group-filter-pushed reads sharing
+    one partial kernel; the merge is the order-free union of partials
+    into one user-keyed groupby — the shape that lets a 100 TB MV
+    refresh touch only the delta's row groups."""
+    import pyarrow.dataset as pads
+
+    wm = _max_ts(_tbl(sf_dir, "events", ["ts"]), "ts") \
+        - pd.Timedelta(days=14)
+    cut = wm.to_pydatetime()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(u)
+        return pa.table({
+            "user_id": pa.array(np.asarray(uniq, dtype=np.int64)),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sv": pa.array(np.bincount(codes, v)),
+        })
+
+    cols = ["user_id", "value"]
+    state = _tbl(sf_dir, "events", cols + ["ts"],
+                 filter=pads.field("ts") <= cut) \
+        .map_batches(partial, batch_format="pyarrow")
+    delta = _tbl(sf_dir, "events", cols + ["ts"],
+                 filter=pads.field("ts") > cut) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": df["n"].to_numpy(np.int64),
+            "sum_value": _round_half_up(df["sv"].to_numpy(), 4),
+        })
+
+    return (
+        state.union(delta)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -11024,6 +11301,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "percent_rank_docs": q_percent_rank_docs,
     "geo_mean_prices": q_geo_mean_prices,
+    "mixture_weights": q_mixture_weights,
+    "vocab_coverage": q_vocab_coverage,
+    "copurchase_jaccard": q_copurchase_jaccard,
+    "zonemap_prune": q_zonemap_prune,
+    "incremental_agg_merge": q_incremental_agg_merge,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -11903,6 +12185,70 @@ ORACLE_SQL: dict[str, str] = {
         "round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean, "
         "round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "mixture_weights": (
+        "WITH c AS (SELECT source, count(*)::BIGINT AS n "
+        "FROM documents GROUP BY source), "
+        f"s AS (SELECT sum(pow(n, {_MIX_ALPHA})) AS z, sum(n) AS tot "
+        "FROM c) "
+        "SELECT c.source, c.n, "
+        f"round(pow(c.n, {_MIX_ALPHA}) / s.z, 6) AS weight, "
+        f"CAST(round(s.tot * pow(c.n, {_MIX_ALPHA}) / s.z, 0) AS BIGINT) "
+        "AS expected_docs FROM c, s"
+    ),
+    "vocab_coverage": (
+        "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT w, count(*)::BIGINT AS n FROM t GROUP BY w), "
+        "r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) "
+        "AS rn FROM c), "
+        "tot AS (SELECT sum(n) AS s FROM c) "
+        "SELECT CAST(k.k AS BIGINT) AS k, "
+        "sum(CASE WHEN r.rn <= k.k THEN r.n ELSE 0 END)::BIGINT "
+        "AS covered, "
+        "CAST((SELECT s FROM tot) AS BIGINT) AS total, "
+        "round(sum(CASE WHEN r.rn <= k.k THEN r.n ELSE 0 END) "
+        "/ (SELECT s FROM tot), 6) AS coverage "
+        f"FROM r CROSS JOIN (VALUES {', '.join(f'({k})' for k in _COV_KS)}) "
+        "AS k(k) GROUP BY k.k"
+    ),
+    "copurchase_jaccard": (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem), "
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+        "count(*)::BIGINT AS co FROM d a JOIN d b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "g AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS dg "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT e.pa AS part_a, e.pb AS part_b, e.co AS n_orders, "
+        "round(e.co / (ga.dg + gb.dg - e.co), 6) AS jacc "
+        "FROM e JOIN g ga ON ga.l_partkey = e.pa "
+        "JOIN g gb ON gb.l_partkey = e.pb"
+    ),
+    "zonemap_prune": (
+        "WITH l AS (SELECT l_orderkey, epoch_us(l_shipdate) AS us "
+        "FROM lineitem), "
+        "a AS (SELECT 'orderkey' AS layout, "
+        f"l_orderkey // {_ZM_OK_WIDTH} AS bucket, "
+        "count(*)::BIGINT AS n, min(us) AS mn, max(us) AS mx "
+        "FROM l GROUP BY 1, 2 "
+        "UNION ALL SELECT 'shipdate', us // 2678400000000, "
+        "count(*)::BIGINT, min(us), max(us) FROM l GROUP BY 1, 2), "
+        "p AS (SELECT layout, n, CASE WHEN "
+        f"mx < epoch_us(TIMESTAMP '{_ZM_LO}') "
+        f"OR mn > epoch_us(TIMESTAMP '{_ZM_HI}') "
+        "THEN 1 ELSE 0 END AS pr FROM a) "
+        "SELECT layout, count(*)::BIGINT AS n_buckets, "
+        "sum(pr)::BIGINT AS n_pruned, sum(n)::BIGINT AS rows_total, "
+        "sum(CASE WHEN pr = 1 THEN 0 ELSE n END)::BIGINT "
+        "AS rows_scanned, "
+        "round(sum(CASE WHEN pr = 1 THEN 0 ELSE n END) / sum(n), 6) "
+        "AS scan_frac FROM p GROUP BY layout"
+    ),
+    "incremental_agg_merge": (
+        "SELECT user_id, count(*)::BIGINT AS n_events, "
+        "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id"
     ),
     "boilerplate_lines": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
