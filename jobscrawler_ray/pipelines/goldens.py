@@ -62,6 +62,8 @@ from .queries import (
     _BPE_TOPV,
     _bpe_train,
     _bpe_token_len,
+    _BITEXT_TOPK,
+    _BITEXT_TAU,
     crawl_world_params,
 )
 
@@ -494,6 +496,33 @@ def golden_embedding_drops(sf_dir: str) -> list[int]:
     for a, b in zip(ids[iu[0][sel]], ids[iu[1][sel]]):
         union(int(a), int(b))
     return sorted(x for x in parent if find(x) != x)
+
+
+def golden_bitext_mine(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_bitext_mine``: per even-id source vector,
+    a full descending sort of its cosines against the odd-id target
+    side (independent of the engine's argpartition), margin =
+    best / mean(top-4), smallest-target-id tie-break, rounded-margin
+    ≥ τ filter."""
+    ids, mat = _embeddings(sf_dir)
+    n = _norm_rows(mat)
+    asel = ids % 2 == 0
+    a_ids, b_ids = ids[asel], ids[~asel]
+    A, B = n[asel], n[~asel]
+    rows: list[tuple[int, int, float]] = []
+    if len(b_ids) >= _BITEXT_TOPK:
+        for i in range(len(a_ids)):
+            sims = B @ A[i]
+            top = np.argsort(-sims, kind="stable")[:_BITEXT_TOPK]
+            ts = sims[top]
+            tied = top[ts == ts[0]]
+            tgt = int(b_ids[tied].min())
+            margin = float(_round_half_up(ts[0] / ts.mean(), 4))
+            if margin >= _BITEXT_TAU:
+                rows.append((int(a_ids[i]), tgt, margin))
+    return pd.DataFrame(rows, columns=["src_id", "tgt_id", "margin"]) \
+        .astype({"src_id": np.int64, "tgt_id": np.int64,
+                 "margin": np.float64})
 
 
 def golden_embedding_neardup_ann(sf_dir: str) -> pd.DataFrame:
@@ -1553,6 +1582,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         + (f" WHERE doc_id NOT IN ({', '.join(map(str, bdrops))})"
            if bdrops else "")
     )
+    out["bitext_mine"] = values_sql(golden_bitext_mine(sf_dir), {
+        "src_id": "BIGINT", "tgt_id": "BIGINT", "margin": "DOUBLE"})
     out["embedding_neardup_ann"] = values_sql(golden_embedding_neardup_ann(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT"})
     edrops = golden_embedding_drops(sf_dir)

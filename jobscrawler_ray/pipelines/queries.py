@@ -11114,6 +11114,159 @@ def q_incremental_agg_merge(sf_dir: str):
     )
 
 
+_LM_K = 0.5  # add-k smoothing
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """TRAIN-AND-APPLY bigram language-model scoring — the quality
+    signal CCNet-style pipelines compute with a real LM, here with an
+    add-k bigram model so both sides are exactly derivable: train on
+    even doc_ids, score odd doc_ids with per-doc mean negative log
+    prob of P(w2|w1) = (c12 + k)/(c1 + kV). The count table is built
+    with per-batch np.unique partials + ONE bigram-vocab-bounded
+    groupby; the fitted model (sorted bigram/context arrays + V) is
+    the broadcast — it IS the model, the same contract as bpe_encode's
+    merge table — and scoring is map-only searchsorted lookups. At
+    100 TB the count table gets a min-count prune before broadcast
+    (the standard LM cutoff); the scoring pass is unchanged."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def train_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        w1s: list[np.ndarray] = []
+        w2s: list[np.ndarray] = []
+        for x in t["text"].to_pylist():
+            w = x.split(" ")
+            if len(w) < 2:
+                continue
+            arr = np.array(w, dtype=str)
+            w1s.append(arr[:-1])
+            w2s.append(arr[1:])
+        if not w1s:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key = np.char.add(np.char.add(
+            np.concatenate(w1s), "\x1f"), np.concatenate(w2s))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"bg": pa.array(u, type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    train = docs.map_batches(train_only, batch_format="pyarrow")
+    bg = (
+        train.map_batches(big_partial, batch_format="pyarrow")
+        .groupby("bg").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # the fitted model — bigram-vocab bounded
+    )
+    vocab = int(
+        train.map_batches(_tf_partial, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("n", alias_name="n"))
+        .count()
+    )
+    keys = bg["bg"].to_numpy(str)
+    cnt = bg["n"].to_numpy(np.int64)
+    order_ = np.argsort(keys, kind="stable")
+    keys, cnt = keys[order_], cnt[order_]
+    # context counts c1(w1) = Σ_w2 c12, from the same table
+    w1 = np.char.partition(keys, "\x1f")[:, 0]
+    cu, cinv = np.unique(w1, return_inverse=True)
+    c1 = np.bincount(cinv, cnt).astype(np.int64)
+    ref = ray.put((keys, cnt, cu, c1, vocab))
+
+    def score(t: pa.Table) -> pa.Table:
+        bk, bc, ck, cc_, v = _bget_slot("bigram_lm_model", ref)
+        ids_out: list[int] = []
+        nb_out: list[int] = []
+        nll_out: list[float] = []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for did, x in zip(ids, t["text"].to_pylist()):
+            if did % 2 == 0:
+                continue
+            w = np.array(x.split(" "), dtype=str)
+            if len(w) < 2:
+                continue
+            key = np.char.add(np.char.add(w[:-1], "\x1f"), w[1:])
+            if len(bk):
+                bi = np.minimum(np.searchsorted(bk, key), len(bk) - 1)
+                c12 = np.where(bk[bi] == key, bc[bi], 0)
+            else:
+                c12 = np.zeros(len(key), dtype=np.int64)
+            if len(ck):
+                ci = np.minimum(np.searchsorted(ck, w[:-1]), len(ck) - 1)
+                c1v = np.where(ck[ci] == w[:-1], cc_[ci], 0)
+            else:
+                c1v = np.zeros(len(key), dtype=np.int64)
+            lp = np.log((c12 + _LM_K) / (c1v + _LM_K * v))
+            ids_out.append(int(did))
+            nb_out.append(len(key))
+            nll_out.append(float(-lp.mean()))
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "n_bigrams": pa.array(nb_out, type=pa.int64()),
+            "nll": pa.array(_round_half_up(np.array(nll_out), 4)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+_BITEXT_TOPK = 4
+_BITEXT_TAU = 1.05
+
+
+def q_bitext_mine(sf_dir: str):
+    """Margin-based BITEXT MINING (the LASER/CCMatrix alignment
+    primitive): vectors split by vec_id parity into source A / target
+    B; each a ∈ A takes its best cosine match b₁ ∈ B with margin =
+    cos(a,b₁) / mean(cos over a's top-4), keeping pairs whose rounded
+    margin ≥ 1.05. A streams through map_batches against the
+    normalized broadcast B matrix (one matmul + argpartition per
+    batch, map-only — no shuffle). This is the exactness-oracle
+    kernel, same contract as ``embedding_neardup``: above a broadcast
+    budget the in-family ANN machinery (``embedding_neardup_ann``'s
+    hyperplane-LSH buckets) supplies the candidate set and this
+    kernel re-ranks candidates only."""
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    bsel = ids % 2 == 1
+    bref = ray.put((ids[bsel],
+                    _norm_rows(_emb_matrix(t["embedding"])[bsel])))
+
+    def mine(t: pa.Table) -> pa.Table:
+        bids, bmat = _bget_slot("bitext_b", bref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        asel = ids % 2 == 0
+        empty = pa.table({
+            "src_id": pa.array([], type=pa.int64()),
+            "tgt_id": pa.array([], type=pa.int64()),
+            "margin": pa.array([], type=pa.float64())})
+        if not asel.any() or len(bids) < _BITEXT_TOPK:
+            return empty
+        amat = _norm_rows(_emb_matrix(t["embedding"]))[asel]
+        sims = amat @ bmat.T
+        top = np.argpartition(sims, -_BITEXT_TOPK, axis=1)[:, -_BITEXT_TOPK:]
+        tsims = np.take_along_axis(sims, top, axis=1)
+        best_sim = tsims.max(axis=1)
+        # tie-break: equal best cosine → smallest target id (exact
+        # float ties only occur for duplicate target vectors; the
+        # mean over the top-4 is unaffected — tied members are equal)
+        cand = bids[top]
+        tgt = np.where(tsims == best_sim[:, None], cand,
+                       np.iinfo(np.int64).max).min(axis=1)
+        margin = _round_half_up(best_sim / tsims.mean(axis=1), 4)
+        keep = margin >= _BITEXT_TAU
+        return pa.table({
+            "src_id": pa.array(ids[asel][keep]),
+            "tgt_id": pa.array(tgt[keep]),
+            "margin": pa.array(margin[keep]),
+        })
+
+    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(mine, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -11306,6 +11459,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "copurchase_jaccard": q_copurchase_jaccard,
     "zonemap_prune": q_zonemap_prune,
     "incremental_agg_merge": q_incremental_agg_merge,
+    "bigram_lm_score": q_bigram_lm_score,
+    "bitext_mine": q_bitext_mine,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12249,6 +12404,31 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_agg_merge": (
         "SELECT user_id, count(*)::BIGINT AS n_events, "
         "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id"
+    ),
+    "bigram_lm_score": (
+        "WITH tr AS (SELECT string_split(text, ' ') AS ws "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "tb AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM tr, "
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) "
+        "t), "
+        "bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM tb "
+        "GROUP BY 1, 2), "
+        "cc AS (SELECT w1, sum(c) AS c1 FROM bc GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT w) AS nv FROM "
+        "(SELECT unnest(ws) AS w FROM tr)), "
+        "ho AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents WHERE doc_id % 2 = 1 "
+        "AND len(string_split(text, ' ')) >= 2), "
+        "hb AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM ho, "
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) "
+        "t), "
+        "sc AS (SELECT h.doc_id, "
+        f"ln((coalesce(bc.c, 0) + {_LM_K}) / "
+        f"(coalesce(cc.c1, 0) + {_LM_K} * (SELECT nv FROM v))) AS lp "
+        "FROM hb h LEFT JOIN bc ON bc.w1 = h.w1 AND bc.w2 = h.w2 "
+        "LEFT JOIN cc ON cc.w1 = h.w1) "
+        "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+        "round(-avg(lp), 4) AS nll FROM sc GROUP BY doc_id"
     ),
     "boilerplate_lines": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
