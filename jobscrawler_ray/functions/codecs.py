@@ -112,6 +112,35 @@ def phash64(pixels: np.ndarray) -> int:
     return int(np.int64(np.uint64(v)))
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: an 8×9 proportional box-mean grid of the
+    grayscale image, bit = (block mean > its right neighbor) — a
+    horizontal-GRADIENT hash, structurally independent of the
+    average-hash ``phash64`` (the second detector a production image
+    dedup pass cross-checks against, imagehash-style). Shares phash's
+    proportional block edges, hence its resize robustness. Signed
+    int64 for the Arrow column. numpy-only."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    acc = np.add.accumulate(np.add.accumulate(gray, 0), 1)
+    acc = np.pad(acc, ((1, 0), (1, 0)))
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(10) * w) // 9
+    y0, y1 = ye[:-1], ye[1:]
+    x0, x1 = xe[:-1], xe[1:]
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = (
+        acc[y1[:, None], x1[None, :]]
+        - acc[y0[:, None], x1[None, :]]
+        - acc[y1[:, None], x0[None, :]]
+        + acc[y0[:, None], x0[None, :]]
+    )
+    small = s / np.maximum(area, 1)  # (8, 9)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()  # 8×8 diffs
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(v)))
+
+
 def gen_pixels(seed64: int, w: int, h: int) -> np.ndarray:
     """Deterministic synthetic image: a per-seed low-frequency structure
     (upsampled 6×6 random grid — what phash responds to) plus noise, so

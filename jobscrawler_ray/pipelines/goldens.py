@@ -1335,6 +1335,37 @@ def golden_phash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_dhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_dhash_neardup``: dhash64 over the oracle
+    crawl's decoded originals + their 32×32 area-resize thumbnails,
+    sequential 8-band bucketing, Hamming ≤ 8 verify — the
+    ``golden_phash_neardup`` orchestration over the gradient hash."""
+    img = _crawl_oracle(sf_dir)["images"]
+    all_rows: list[tuple[str, int]] = []
+    for pid, buf in zip(img["image_id"], img["bytes"]):
+        px = codecs.decode(buf)[0]
+        all_rows.append((pid, codecs.dhash64(px)))
+        all_rows.append((f"{pid}#thumb",
+                         codecs.dhash64(resize_area(px, 32, 32))))
+    buckets: dict[int, set[tuple[str, int]]] = {}
+    for pid, h in all_rows:
+        hu = np.uint64(h & 0xFFFF_FFFF_FFFF_FFFF)
+        for b in range(8):
+            band = int((hu >> np.uint64(8 * b)) & np.uint64(0xFF))
+            buckets.setdefault(band + (b << 8), set()).add((pid, h))
+    out: set[tuple[str, str, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, (pa_id, ha) in enumerate(ms):
+            for pb_id, hb in ms[i + 1:]:
+                d = dedupe.hamming64(ha, hb)
+                if d <= 8:
+                    out.add((pa_id, pb_id, d))
+    return pd.DataFrame(sorted(out),
+                        columns=["id_a", "id_b", "hamming"]).astype(
+        {"hamming": np.int64})
+
+
 def golden_image_neardup_verified(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``queries.q_image_neardup_verified``: the
     golden phash candidate pairs, verified by canonical-grid PSNR over
@@ -1643,6 +1674,8 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "image_id": "VARCHAR", "clip_score": "DOUBLE",
         "kept": "BOOLEAN"})
     out["phash_neardup"] = values_sql(golden_phash_neardup(sf_dir), {
+        "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
+    out["dhash_neardup"] = values_sql(golden_dhash_neardup(sf_dir), {
         "id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "BIGINT"})
     out["phash_dedup_keep"] = values_sql(golden_phash_dedup_keep(sf_dir), {
         "pid": "VARCHAR"})

@@ -3843,6 +3843,30 @@ def q_phash_neardup(sf_dir: str):
                                  id_dtype=object, est_rows=est)
 
 
+def q_dhash_neardup(sf_dir: str):
+    """Difference-hash near-dup pairs — the SECOND perceptual detector
+    a production image-dedup pass cross-checks against phash
+    (gradient structure vs average luma; imagehash's dhash): one
+    actor-pool decode emits (pid, dhash) rows for each original AND
+    its 32×32 thumbnail, then the shared ``_banded_hamming_pairs``
+    kernel (8×8-bit bands, Hamming ≤ 8) finds pairs — identical scale
+    story to ``phash_neardup``. Rows-only; sequential golden in
+    goldens.py."""
+    from ..stages.multimodal import DhashRows
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes"])
+    rows = ds.map_batches(
+        DhashRows, batch_format="pyarrow", batch_size=64,
+        concurrency=(2, 8), num_cpus=1)
+    import pyarrow.dataset as pads
+    est = 2 * pads.dataset(os.path.join(out, "image_caption"),
+                           format="parquet").count_rows()
+    return _banded_hamming_pairs(rows, "pid", "dhash", max_d=8,
+                                 id_dtype=object, est_rows=est)
+
+
 def q_phash_dedup_keep(sf_dir: str):
     """Image near-dup REMOVAL — completes the image-dedup story the
     way ``minhash_dedup_keep`` does for text: phash LSH pairs →
@@ -11353,6 +11377,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "png_export": q_png_export,
     "clip_align": q_clip_align,
     "phash_neardup": q_phash_neardup,
+    "dhash_neardup": q_dhash_neardup,
     "phash_dedup_keep": q_phash_dedup_keep,
     "caption_neardup": q_caption_neardup,
     "caption_dedup_images": q_caption_dedup_images,

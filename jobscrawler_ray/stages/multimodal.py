@@ -166,6 +166,32 @@ _PATCH_P = 8            # ViT-style patch side (pixels)
 _PATCH_FLAT_VAR = 400.0  # luma variance below which a patch is "flat"
 
 
+class DhashRows:
+    """Actor-pool stage: per image emit (pid, dhash) for the ORIGINAL
+    and its 32×32 area-resize thumbnail — the dual-variant row stream
+    the banded Hamming detector consumes. One decode per image feeds
+    both variants (vs two separate decode stages)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pids, hashes = [], []
+        for iid, buf in zip(t["image_id"].to_pylist(),
+                            t["bytes"].to_pylist()):
+            px, _ = codecs.decode(buf)
+            pids.append(iid)
+            hashes.append(codecs.dhash64(px))
+            thumb = resize_area(px, self.out_w, self.out_h)
+            pids.append(f"{iid}#thumb")
+            hashes.append(codecs.dhash64(thumb))
+        return pa.table({
+            "pid": pa.array(pids, type=pa.string()),
+            "dhash": pa.array(hashes, type=pa.int64()),
+        })
+
+
 class ImagePatches:
     """Actor-pool stage: decode binary images, emit ViT-style
     fixed-grid patch statistics per image — patch count, flat

@@ -91,6 +91,23 @@ class TestCodecs:
         dist = bin((ha ^ hb) & (2**64 - 1)).count("1")
         assert dist <= 6  # near-dup under mild quantization
 
+    def test_dhash_deterministic_and_discriminative(self):
+        a = codecs.gen_pixels(1, 32, 32)
+        b = codecs.gen_pixels(2, 32, 32)
+        assert codecs.dhash64(a) == codecs.dhash64(a)
+        assert codecs.dhash64(a) != codecs.dhash64(b)
+        # a gradient hash, not the average hash
+        assert codecs.dhash64(a) != codecs.phash64(a)
+
+    def test_dhash_robust_to_resize(self):
+        from jobscrawler_ray.stages.multimodal import resize_area
+
+        px = codecs.gen_pixels(99, 48, 48)
+        thumb = resize_area(px, 32, 32)
+        ha, hb = codecs.dhash64(px), codecs.dhash64(thumb)
+        dist = bin((ha ^ hb) & (2**64 - 1)).count("1")
+        assert dist <= 8  # the detector's own verify threshold
+
 
 class TestPriority:
     def test_pack_unpack(self):
