@@ -1366,6 +1366,58 @@ def golden_dhash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_class_cohesion(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_class_cohesion``: per label, normalized
+    centroid of the normalized vectors, mean member cosine against it
+    (plain per-label loop — independent of the engine's partial-sum
+    exchange)."""
+    ids, mat = _embeddings(sf_dir)
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["label"])
+    labels = t["label"].to_numpy().astype(np.int64)
+    n = _norm_rows(mat)
+    rows = []
+    for lab in np.unique(labels):
+        sub = n[labels == lab]
+        c = sub.sum(axis=0)
+        c = c / np.linalg.norm(c)
+        rows.append((int(lab), len(sub),
+                     float(_round_half_up((sub @ c).mean(), 4))))
+    return pd.DataFrame(rows, columns=["label", "n", "cohesion"]) \
+        .astype({"label": np.int64, "n": np.int64,
+                 "cohesion": np.float64})
+
+
+def golden_webdataset_shards(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_webdataset_shards``: the oracle crawl's
+    images hash-grouped into shards with an explicit dict, members
+    sorted per shard, packed by the SHARED ``build_wds_tar`` leaf
+    (byte-determinism is the leaf's contract; grouping and ordering
+    are re-derived here)."""
+    import hashlib
+
+    from ..functions.urlnorm import hash64
+    from ..functions.wds import build_wds_tar
+    from .queries import _WDS_SHARDS
+
+    img = _crawl_oracle(sf_dir)["images"]
+    shards: dict[int, list[tuple[str, bytes, str]]] = {}
+    for pid, buf, cap in zip(img["image_id"], img["bytes"],
+                             img["caption"]):
+        shards.setdefault(hash64(pid) % _WDS_SHARDS, []).append(
+            (pid, buf, cap))
+    rows = []
+    for sid in sorted(shards):
+        members = sorted(shards[sid])
+        tar = build_wds_tar(members)
+        rows.append((sid, len(members), len(tar),
+                     hashlib.sha256(tar).hexdigest()))
+    return pd.DataFrame(rows, columns=[
+        "shard_id", "n_samples", "tar_bytes", "tar_sha256"]).astype(
+        {"shard_id": np.int64, "n_samples": np.int64,
+         "tar_bytes": np.int64})
+
+
 def golden_image_neardup_verified(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``queries.q_image_neardup_verified``: the
     golden phash candidate pairs, verified by canonical-grid PSNR over
@@ -1615,6 +1667,12 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["bitext_mine"] = values_sql(golden_bitext_mine(sf_dir), {
         "src_id": "BIGINT", "tgt_id": "BIGINT", "margin": "DOUBLE"})
+    out["class_cohesion"] = values_sql(golden_class_cohesion(sf_dir), {
+        "label": "BIGINT", "n": "BIGINT", "cohesion": "DOUBLE"})
+    out["webdataset_shards"] = values_sql(
+        golden_webdataset_shards(sf_dir), {
+            "shard_id": "BIGINT", "n_samples": "BIGINT",
+            "tar_bytes": "BIGINT", "tar_sha256": "VARCHAR"})
     out["embedding_neardup_ann"] = values_sql(golden_embedding_neardup_ann(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT"})
     edrops = golden_embedding_drops(sf_dir)

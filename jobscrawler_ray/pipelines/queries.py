@@ -11291,6 +11291,239 @@ def q_bitext_mine(sf_dir: str):
         .map_batches(mine, batch_format="pyarrow")
 
 
+_PAD_GRID = 64  # length-bucket grid for inference batching
+
+
+def q_padding_efficiency(sf_dir: str):
+    """LENGTH-BUCKETED BATCHING efficiency — the padding-waste audit
+    an inference service runs before fixing its bucket grid: docs
+    bucket by ceil(n_tokens / 64), and per bucket the report gives
+    sequence count, true max length, the bucket cap, total padded
+    tokens at that cap, and the packing efficiency. Per-batch
+    np.unique partials over the fixed grid; the combine groupby is
+    bucket-count bounded (≤ max_len/64 keys at any corpus size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = np.array([len(x.split(" ")) for x in
+                         t["text"].to_pylist()], dtype=np.int64)
+        bk = (ntok + _PAD_GRID - 1) // _PAD_GRID
+        u, inv = np.unique(bk, return_inverse=True)
+        mx = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(mx, inv, ntok)
+        return pa.table({
+            "bucket": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "st": pa.array(np.bincount(inv, ntok).astype(np.int64)),
+            "mx": pa.array(mx),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bucket"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        st = df["st"].to_numpy(np.int64)
+        cap = b * _PAD_GRID
+        return pd.DataFrame({
+            "bucket": b, "n_seqs": n,
+            "max_tokens": df["mx"].to_numpy(np.int64),
+            "cap": cap, "padded_tokens": n * cap - st,
+            "efficiency": _round_half_up(st / (n * cap), 6),
+        })
+
+    return (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("st", alias_name="st"),
+                   Max("mx", alias_name="mx"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics
+    classic: every purchase credits the same user's most recent click
+    at or before it, and credited revenue rolls up by the CLICK's
+    day. Same custom-operator shape as ``asof_join_clicks`` (map-side
+    type prune → ONE user-hash co-partition → per-partition C-speed
+    ``merge_asof``), but each partition emits per-day PARTIALS so the
+    final exchange is day-count bounded, not purchase-count bounded
+    (the windowed_events combiner pattern). Inner semantics —
+    purchases before a user's first click are unattributed and
+    drop."""
+    ev = _tbl(sf_dir, "events", ["ts", "user_id", "event_type",
+                                 "value"])
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["purchase", "click"])))
+        return _append_user_part(t, parts)
+
+    def attrib(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"]
+        right = df[df["event_type"] == "click"]
+        empty = pd.DataFrame({
+            "click_day": pd.Series([], dtype="datetime64[us]"),
+            "n": pd.Series([], dtype=np.int64),
+            "sv": pd.Series([], dtype=np.float64)})
+        if left.empty or right.empty:
+            return _arrow_out(empty)
+        right = pd.DataFrame({"ts": right["ts"],
+                              "user_id": right["user_id"],
+                              "click_ts": right["ts"]})
+        m = pd.merge_asof(
+            left[["user_id", "ts", "value"]].sort_values(
+                "ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="user_id", direction="backward")
+        m = m.dropna(subset=["click_ts"])
+        if m.empty:
+            return _arrow_out(empty)
+        g = m.assign(click_day=m["click_ts"].dt.floor("D")) \
+            .groupby("click_day", as_index=False) \
+            .agg(n=("value", "size"), sv=("value", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return _arrow_out(g)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("click_day", as_index=False).agg(
+            n=("n", "sum"), sv=("sv", "sum"))
+        return pd.DataFrame({
+            "click_day": g["click_day"],
+            "n_purchases": g["n"].to_numpy(np.int64),
+            "attributed_value": _round_half_up(g["sv"].to_numpy(), 4),
+        })
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(attrib, batch_format="pandas")
+        .map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_class_cohesion(sf_dir: str):
+    """LABEL-QUALITY QA over the embedding table (dataset-cartography
+    style): per label, the mean cosine of its members to the class
+    centroid — low cohesion flags mislabeled or heterogeneous
+    classes before a training run trusts the labels. Two map-only
+    passes: (1) per-batch per-label partial sums of the normalized
+    vectors (the exchange is label-count × dim, never corpus-sized),
+    combined and normalized on the driver, broadcast; (2) per-vector
+    cosine against its own class centroid, reduced through the same
+    label-bounded partial shape. Rounded 4 — the order-free float-sum
+    contract the corr/geo-mean family documents."""
+    d = _emb_dim(sf_dir)
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _norm_rows(_emb_matrix(t["embedding"]))
+        codes, uniq = pd.factorize(lab)
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, codes, mat)
+        return pa.table({
+            "label": pa.array(uniq),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "vec": pa.array(list(sums), type=pa.list_(pa.float64())),
+        })
+
+    parts = (
+        _tbl(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(cent_partial, batch_format="pyarrow")
+        .to_pandas()  # label-count × dim — tiny
+    )
+    labs = np.sort(parts["label"].unique()).astype(np.int64)
+    cents = np.zeros((len(labs), d))
+    counts = np.zeros(len(labs), dtype=np.int64)
+    li = np.searchsorted(labs, parts["label"].to_numpy(np.int64))
+    np.add.at(cents, li, np.stack(parts["vec"].to_numpy()))
+    np.add.at(counts, li, parts["n"].to_numpy(np.int64))
+    cref = ray.put((labs, _norm_rows(cents)))
+
+    def cos_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sc": pa.array([], type=pa.float64())})
+        cl, cm = _bget_slot("class_cohesion_cents", cref)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _norm_rows(_emb_matrix(t["embedding"]))
+        idx = np.searchsorted(cl, lab)
+        cos = np.einsum("ij,ij->i", mat, cm[idx])
+        codes, uniq = pd.factorize(lab)
+        return pa.table({
+            "label": pa.array(uniq),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sc": pa.array(np.bincount(codes, cos)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False).agg(
+            n=("n", "sum"), sc=("sc", "sum"))
+        return pd.DataFrame({
+            "label": g["label"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "cohesion": _round_half_up(
+                g["sc"].to_numpy() / g["n"].to_numpy(np.float64), 4),
+        })
+
+    return (
+        _tbl(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(cos_partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_WDS_SHARDS = 8
+
+
+def q_webdataset_shards(sf_dir: str):
+    """WebDataset-style EXPORT packaging — the tar-shard layout GPU
+    training jobs stream (image + caption members interleaved per
+    sample key): images hash-assign to shards, each shard's members
+    sort by image_id and pack into ONE deterministic tar (USTAR,
+    zeroed metadata — see ``functions/wds.py``), reported as
+    (shard_id, n_samples, tar_bytes, tar_sha256). One groupby to
+    co-locate a shard's members; the tar build is a per-shard
+    map_groups task — at 100 TB shard count scales with corpus /
+    target-shard-size and each task streams one tar to object
+    storage (here the report row carries the digest, not the
+    archive). Rows-only; sequential golden packs the oracle crawl's
+    images with independent grouping."""
+    import hashlib
+
+    from ..functions.wds import build_wds_tar
+
+    out = _crawl_out(sf_dir)
+    ds = rd.read_parquet(os.path.join(out, "image_caption"),
+                         columns=["image_id", "bytes", "caption"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        shard = np.array([hash64(i) % _WDS_SHARDS for i in ids],
+                         dtype=np.int64)
+        return t.append_column("shard", pa.array(shard))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("image_id", kind="stable")
+        tar = build_wds_tar(list(zip(df["image_id"], df["bytes"],
+                                     df["caption"])))
+        return pd.DataFrame({
+            "shard_id": pd.Series([int(df["shard"].iloc[0])],
+                                  dtype=np.int64),
+            "n_samples": pd.Series([len(df)], dtype=np.int64),
+            "tar_bytes": pd.Series([len(tar)], dtype=np.int64),
+            "tar_sha256": [hashlib.sha256(tar).hexdigest()],
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard", num_partitions=_WDS_SHARDS)
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -11486,6 +11719,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "incremental_agg_merge": q_incremental_agg_merge,
     "bigram_lm_score": q_bigram_lm_score,
     "bitext_mine": q_bitext_mine,
+    "padding_efficiency": q_padding_efficiency,
+    "attribution_last_touch": q_attribution_last_touch,
+    "class_cohesion": q_class_cohesion,
+    "webdataset_shards": q_webdataset_shards,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12454,6 +12691,31 @@ ORACLE_SQL: dict[str, str] = {
         "LEFT JOIN cc ON cc.w1 = h.w1) "
         "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
         "round(-avg(lp), 4) AS nll FROM sc GROUP BY doc_id"
+    ),
+    "padding_efficiency": (
+        "WITH t AS (SELECT len(string_split(text, ' ')) AS ntok "
+        "FROM documents), "
+        f"b AS (SELECT ntok, CAST((ntok + {_PAD_GRID - 1}) "
+        f"// {_PAD_GRID} AS BIGINT) AS bucket FROM t) "
+        "SELECT bucket, count(*)::BIGINT AS n_seqs, "
+        "max(ntok)::BIGINT AS max_tokens, "
+        f"(bucket * {_PAD_GRID})::BIGINT AS cap, "
+        f"(count(*) * bucket * {_PAD_GRID} - sum(ntok))::BIGINT "
+        "AS padded_tokens, "
+        f"round(sum(ntok) / (count(*) * bucket * {_PAD_GRID}), 6) "
+        "AS efficiency FROM b GROUP BY bucket"
+    ),
+    "attribution_last_touch": (
+        "WITH m AS (SELECT p.value AS value, "
+        "date_trunc('day', c.click_ts) AS click_day "
+        "FROM (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT user_id, ts AS click_ts FROM events "
+        "WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.click_ts) "
+        "SELECT click_day, count(*)::BIGINT AS n_purchases, "
+        "round(sum(value), 4) AS attributed_value "
+        "FROM m GROUP BY click_day"
     ),
     "boilerplate_lines": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "

@@ -98,7 +98,8 @@ GOLDEN_NAMES = [
     "audio_spectral", "image_color_hist", "graph_walks",
     "approx_distinct_by_type", "ann_dim_recall", "zorder_layout",
     "dup_cluster_sizes", "compaction_plan", "recrawl_schedule",
-    "bitext_mine", "dhash_neardup",
+    "bitext_mine", "dhash_neardup", "class_cohesion",
+    "webdataset_shards",
 ]
 
 
