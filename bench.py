@@ -481,7 +481,8 @@ def joinstress() -> None:
 
 VECSTRESS_QUERIES = ["knn_cosine", "ann_dim_recall", "embedding_neardup_ann", "ann_ivf",
                      "kmeans_assign", "semantic_dedup",
-                     "pq_encode", "ann_pq", "ann_ivfpq"]
+                     "pq_encode", "ann_pq", "ann_ivfpq",
+                     "class_cohesion", "bitext_mine"]
 
 
 def vecstress() -> None:
@@ -567,7 +568,8 @@ IMGSTRESS_QUERIES = ["curate_image_corpus", "aspect_buckets",
                      "image_fidelity",
                      "phash_knn", "phash_neardup", "phash_dedup_keep",
                      "image_neardup_verified", "cdc_chunks",
-                     "image_patches", "image_color_hist"]
+                     "image_patches", "image_color_hist",
+                     "dhash_neardup", "webdataset_shards"]
 
 
 def imgstress() -> None:
@@ -605,7 +607,9 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "skipgram_pairs", "minhash_dedup_best",
                      "asr_chunks", "audio_spectral",
                      "dup_cluster_sizes", "boilerplate_lines",
-                     "mixture_upsample", "percent_rank_docs"]
+                     "mixture_upsample", "percent_rank_docs",
+                     "bigram_lm_score", "padding_efficiency",
+                     "vocab_coverage"]
 
 
 def docstress() -> None:

@@ -11287,8 +11287,10 @@ def q_bitext_mine(sf_dir: str):
             "margin": pa.array(margin[keep]),
         })
 
+    # batch_size bounds the per-task sims matrix (batch × |B| × 8 B):
+    # 256 rows × a 100k-vector target side ≈ 200 MB transient
     return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]) \
-        .map_batches(mine, batch_format="pyarrow")
+        .map_batches(mine, batch_format="pyarrow", batch_size=256)
 
 
 _PAD_GRID = 64  # length-bucket grid for inference batching
@@ -11475,7 +11477,9 @@ def q_class_cohesion(sf_dir: str):
     )
 
 
-_WDS_SHARDS = 8
+# shard count: fixed for the oracle comparison at test scale; a real
+# export sizes it as ceil(corpus_bytes / target_shard_bytes)
+_WDS_SHARDS = int(os.environ.get("JCR_WDS_SHARDS", "8"))
 
 
 def q_webdataset_shards(sf_dir: str):

@@ -601,3 +601,28 @@ class TestSessionKernels:
         # window — tight relative to the 8 kHz Nyquist span
         assert b < 100.0
         assert f - 2.0 <= r <= f + 20.0
+
+
+class TestWdsTar:
+    def test_deterministic_and_round_trips(self):
+        import hashlib
+        import io
+        import tarfile
+
+        from jobscrawler_ray.functions.wds import build_wds_tar
+
+        members = [("a1", b"\x00\x01img", "cap one"),
+                   ("b2", b"\xffdata", "cap two")]
+        t1, t2 = build_wds_tar(members), build_wds_tar(members)
+        assert t1 == t2  # byte-deterministic
+        assert hashlib.sha256(t1).hexdigest() == \
+            hashlib.sha256(t2).hexdigest()
+        # member order is part of the contract
+        assert build_wds_tar(members[::-1]) != t1
+        with tarfile.open(fileobj=io.BytesIO(t1)) as tf:
+            names = tf.getnames()
+            assert names == ["a1.img", "a1.txt", "b2.img", "b2.txt"]
+            assert tf.extractfile("a1.img").read() == b"\x00\x01img"
+            assert tf.extractfile("b2.txt").read() == b"cap two"
+            for info in tf.getmembers():
+                assert info.mtime == 0 and info.uid == 0
