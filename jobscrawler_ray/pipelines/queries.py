@@ -8455,6 +8455,38 @@ def q_pareto_customers(sf_dir: str):
     )
 
 
+def _copurchase_tag(parts_n: int):
+    """The co-purchase family's shared orderkey co-partition tagger —
+    ONE closure builder so ``_copurchase_edges`` and
+    ``q_copurchase_jaccard`` cannot drift on the partition contract
+    (an order's rows land in one bucket)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(k % parts_n, type=pa.int64()),
+            "okey": pa.array(k),
+            "pkey": pa.array(t["l_partkey"].to_numpy(
+                zero_copy_only=False)),
+        })
+
+    return tag
+
+
+def _distinct_order_part(df: pd.DataFrame) -> tuple[np.ndarray,
+                                                    np.ndarray]:
+    """Bucket-global distinct (okey, pkey) arrays — vectorized lexsort
+    + run mask, shared by the pair kernel and the degree kernel
+    (globally exact because the tagger co-partitions by order)."""
+    ok = df["okey"].to_numpy(np.int64)
+    pk = df["pkey"].to_numpy(np.int64)
+    order_ = np.lexsort((pk, ok))
+    ok, pk = ok[order_], pk[order_]
+    uniq = np.ones(len(ok), dtype=bool)
+    uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+    return ok[uniq], pk[uniq]
+
+
 def _copurchase_edges(sf_dir: str, min_support: int = 2):
     """Market-basket pair mining kernel shared by ``part_copurchase``
     and the graph ops built on its edge list (``triangle_count``,
@@ -8471,27 +8503,14 @@ def _copurchase_edges(sf_dir: str, min_support: int = 2):
     the DF/vocab family). The frequent-pair output is
     support-bounded, never materializing the pair space."""
     parts = _copart_count(_tbl_rows(sf_dir, "lineitem"))
-
-    def tag(t: pa.Table) -> pa.Table:
-        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "part": pa.array(k % parts, type=pa.int64()),
-            "okey": pa.array(k),
-            "pkey": pa.array(t["l_partkey"].to_numpy(zero_copy_only=False)),
-        })
+    tag = _copurchase_tag(parts)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             "pair": pd.Series([], dtype=np.int64),
             "n_orders": pd.Series([], dtype=np.int64),
             "ppart": pd.Series([], dtype=np.int64)})
-        ok = df["okey"].to_numpy(np.int64)
-        pk = df["pkey"].to_numpy(np.int64)
-        order_ = np.lexsort((pk, ok))
-        ok, pk = ok[order_], pk[order_]
-        uniq = np.ones(len(ok), dtype=bool)
-        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
-        ok, pk = ok[uniq], pk[uniq]
+        ok, pk = _distinct_order_part(df)
         starts, ends = _key_runs(ok)
         lens = ends - starts
         out_a, out_b = [], []
@@ -10956,28 +10975,14 @@ def q_copurchase_jaccard(sf_dir: str):
     support-bounded edge stream with two searchsorted lookups."""
     parts_n = _copart_count(_tbl_rows(sf_dir, "lineitem"))
 
-    def tag(t: pa.Table) -> pa.Table:
-        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "part": pa.array(k % parts_n, type=pa.int64()),
-            "okey": pa.array(k),
-            "pkey": pa.array(t["l_partkey"].to_numpy(
-                zero_copy_only=False)),
-        })
-
     def bucket_deg(df: pd.DataFrame) -> pd.DataFrame:
-        ok = df["okey"].to_numpy(np.int64)
-        pk = df["pkey"].to_numpy(np.int64)
-        order_ = np.lexsort((pk, ok))
-        ok, pk = ok[order_], pk[order_]
-        uniq = np.ones(len(ok), dtype=bool)
-        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
-        u, c = np.unique(pk[uniq], return_counts=True)
+        _, pk = _distinct_order_part(df)
+        u, c = np.unique(pk, return_counts=True)
         return pd.DataFrame({"pkey": u, "d": c.astype(np.int64)})
 
     deg = (
         _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(_copurchase_tag(parts_n), batch_format="pyarrow")
         .groupby("part", num_partitions=parts_n)
         .map_groups(bucket_deg, batch_format="pandas")
         .groupby("pkey").aggregate(Sum("d", alias_name="deg"))
@@ -11162,47 +11167,67 @@ def q_bigram_lm_score(sf_dir: str):
     _BLM_PARTS = 32
 
     def big_partial(t: pa.Table) -> pa.Table:
+        # ONE tokenize pass feeds BOTH partials: kind=1 rows are
+        # (bigram, count); kind=0 rows are the batch's DISTINCT
+        # unigrams (the vocab size V is all the model needs from
+        # them — a separate _tf_partial scan re-read the training
+        # half just for that one integer). The "\x1f" join is the
+        # corpus contract the whole text family assumes: tokens are
+        # space-split and carry no control characters.
         w1s: list[np.ndarray] = []
         w2s: list[np.ndarray] = []
+        toks: list[np.ndarray] = []
         for x in t["text"].to_pylist():
             w = x.split(" ")
+            arr = np.array(w, dtype=str)
+            toks.append(arr)  # ALL tokens — V counts 1-token docs too
             if len(w) < 2:
                 continue
-            arr = np.array(w, dtype=str)
             w1s.append(arr[:-1])
             w2s.append(arr[1:])
-        if not w1s:
+        if not toks:
             return pa.table({"bg": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int64()),
                              "part": pa.array([], type=pa.int64())})
-        key = np.char.add(np.char.add(
-            np.concatenate(w1s), "\x1f"), np.concatenate(w2s))
-        u, c = np.unique(key, return_counts=True)
+        uni = np.unique(np.concatenate(toks))
+        if w1s:
+            key = np.char.add(np.char.add(
+                np.concatenate(w1s), "\x1f"), np.concatenate(w2s))
+            u, c = np.unique(key, return_counts=True)
+        else:
+            u = np.array([], dtype=str)
+            c = np.array([], dtype=np.int64)
+        bgk = np.concatenate([u, uni])
+        n = np.concatenate([c.astype(np.int64),
+                            np.ones(len(uni), dtype=np.int64)])
+        kind = np.concatenate([np.ones(len(u), dtype=np.int64),
+                               np.zeros(len(uni), dtype=np.int64)])
         # coarse hash co-partition + bucket-local sum instead of
         # Dataset.aggregate — its sort-based path measured 27 s at
         # 235k distinct bigrams where the bucket combine takes ~3 s
         # (the _copurchase_edges / DF-vocab idiom)
-        part = (pd.util.hash_array(u.astype(object))
+        part = (pd.util.hash_array(bgk.astype(object))
                 % _BLM_PARTS).astype(np.int64)
-        return pa.table({"bg": pa.array(u, type=pa.string()),
-                         "n": pa.array(c.astype(np.int64)),
+        return pa.table({"bg": pa.array(bgk, type=pa.string()),
+                         "n": pa.array(n),
+                         "kind": pa.array(kind),
                          "part": pa.array(part)})
 
     def bg_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("bg", as_index=False)["n"].sum()
+        return df.groupby(["kind", "bg"], as_index=False)["n"].sum()
 
     train = docs.map_batches(train_only, batch_format="pyarrow")
-    bg = (
+    model = (
         train.map_batches(big_partial, batch_format="pyarrow")
         .groupby("part", num_partitions=_BLM_PARTS)
         .map_groups(bg_bucket, batch_format="pandas")
         .to_pandas()  # the fitted model — bigram-vocab bounded
     )
-    vocab = int(
-        train.map_batches(_tf_partial, batch_format="pyarrow")
-        .groupby("w").aggregate(Sum("n", alias_name="n"))
-        .count()
-    )
+    is_bg = model["kind"].to_numpy(np.int64) == 1
+    vocab = int((~is_bg).sum())  # hash buckets partition the vocab:
+    # each distinct unigram lands (deduped) in exactly one bucket
+    bg = model[is_bg]
     keys = bg["bg"].to_numpy(str)
     cnt = bg["n"].to_numpy(np.int64)
     order_ = np.argsort(keys, kind="stable")
@@ -11285,8 +11310,12 @@ def q_bitext_mine(sf_dir: str):
                         columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
     bsel = ids % 2 == 1
-    bref = ray.put((ids[bsel],
-                    _norm_rows(_emb_matrix(t["embedding"])[bsel])))
+    bids_all = ids[bsel]
+    bmat_all = _norm_rows(_emb_matrix(t["embedding"])[bsel])
+    border = np.argsort(bids_all, kind="stable")  # ascending target
+    # ids — the tie-break below and the golden's stable row-order
+    # tie pick both reduce to "first row" under this order
+    bref = ray.put((bids_all[border], bmat_all[border]))
 
     def mine(t: pa.Table) -> pa.Table:
         bids, bmat = _bget_slot("bitext_b", bref)
@@ -11300,16 +11329,17 @@ def q_bitext_mine(sf_dir: str):
             return empty
         amat = _norm_rows(_emb_matrix(t["embedding"]))[asel]
         sims = amat @ bmat.T
-        top = np.argpartition(sims, -_BITEXT_TOPK, axis=1)[:, -_BITEXT_TOPK:]
-        tsims = np.take_along_axis(sims, top, axis=1)
-        best_sim = tsims.max(axis=1)
-        # tie-break: equal best cosine → smallest target id (exact
-        # float ties only occur for duplicate target vectors; the
-        # mean over the top-4 is unaffected — tied members are equal)
-        cand = bids[top]
-        tgt = np.where(tsims == best_sim[:, None], cand,
-                       np.iinfo(np.int64).max).min(axis=1)
-        margin = _round_half_up(best_sim / tsims.mean(axis=1), 4)
+        best_sim = sims.max(axis=1)
+        # tie-break: equal best cosine → smallest target id. bids are
+        # ascending (sorted at broadcast), so the FIRST column hitting
+        # the max IS the min-id tie winner — the same pick the
+        # golden's stable descending argsort makes, for ANY tie
+        # multiplicity. The top-4 mean uses partitioned VALUES, which
+        # tie membership cannot change (tied members are equal).
+        tgt = bids[np.argmax(sims == best_sim[:, None], axis=1)]
+        top4 = np.partition(sims, -_BITEXT_TOPK,
+                            axis=1)[:, -_BITEXT_TOPK:]
+        margin = _round_half_up(best_sim / top4.mean(axis=1), 4)
         keep = margin >= _BITEXT_TAU
         return pa.table({
             "src_id": pa.array(ids[asel][keep]),
@@ -11456,7 +11486,6 @@ def q_class_cohesion(sf_dir: str):
         np.add.at(sums, codes, mat)
         return pa.table({
             "label": pa.array(uniq),
-            "n": pa.array(np.bincount(codes).astype(np.int64)),
             "vec": pa.array(list(sums), type=pa.list_(pa.float64())),
         })
 
@@ -11467,10 +11496,8 @@ def q_class_cohesion(sf_dir: str):
     )
     labs = np.sort(parts["label"].unique()).astype(np.int64)
     cents = np.zeros((len(labs), d))
-    counts = np.zeros(len(labs), dtype=np.int64)
     li = np.searchsorted(labs, parts["label"].to_numpy(np.int64))
     np.add.at(cents, li, np.stack(parts["vec"].to_numpy()))
-    np.add.at(counts, li, parts["n"].to_numpy(np.int64))
     cref = ray.put((labs, _norm_rows(cents)))
 
     def cos_partial(t: pa.Table) -> pa.Table:
