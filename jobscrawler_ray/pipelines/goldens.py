@@ -1667,6 +1667,15 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["bitext_mine"] = values_sql(golden_bitext_mine(sf_dir), {
         "src_id": "BIGINT", "tgt_id": "BIGINT", "margin": "DOUBLE"})
+    mdrops = golden_minhash_drops(sf_dir)
+    _dup_cond = (f"doc_id IN ({', '.join(map(str, mdrops))})"
+                 if mdrops else "FALSE")
+    out["dup_rate_by_source"] = (
+        f"SELECT source, count(*)::BIGINT AS n_docs, "
+        f"sum(CASE WHEN {_dup_cond} THEN 1 ELSE 0 END)::BIGINT "
+        "AS n_dups, "
+        f"round(sum(CASE WHEN {_dup_cond} THEN 1 ELSE 0 END) "
+        "/ count(*), 4) AS dup_rate FROM documents GROUP BY source")
     out["class_cohesion"] = values_sql(golden_class_cohesion(sf_dir), {
         "label": "BIGINT", "n": "BIGINT", "cohesion": "DOUBLE"})
     out["webdataset_shards"] = values_sql(

@@ -11585,6 +11585,173 @@ def q_webdataset_shards(sf_dir: str):
     )
 
 
+_WDD_GAP_US = 600_000_000  # 10-minute debounce window
+
+
+def q_window_dedup(sf_dir: str):
+    """STREAMING DEBOUNCE dedup — the event-stream throttle (alerting
+    / telemetry dedup): an event survives if it is the first of its
+    (user, event_type) or arrives ≥ 10 min after the previous event
+    of that key. Same cogroup shape as the asof family: user-hash
+    co-partition (a user's history fits its partition — the
+    documented assumption), then ONE vectorized lexsort + shifted-ts
+    compare per partition; the gap test is exact integer
+    microseconds. Emits the surviving event rows."""
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"])
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _arrow_out(pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=str),
+                "ts": pd.Series([], dtype="datetime64[us]")}))
+        u = df["user_id"].to_numpy(np.int64)
+        ty, _ = pd.factorize(df["event_type"])
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order_ = np.lexsort((eid, ts, ty, u))
+        us, tys, tss = u[order_], ty[order_], ts[order_]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (tys[1:] != tys[:-1])
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = _WDD_GAP_US
+        gap[1:] = tss[1:] - tss[:-1]
+        kept = new | (gap >= _WDD_GAP_US)
+        out = df.iloc[order_[kept]]
+        return _arrow_out(out[["event_id", "user_id", "event_type",
+                               "ts"]])
+
+    return (
+        ev.map_batches(_append_user_part_t, batch_format="pyarrow",
+                       fn_args=(parts,))
+        .groupby("part", num_partitions=parts)
+        .map_groups(keep, batch_format="pandas")
+    )
+
+
+def _append_user_part_t(t: pa.Table, parts: int) -> pa.Table:
+    return _append_user_part(t, parts)
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source DUPLICATE RATE — the 'which source is dirty'
+    diagnostic a curation run reads before assigning crawl budget:
+    minhash near-dup drop rate broken down by document source.
+    Composes the existing scale-safe pieces end-to-end: verified pair
+    set → distributed CC drop set (``_cc_drop_ds``) → size-dispatched
+    anti-join (``_keep_corpus``) → source-bounded count combine of
+    total vs kept. Nothing new lands on the driver; the only new
+    exchange is the two dimension-bounded source groupbys."""
+    drops = _cc_drop_ds(q_minhash_lsh(sf_dir).materialize())
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source"])
+
+    def tag(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": t["source"],
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "is_kept": pa.array(np.full(t.num_rows, flag)),
+            })
+        return f
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "is_kept"], as_index=False)["n"] \
+            .sum().pivot(index="source", columns="is_kept",
+                         values="n").reset_index()
+        total = g.get(False, pd.Series(0, index=g.index)) \
+            .fillna(0).to_numpy(np.int64)
+        kept = g.get(True, pd.Series(0, index=g.index)) \
+            .fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": total,
+            "n_dups": total - kept,
+            "dup_rate": _round_half_up((total - kept) / total, 4),
+        })
+
+    return (
+        docs.map_batches(tag(False), batch_format="pyarrow")
+        .union(_keep_corpus(docs, "doc_id", drops)
+               .map_batches(tag(True), batch_format="pyarrow"))
+        .map_batches(lambda d: d.groupby(["source", "is_kept"],
+                                         as_index=False)["n"].sum(),
+                     batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_RFM_K = 5
+
+
+def _ntile_ranks(order_: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE(k) tiles (1-based) for rows given their sort order
+    (``order_[i]`` = row index of sorted position i) — first n%k
+    tiles take ceil(n/k) rows, the q_ntile_docs arithmetic shared by
+    every ntile consumer."""
+    n = len(order_)
+    base, rem = divmod(n, k)
+    big = (base + 1) * rem
+    r = np.empty(n, dtype=np.int64)
+    r[order_] = np.arange(n)
+    return np.where(r < big, r // max(base + 1, 1),
+                    rem + (r - big) // max(base, 1)) + 1
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM CUSTOMER SEGMENTATION — the warehouse classic: per
+    customer, recency (days since their last order, vs the corpus
+    max date), frequency (order count), monetary (total spend), each
+    scored into NTILE(5) quintiles (1 = most recent / most frequent /
+    highest spend). The fact scan folds to per-customer partials
+    map-side; the quintile assignment runs in ONE coalesced batch
+    over the aggregate — customer is the DIMENSION (the documented
+    boundedness assumption; at 10⁸+ customers the ntile flips to the
+    global-rank histogram machinery like percent_rank_docs)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(c)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(mx, codes, d)
+        return pa.table({
+            "custkey": pa.array(np.asarray(uniq, dtype=np.int64)),
+            "last_us": pa.array(mx),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sv": pa.array(np.bincount(codes, v)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", as_index=False).agg(
+            last_us=("last_us", "max"), n=("n", "sum"),
+            sv=("sv", "sum"))
+        cust = g["custkey"].to_numpy(np.int64)
+        last = g["last_us"].to_numpy(np.int64)
+        rec = (last.max() - last) // 86_400_000_000
+        freq = g["n"].to_numpy(np.int64)
+        mon = _round_half_up(g["sv"].to_numpy(), 2)
+        r_s = _ntile_ranks(np.lexsort((cust, rec)), _RFM_K)
+        f_s = _ntile_ranks(np.lexsort((cust, -freq)), _RFM_K)
+        m_s = _ntile_ranks(np.lexsort((cust, -mon)), _RFM_K)
+        return pd.DataFrame({
+            "custkey": cust, "recency_days": rec, "frequency": freq,
+            "monetary": mon, "r_score": r_s, "f_score": f_s,
+            "m_score": m_s,
+        })
+
+    return (
+        _tbl(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -11784,6 +11951,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "class_cohesion": q_class_cohesion,
     "webdataset_shards": q_webdataset_shards,
+    "window_dedup": q_window_dedup,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "rfm_scores": q_rfm_scores,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12765,6 +12935,30 @@ ORACLE_SQL: dict[str, str] = {
         "AS padded_tokens, "
         f"round(sum(ntok) / (count(*) * bucket * {_PAD_GRID}), 6) "
         "AS efficiency FROM b GROUP BY bucket"
+    ),
+    "window_dedup": (
+        "WITH w AS (SELECT event_id, user_id, event_type, ts, "
+        "lag(ts) OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) AS prev FROM events) "
+        "SELECT event_id, user_id, event_type, ts FROM w "
+        "WHERE prev IS NULL "
+        f"OR date_diff('microsecond', prev, ts) >= {_WDD_GAP_US}"
+    ),
+    "rfm_scores": (
+        "WITH g AS (SELECT o_custkey AS custkey, "
+        "date_diff('day', max(o_orderdate), "
+        "(SELECT max(o_orderdate) FROM orders)) AS recency_days, "
+        "count(*)::BIGINT AS frequency, "
+        "round(sum(o_totalprice), 2) AS monetary "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT custkey, recency_days::BIGINT AS recency_days, "
+        "frequency, monetary, "
+        f"ntile({_RFM_K}) OVER (ORDER BY recency_days, custkey)"
+        "::BIGINT AS r_score, "
+        f"ntile({_RFM_K}) OVER (ORDER BY frequency DESC, custkey)"
+        "::BIGINT AS f_score, "
+        f"ntile({_RFM_K}) OVER (ORDER BY monetary DESC, custkey)"
+        "::BIGINT AS m_score FROM g"
     ),
     "attribution_last_touch": (
         "WITH m AS (SELECT p.value AS value, "
