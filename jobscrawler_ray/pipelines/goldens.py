@@ -1366,6 +1366,39 @@ def golden_dhash_neardup(sf_dir: str) -> pd.DataFrame:
         {"hamming": np.int64})
 
 
+def golden_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_hard_negatives``: per even-id anchor, a
+    plain per-row scan for the best same-label and best
+    different-label cosine, with explicit min-id tie resolution
+    (independent of the engine's argmax-first trick)."""
+    ids, mat = _embeddings(sf_dir)
+    labs = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label"])["label"].to_numpy().astype(np.int64)
+    n = _norm_rows(mat)
+    rows: list[tuple] = []
+    for i in range(len(ids)):
+        if ids[i] % 2 != 0:
+            continue
+        sims = n @ n[i]
+        sims[i] = -np.inf
+        same = labs == labs[i]
+        pos = np.where(same, sims, -np.inf)
+        neg = np.where(~same, sims, -np.inf)
+        pb, nb = pos.max(), neg.max()
+        if not (np.isfinite(pb) and np.isfinite(nb)):
+            continue
+        pid = int(ids[np.flatnonzero(pos == pb)].min())
+        nid = int(ids[np.flatnonzero(neg == nb)].min())
+        rows.append((int(ids[i]), pid, nid,
+                     float(_round_half_up(pb, 4)),
+                     float(_round_half_up(nb, 4))))
+    return pd.DataFrame(rows, columns=[
+        "vec_id", "pos_id", "neg_id", "s_pos", "s_neg"]).astype(
+        {"vec_id": np.int64, "pos_id": np.int64, "neg_id": np.int64,
+         "s_pos": np.float64, "s_neg": np.float64})
+
+
 def golden_class_cohesion(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``q_class_cohesion``: per label, normalized
     centroid of the normalized vectors, mean member cosine against it
@@ -1678,6 +1711,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
         "/ count(*), 4) AS dup_rate FROM documents GROUP BY source")
     out["class_cohesion"] = values_sql(golden_class_cohesion(sf_dir), {
         "label": "BIGINT", "n": "BIGINT", "cohesion": "DOUBLE"})
+    out["hard_negatives"] = values_sql(golden_hard_negatives(sf_dir), {
+        "vec_id": "BIGINT", "pos_id": "BIGINT", "neg_id": "BIGINT",
+        "s_pos": "DOUBLE", "s_neg": "DOUBLE"})
     out["webdataset_shards"] = values_sql(
         golden_webdataset_shards(sf_dir), {
             "shard_id": "BIGINT", "n_samples": "BIGINT",

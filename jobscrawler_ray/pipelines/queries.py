@@ -11752,6 +11752,183 @@ def q_rfm_scores(sf_dir: str):
     )
 
 
+def q_ab_test_welch(sf_dir: str):
+    """A/B significance testing — Welch's unequal-variance t between
+    the 'click' and 'purchase' value populations (the experiment
+    readout every event pipeline ends in): n/mean/t-statistic and the
+    Welch–Satterthwaite df. Map-side (group, n, Σx, Σx²) partials —
+    a 2×4 exchange at ANY corpus size — one tiny combine; the
+    moment-based var_samp meets the oracle under the round(4)
+    contract."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = {"grp": [], "n": [], "sx": [], "sxx": []}
+        for g in ("click", "purchase"):
+            m = ty == g
+            out["grp"].append(g)
+            out["n"].append(int(m.sum()))
+            out["sx"].append(float(v[m].sum()))
+            out["sxx"].append(float((v[m] * v[m]).sum()))
+        return pa.table({
+            "grp": pa.array(out["grp"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "sx": pa.array(out["sx"]),
+            "sxx": pa.array(out["sxx"]),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("grp").sum()
+        na, nb = int(g.loc["click", "n"]), int(g.loc["purchase", "n"])
+        ma = g.loc["click", "sx"] / na
+        mb = g.loc["purchase", "sx"] / nb
+        va = (g.loc["click", "sxx"] - na * ma * ma) / (na - 1)
+        vb = (g.loc["purchase", "sxx"] - nb * mb * mb) / (nb - 1)
+        se2 = va / na + vb / nb
+        t_stat = (ma - mb) / np.sqrt(se2)
+        dof = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                          + (vb / nb) ** 2 / (nb - 1))
+        return pd.DataFrame({
+            "n_a": pd.Series([na], dtype=np.int64),
+            "n_b": pd.Series([nb], dtype=np.int64),
+            "mean_a": _round_half_up(np.array([ma]), 4),
+            "mean_b": _round_half_up(np.array([mb]), 4),
+            "t_stat": _round_half_up(np.array([t_stat]), 4),
+            "welch_df": _round_half_up(np.array([dof]), 4),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_KL_SMOOTH = 0.5
+
+
+def q_source_kl_divergence(sf_dir: str):
+    """DOMAIN-SHIFT diagnostic — per-source KL divergence of the
+    add-k-smoothed unigram distribution against the corpus
+    distribution (the 'how far is this source from the mix' score
+    data-mixing decisions read): KL(p_s ‖ q) over the full corpus
+    vocabulary. The ONE exchange is the (source, token) count
+    partials — (sources × vocab)-bounded, the same contract as the
+    DF/vocab family (heavy-hitter sketch is the 100 TB path) — and
+    the smoothed-grid evaluation is a dense (S × V) numpy pass in
+    one coalesced combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        toks: list[np.ndarray] = []
+        for s, x in zip(t["source"].to_pylist(),
+                        t["text"].to_pylist()):
+            w = np.array(x.split(" "), dtype=object)
+            srcs.append(s)
+            toks.append(w)
+        if not srcs:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        src_arr = np.repeat(np.array(srcs, dtype=object),
+                            [len(x) for x in toks])
+        tok_arr = np.concatenate(toks)
+        key = pd.DataFrame({"source": src_arr, "w": tok_arr})
+        g = key.groupby(["source", "w"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(g["source"], type=pa.string()),
+            "w": pa.array(g["w"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["n"].sum()
+        scodes, suniq = pd.factorize(g["source"])
+        wcodes, wuniq = pd.factorize(g["w"])
+        S, V = len(suniq), len(wuniq)
+        mat = np.zeros((S, V))
+        mat[scodes, wcodes] += g["n"].to_numpy(np.int64)
+        ns = mat.sum(axis=1, keepdims=True)
+        cg = mat.sum(axis=0, keepdims=True)
+        p = (mat + _KL_SMOOTH) / (ns + _KL_SMOOTH * V)
+        q = (cg + _KL_SMOOTH) / (cg.sum() + _KL_SMOOTH * V)
+        kl = (p * np.log(p / q)).sum(axis=1)
+        order_ = np.argsort(np.asarray(suniq, dtype=object),
+                            kind="stable")
+        return pd.DataFrame({
+            "source": np.asarray(suniq, dtype=object)[order_],
+            "kl": _round_half_up(kl[order_], 4),
+        })
+
+    return (
+        _tbl(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_HNEG_ROUND = 4
+
+
+def q_hard_negatives(sf_dir: str):
+    """TRIPLET HARD-NEGATIVE MINING over the labeled embedding table
+    (metric-learning data prep): for each even-id anchor, its nearest
+    same-label neighbor (the positive) and nearest different-label
+    neighbor (the hard negative), with both cosines — negatives that
+    outscore positives flag label noise or hard training pairs.
+    Anchors stream through map_batches against the broadcast
+    normalized corpus (the exactness-oracle kernel, same contract as
+    ``bitext_mine``: id-sorted broadcast ⇒ the argmax-first tie-break
+    IS the min-id pick; the in-family ANN machinery supplies
+    candidates past the broadcast budget)."""
+    t = papq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding", "label"])
+    ids = t["vec_id"].to_numpy()
+    labs = t["label"].to_numpy().astype(np.int64)
+    order_ = np.argsort(ids, kind="stable")
+    cref = ray.put((ids[order_], labs[order_],
+                    _norm_rows(_emb_matrix(t["embedding"]))[order_]))
+
+    def mine(t: pa.Table) -> pa.Table:
+        cids, clabs, cmat = _bget_slot("hard_neg_corpus", cref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        asel = ids % 2 == 0
+        empty = pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "pos_id": pa.array([], type=pa.int64()),
+            "neg_id": pa.array([], type=pa.int64()),
+            "s_pos": pa.array([], type=pa.float64()),
+            "s_neg": pa.array([], type=pa.float64())})
+        if not asel.any():
+            return empty
+        qids = ids[asel]
+        qlabs = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[asel]
+        qmat = _norm_rows(_emb_matrix(t["embedding"]))[asel]
+        sims = qmat @ cmat.T
+        self_col = np.searchsorted(cids, qids)
+        sims[np.arange(len(qids)), self_col] = -np.inf
+        same = qlabs[:, None] == clabs[None, :]
+        pos_s = np.where(same, sims, -np.inf)
+        neg_s = np.where(same, -np.inf, sims)
+        pb, nb = pos_s.max(axis=1), neg_s.max(axis=1)
+        pos_id = cids[np.argmax(pos_s == pb[:, None], axis=1)]
+        neg_id = cids[np.argmax(neg_s == nb[:, None], axis=1)]
+        ok = np.isfinite(pb) & np.isfinite(nb)
+        return pa.table({
+            "vec_id": pa.array(qids[ok]),
+            "pos_id": pa.array(pos_id[ok]),
+            "neg_id": pa.array(neg_id[ok]),
+            "s_pos": pa.array(_round_half_up(pb[ok], _HNEG_ROUND)),
+            "s_neg": pa.array(_round_half_up(nb[ok], _HNEG_ROUND)),
+        })
+
+    return _tbl(sf_dir, "embeddings",
+                ["vec_id", "embedding", "label"]) \
+        .map_batches(mine, batch_format="pyarrow", batch_size=256)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -11954,6 +12131,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_dedup": q_window_dedup,
     "dup_rate_by_source": q_dup_rate_by_source,
     "rfm_scores": q_rfm_scores,
+    "ab_test_welch": q_ab_test_welch,
+    "source_kl_divergence": q_source_kl_divergence,
+    "hard_negatives": q_hard_negatives,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12935,6 +13115,42 @@ ORACLE_SQL: dict[str, str] = {
         "AS padded_tokens, "
         f"round(sum(ntok) / (count(*) * bucket * {_PAD_GRID}), 6) "
         "AS efficiency FROM b GROUP BY bucket"
+    ),
+    "ab_test_welch": (
+        "WITH a AS (SELECT count(*) AS n, avg(value) AS m, "
+        "var_samp(value) AS v FROM events "
+        "WHERE event_type = 'click'), "
+        "b AS (SELECT count(*) AS n, avg(value) AS m, "
+        "var_samp(value) AS v FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT a.n::BIGINT AS n_a, b.n::BIGINT AS n_b, "
+        "round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b, "
+        "round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) "
+        "AS t_stat, "
+        "round(pow(a.v / a.n + b.v / b.n, 2) / "
+        "(pow(a.v / a.n, 2) / (a.n - 1) "
+        "+ pow(b.v / b.n, 2) / (b.n - 1)), 4) AS welch_df "
+        "FROM a, b"
+    ),
+    "source_kl_divergence": (
+        "WITH t AS (SELECT source, unnest(string_split(text, ' ')) "
+        "AS w FROM documents), "
+        "c AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2), "
+        "vg AS (SELECT w, count(*) AS cg FROM t GROUP BY w), "
+        "v AS (SELECT count(*) AS nv FROM vg), "
+        "ns AS (SELECT source, count(*) AS n FROM t GROUP BY source), "
+        "tot AS (SELECT count(*) AS nn FROM t), "
+        "grid AS (SELECT ns.source, vg.w, ns.n, vg.cg "
+        "FROM ns CROSS JOIN vg), "
+        "j AS (SELECT g.source, g.w, coalesce(c.c, 0) AS cs, g.n, "
+        "g.cg FROM grid g LEFT JOIN c "
+        "ON c.source = g.source AND c.w = g.w), "
+        f"p AS (SELECT source, (cs + {_KL_SMOOTH}) / "
+        f"(n + {_KL_SMOOTH} * (SELECT nv FROM v)) AS pw, "
+        f"(cg + {_KL_SMOOTH}) / ((SELECT nn FROM tot) "
+        f"+ {_KL_SMOOTH} * (SELECT nv FROM v)) AS qw FROM j) "
+        "SELECT source, round(sum(pw * ln(pw / qw)), 4) AS kl "
+        "FROM p GROUP BY source"
     ),
     "window_dedup": (
         "WITH w AS (SELECT event_id, user_id, event_type, ts, "

@@ -99,7 +99,7 @@ GOLDEN_NAMES = [
     "approx_distinct_by_type", "ann_dim_recall", "zorder_layout",
     "dup_cluster_sizes", "compaction_plan", "recrawl_schedule",
     "bitext_mine", "dhash_neardup", "class_cohesion",
-    "webdataset_shards", "dup_rate_by_source",
+    "webdataset_shards", "dup_rate_by_source", "hard_negatives",
 ]
 
 
