@@ -475,14 +475,21 @@ def joinstress() -> None:
              "activity_heatmap", "group_bottomk_sample",
              "price_drawdown", "kmv_jaccard", "graph_walks",
              "approx_distinct_by_type", "zorder_layout",
-             "geo_mean_prices"], d,
+             "geo_mean_prices",
+             # v9 additions: streaming debounce + attribution + RFM +
+             # A/B test + MV maintenance + zonemap planning +
+             # Jaccard link prediction
+             "window_dedup", "attribution_last_touch", "rfm_scores",
+             "ab_test_welch", "incremental_agg_merge",
+             "zonemap_prune", "copurchase_jaccard"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
 VECSTRESS_QUERIES = ["knn_cosine", "ann_dim_recall", "embedding_neardup_ann", "ann_ivf",
                      "kmeans_assign", "semantic_dedup",
                      "pq_encode", "ann_pq", "ann_ivfpq",
-                     "class_cohesion", "bitext_mine"]
+                     "class_cohesion", "bitext_mine",
+                     "hard_negatives"]
 
 
 def vecstress() -> None:
@@ -609,7 +616,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "dup_cluster_sizes", "boilerplate_lines",
                      "mixture_upsample", "percent_rank_docs",
                      "bigram_lm_score", "padding_efficiency",
-                     "vocab_coverage"]
+                     "vocab_coverage", "source_kl_divergence",
+                     "dup_rate_by_source", "logreg_train_score"]
 
 
 def docstress() -> None:

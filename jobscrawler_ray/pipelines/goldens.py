@@ -1399,6 +1399,34 @@ def golden_hard_negatives(sf_dir: str) -> pd.DataFrame:
          "s_pos": np.float64, "s_neg": np.float64})
 
 
+def golden_logreg_train_score(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_logreg_train_score``: one whole-corpus
+    'batch' per epoch. The per-row int64 residual quantization
+    (shared ``_lr_row_grad`` leaf) makes the gradient an integer sum
+    independent of batching, so the sequential weights are BIT-EQUAL
+    to the distributed trainer's — the comparison then checks the
+    epoch orchestration and the broadcast/refresh plumbing."""
+    from .queries import (_LR_DIM, _LR_EPOCHS, _LR_QUANT, _LR_STEP,
+                          _lr_features, _lr_row_grad)
+
+    ids, texts, langs = _documents(sf_dir)
+    y = np.array([x == "en" for x in langs], dtype=np.float64)
+    n = len(ids)
+    w = np.zeros(_LR_DIM)
+    h, seg = _lr_features(texts)
+    for _ in range(_LR_EPOCHS):
+        g, _n = _lr_row_grad(h, seg, y, w)
+        w = w - _LR_STEP * (g / _LR_QUANT) / n
+    dots = np.bincount(seg, w[h], minlength=n)
+    p = 1.0 / (1.0 + np.exp(-dots))
+    return pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype=np.int64),
+        "label": y.astype(np.int64),
+        "prob": _round_half_up(p, 4),
+        "pred": p >= 0.5,
+    })
+
+
 def golden_class_cohesion(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``q_class_cohesion``: per label, normalized
     centroid of the normalized vectors, mean member cosine against it
@@ -1714,6 +1742,10 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["hard_negatives"] = values_sql(golden_hard_negatives(sf_dir), {
         "vec_id": "BIGINT", "pos_id": "BIGINT", "neg_id": "BIGINT",
         "s_pos": "DOUBLE", "s_neg": "DOUBLE"})
+    out["logreg_train_score"] = values_sql(
+        golden_logreg_train_score(sf_dir), {
+            "doc_id": "BIGINT", "label": "BIGINT", "prob": "DOUBLE",
+            "pred": "BOOLEAN"})
     out["webdataset_shards"] = values_sql(
         golden_webdataset_shards(sf_dir), {
             "shard_id": "BIGINT", "n_samples": "BIGINT",

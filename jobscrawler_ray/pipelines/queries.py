@@ -10978,20 +10978,29 @@ def q_copurchase_jaccard(sf_dir: str):
     def bucket_deg(df: pd.DataFrame) -> pd.DataFrame:
         _, pk = _distinct_order_part(df)
         u, c = np.unique(pk, return_counts=True)
-        return pd.DataFrame({"pkey": u, "d": c.astype(np.int64)})
+        return pd.DataFrame({"pkey": u, "d": c.astype(np.int64),
+                             "ppart": (u % parts_n).astype(np.int64)})
 
+    def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pkey", as_index=False)["d"].sum()
+
+    # coarse part-hash co-partition + bucket-local sum — NOT
+    # Dataset.aggregate, whose sort-based path measured 217 s at 200k
+    # distinct parts (2.3M partial rows) where this combine takes ~2 s
+    # (the _copurchase_edges pair_bucket idiom)
     deg = (
         _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(_copurchase_tag(parts_n), batch_format="pyarrow")
         .groupby("part", num_partitions=parts_n)
         .map_groups(bucket_deg, batch_format="pandas")
-        .groupby("pkey").aggregate(Sum("d", alias_name="deg"))
+        .groupby("ppart", num_partitions=parts_n)
+        .map_groups(deg_bucket, batch_format="pandas")
         .to_pandas()  # one row per part — dimension-bounded
     )
     keys = deg["pkey"].to_numpy(np.int64)
     order_ = np.argsort(keys, kind="stable")
     ref = ray.put((keys[order_],
-                   deg["deg"].to_numpy(np.int64)[order_]))
+                   deg["d"].to_numpy(np.int64)[order_]))
 
     def jacc(t: pa.Table) -> pa.Table:
         dk, dv = _bget_slot("copurchase_deg", ref)
@@ -11929,6 +11938,103 @@ def q_hard_negatives(sf_dir: str):
         .map_batches(mine, batch_format="pyarrow", batch_size=256)
 
 
+# logistic-regression trainer: hashed-feature dim, epochs, step,
+# gradient quantization scale (the IVF int64-quantization precedent —
+# per-ROW quantized residuals make the gradient an integer sum,
+# order- and batching-free, so the distributed trainer is bit-equal
+# to the sequential golden)
+_LR_DIM = 4096
+_LR_EPOCHS = 3
+_LR_STEP = 0.5
+_LR_QUANT = float(1 << 20)
+
+
+def _lr_features(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed bag-of-words features: (feature ids per token, doc
+    segment ids per token). Token order is preserved — both the
+    engine and the golden accumulate per-doc dots in document token
+    order, so the float dot products are bit-identical."""
+    hs: list[np.ndarray] = []
+    for x in texts:
+        toks = np.array(x.split(" "), dtype=object)
+        hs.append((pd.util.hash_array(toks) % _LR_DIM).astype(np.int64))
+    seg = np.repeat(np.arange(len(texts)), [len(h) for h in hs])
+    return (np.concatenate(hs) if hs else np.array([], dtype=np.int64),
+            seg)
+
+
+def _lr_row_grad(h: np.ndarray, seg: np.ndarray, y: np.ndarray,
+                 w: np.ndarray) -> tuple[np.ndarray, int]:
+    """One full-batch gradient contribution: per-row quantized
+    residual × token counts, as an EXACT int64 feature vector (plus
+    the row count). Shared leaf of the engine partial and the
+    sequential golden."""
+    dots = np.bincount(seg, w[h], minlength=len(y))
+    s = 1.0 / (1.0 + np.exp(-dots)) - y
+    sq = np.rint(s * _LR_QUANT).astype(np.int64)
+    g = np.bincount(h, sq[seg], minlength=_LR_DIM).astype(np.int64)
+    return g, len(y)
+
+
+def q_logreg_train_score(sf_dir: str):
+    """DISTRIBUTED MODEL TRAINING — full-batch logistic regression on
+    hashed bag-of-words features (the fasttext-style quality-
+    classifier shape; supervision: lang == 'en'), trained for 3
+    epochs and applied to every doc. Each epoch is ONE map pass of
+    per-batch gradient partials whose per-row residuals are int64-
+    quantized (``_lr_row_grad``) — the partial sum is an integer, so
+    any batching/ordering yields the SAME gradient and the trained
+    weights are bit-equal to the sequential golden (the IVF-centroid
+    quantization contract). The weight vector (4096 floats) is the
+    broadcast; epochs × one-scan is the honest cost at any corpus
+    size (features recompute per pass — materializing a dense N×D
+    matrix is the anti-pattern)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = np.zeros(_LR_DIM)
+    n_docs = _tbl_rows(sf_dir, "documents")
+
+    for ep in range(_LR_EPOCHS):
+        wref = ray.put(w)
+
+        def grad_partial(t: pa.Table, _ep=ep) -> pa.Table:
+            wv = _bget_slot("logreg_w", wref)
+            texts = t["text"].to_pylist()
+            y = (np.array(t["lang"].to_pylist(), dtype=object)
+                 == "en").astype(np.float64)
+            h, seg = _lr_features(texts)
+            g, _ = _lr_row_grad(h, seg, y, wv)
+            return pa.table({"f": pa.array(np.arange(_LR_DIM)),
+                             "g": pa.array(g)})
+
+        gsum = np.zeros(_LR_DIM, dtype=np.int64)
+        for blk in ray.get(
+                docs.map_batches(grad_partial, batch_format="pyarrow")
+                .to_arrow_refs()):
+            if blk.num_rows:
+                np.add.at(gsum, blk["f"].to_numpy(zero_copy_only=False),
+                          blk["g"].to_numpy(zero_copy_only=False))
+        w = w - _LR_STEP * (gsum / _LR_QUANT) / n_docs
+
+    wref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = _bget_slot("logreg_w_final", wref)
+        texts = t["text"].to_pylist()
+        h, seg = _lr_features(texts)
+        dots = np.bincount(seg, wv[h], minlength=len(texts))
+        p = 1.0 / (1.0 + np.exp(-dots))
+        y = (np.array(t["lang"].to_pylist(), dtype=object)
+             == "en").astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "label": pa.array(y),
+            "prob": pa.array(_round_half_up(p, 4)),
+            "pred": pa.array(p >= 0.5),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12134,6 +12240,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ab_test_welch": q_ab_test_welch,
     "source_kl_divergence": q_source_kl_divergence,
     "hard_negatives": q_hard_negatives,
+    "logreg_train_score": q_logreg_train_score,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
