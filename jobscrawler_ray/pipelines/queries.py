@@ -177,6 +177,31 @@ def _append_user_part(t: pa.Table, parts: int) -> pa.Table:
     return t.append_column("part", pa.array(u % parts, type=pa.int64()))
 
 
+def _bucket_sum(ds, key_col: str, n_col: str, parts: int = 32):
+    """Coarse-hash bucket combine for HIGH-CARDINALITY (key, n)
+    partial streams — ``Dataset.aggregate``'s sort-based groupby
+    measured 27 s at 235k distinct string keys and 217 s at 200k int
+    keys this round, where hashing keys into ``parts`` buckets and
+    pandas-summing inside each takes seconds. ONE helper so every
+    vocab-/pair-/line-keyed combine shares the idiom (the
+    _copurchase_edges lesson, generalized)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(k.astype(object))
+                % parts).astype(np.int64)
+        return t.append_column("bpart", pa.array(part))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_col, as_index=False)[n_col].sum()
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("bpart", num_partitions=parts)
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _round_half_up(x, decimals: int):
     """SQL ROUND semantics (half away from zero) — numpy's round is
     half-to-even and disagrees with DuckDB on exact .5 ulp boundaries
@@ -2972,10 +2997,9 @@ def q_bigram_counts(sf_dir: str):
         }))
 
     return (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        _bucket_sum(_tbl(sf_dir, "documents", ["text"])
+                    .map_batches(partial, batch_format="pandas"),
+                    "bigram", "n")
         .sort(["n", "bigram"], descending=[True, False])
         .limit(100)
         .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
@@ -9774,10 +9798,9 @@ def q_skipgram_pairs(sf_dir: str):
                          "n": pa.array(c.astype(np.int64))})
 
     return (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
+        _bucket_sum(_tbl(sf_dir, "documents", ["text"])
+                    .map_batches(partial, batch_format="pyarrow"),
+                    "pair", "n")
         .sort(["n", "pair"], descending=[True, False])
         .limit(50)
         .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
@@ -10717,10 +10740,9 @@ def q_boilerplate_lines(sf_dir: str):
                          "n": pa.array(c.astype(np.int64))})
 
     return (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("line")
-        .aggregate(Sum("n", alias_name="n"))
+        _bucket_sum(_tbl(sf_dir, "documents", ["text"])
+                    .map_batches(partial, batch_format="pyarrow"),
+                    "line", "n")
         .sort(["n", "line"], descending=[True, False])
         .limit(_BOILER_TOPK)
         .map_batches(lambda d: d.assign(n=d["n"].astype(np.int64)),
@@ -10926,9 +10948,9 @@ def q_vocab_coverage(sf_dir: str):
     cumsum combine. The corpus total rides the same partials (summed
     over the full vocab table map-side) so no second text scan."""
     counts = (
-        _tbl(sf_dir, "documents", ["text"])
-        .map_batches(_tf_partial, batch_format="pyarrow")
-        .groupby("w").aggregate(Sum("n", alias_name="n"))
+        _bucket_sum(_tbl(sf_dir, "documents", ["text"])
+                    .map_batches(_tf_partial, batch_format="pyarrow"),
+                    "w", "n")
         .materialize()  # vocab-bounded; feeds both total and top-K
     )
     total = int(counts.sum("n"))
