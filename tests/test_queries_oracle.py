@@ -693,3 +693,38 @@ class TestDistributedKeepPath:
         monkeypatch.setattr(queries, "_DF_BCAST_LIMIT", 0)
         dist = _normalize(_to_pandas(queries.QUERIES["tfidf_top_terms"](SF_DIR)))
         pd.testing.assert_frame_equal(dist, bcast, check_exact=True)
+
+    def test_bitext_mine_recovers_planted_translations(
+            self, ray_session, tmp_path):
+        """Semantic check beyond engine==golden: with planted
+        'translation' twins (odd vec = even vec + 1% noise), every
+        even anchor must mine its own twin as the best match with a
+        decisive margin, and clean anchors must not cross τ."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jobscrawler_ray.pipelines import queries
+
+        rng = np.random.default_rng(7)
+        n, dim = 400, 64
+        mat = rng.standard_normal((n, dim)).astype(np.float32)
+        planted = np.arange(1, n, 8)  # odd ids: twin of id-1 (even)
+        mat[planted] = mat[planted - 1] + 0.01 * rng.standard_normal(
+            (len(planted), dim)).astype(np.float32)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), dim).cast(
+                pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }), str(tmp_path / "embeddings.parquet"))
+
+        df = _to_pandas(queries.QUERIES["bitext_mine"](str(tmp_path)))
+        got = df.set_index("src_id")["tgt_id"].to_dict()
+        for odd in planted:
+            assert got.get(odd - 1) == odd, (odd - 1, got.get(odd - 1))
+        # planted pairs dominate the mined set: random 64-d vectors
+        # rarely clear the 1.05 margin bar
+        assert len(df) >= len(planted)
+        assert (df["margin"] >= queries._BITEXT_TAU).all()
