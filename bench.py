@@ -481,7 +481,9 @@ def joinstress() -> None:
              # Jaccard link prediction
              "window_dedup", "attribution_last_touch", "rfm_scores",
              "ab_test_welch", "incremental_agg_merge",
-             "zonemap_prune", "copurchase_jaccard"], d,
+             "zonemap_prune", "copurchase_jaccard",
+             "session_windows", "session_bounce_rate",
+             "funnel_time_to_convert"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -617,7 +619,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "mixture_upsample", "percent_rank_docs",
                      "bigram_lm_score", "padding_efficiency",
                      "vocab_coverage", "source_kl_divergence",
-                     "dup_rate_by_source", "logreg_train_score"]
+                     "dup_rate_by_source", "logreg_train_score",
+                     "pairwise_js_divergence"]
 
 
 def docstress() -> None:

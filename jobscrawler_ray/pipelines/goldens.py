@@ -1427,6 +1427,42 @@ def golden_logreg_train_score(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def golden_pairwise_js(sf_dir: str) -> pd.DataFrame:
+    """Sequential twin of ``q_pairwise_js_divergence``: plain dict
+    counting per source, dense smoothed distributions over the union
+    vocabulary, explicit pair loop."""
+    from .queries import _KL_SMOOTH
+
+    t = papq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["source", "text"])
+    counts: dict[str, dict[str, int]] = {}
+    vocab: dict[str, int] = {}
+    for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        d = counts.setdefault(s, {})
+        for w in x.split(" "):
+            d[w] = d.get(w, 0) + 1
+            vocab.setdefault(w, len(vocab))
+    V = len(vocab)
+    names = sorted(counts)
+    dists = []
+    for s in names:
+        vec = np.zeros(V)
+        for w, c in counts[s].items():
+            vec[vocab[w]] = c
+        dists.append((vec + _KL_SMOOTH) / (vec.sum() + _KL_SMOOTH * V))
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            p, q = dists[i], dists[j]
+            m = 0.5 * (p + q)
+            js = 0.5 * (p * np.log(p / m)).sum() \
+                + 0.5 * (q * np.log(q / m)).sum()
+            rows.append((names[i], names[j],
+                         float(_round_half_up(js, 6))))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "js"]) \
+        .astype({"js": np.float64})
+
+
 def golden_class_cohesion(sf_dir: str) -> pd.DataFrame:
     """Sequential twin of ``q_class_cohesion``: per label, normalized
     centroid of the normalized vectors, mean member cosine against it
@@ -1742,6 +1778,9 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     out["hard_negatives"] = values_sql(golden_hard_negatives(sf_dir), {
         "vec_id": "BIGINT", "pos_id": "BIGINT", "neg_id": "BIGINT",
         "s_pos": "DOUBLE", "s_neg": "DOUBLE"})
+    out["pairwise_js_divergence"] = values_sql(
+        golden_pairwise_js(sf_dir), {
+            "src_a": "VARCHAR", "src_b": "VARCHAR", "js": "DOUBLE"})
     out["logreg_train_score"] = values_sql(
         golden_logreg_train_score(sf_dir), {
             "doc_id": "BIGINT", "label": "BIGINT", "prob": "DOUBLE",

@@ -2771,21 +2771,30 @@ def q_session_windows(sf_dir: str):
         return _arrow_out(df)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, u in g.groupby("user_id", sort=False):
-            u = u.sort_values(["ts", "event_id"], kind="stable")
-            gap = u["ts"].diff()
-            new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
-            sid = new_s.cumsum()
-            s = u.assign(sid=sid).groupby("sid", as_index=False).agg(
-                n=("event_id", "size"), session_start=("ts", "min")
-            )
-            s["user_id"] = uid
-            out.append(s)
-        res = pd.concat(out, ignore_index=True)
-        return res[["user_id", "sid", "n", "session_start"]].astype(
-            {"sid": np.int64, "n": np.int64}
-        )
+        # ONE lexsort + run masks for the whole partition (the
+        # per-user pandas-groupby loop cost 107 s at 5M events via
+        # session_bounce_rate; this kernel is the window_dedup idiom)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]")
+        tsi = ts.astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order_ = np.lexsort((eid, tsi, u))
+        us, tss = u[order_], tsi[order_]
+        newu = np.ones(len(us), dtype=bool)
+        newu[1:] = us[1:] != us[:-1]
+        brk = newu.copy()
+        brk[1:] |= (tss[1:] - tss[:-1]) > 1_800_000_000
+        gid = np.cumsum(brk)
+        ufirst = np.maximum.accumulate(np.where(newu, gid, 0))
+        sid = gid - ufirst + 1
+        starts = np.flatnonzero(brk)
+        n = np.diff(np.r_[starts, len(us)])
+        return pd.DataFrame({
+            "user_id": us[starts],
+            "sid": sid[starts].astype(np.int64),
+            "n": n.astype(np.int64),
+            "session_start": ts[order_][starts],
+        })
 
     return (
         _tbl(sf_dir, "events", ["user_id", "event_id", "ts"])
@@ -12057,6 +12066,171 @@ def q_logreg_train_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_session_bounce_rate(sf_dir: str):
+    """Per-day BOUNCE RATE — the engagement metric sessionization
+    exists to feed: share of sessions with exactly one event, by
+    session-start day. Composes on ``session_windows`` (the gap
+    sessionizer); what this op adds is only a day-keyed count
+    partial + one calendar-bounded combine, so the cost IS the
+    sessionizer's."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["session_start"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        one = (t["n"].to_numpy(zero_copy_only=False) == 1) \
+            .astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        return pa.table({
+            "day_us": pa.array(u),
+            "n_sessions": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_bounce": pa.array(np.bincount(inv, one)
+                                 .astype(np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_us", as_index=False).sum()
+        ns = g["n_sessions"].to_numpy(np.int64)
+        nb = g["n_bounce"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": pd.to_datetime(g["day_us"].to_numpy(np.int64),
+                                  unit="us"),
+            "n_sessions": ns, "n_bounce": nb,
+            "bounce_rate": _round_half_up(nb / ns, 4),
+        })
+
+    return (
+        q_session_windows(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+_TTC_SENTINEL = np.iinfo(np.int64).max
+
+
+def q_funnel_time_to_convert(sf_dir: str):
+    """CONVERSION LATENCY — seconds from a user's first 'view' to
+    their first 'purchase' (purchase at/after the view), reported as
+    converting-user count + exact median and p90 via quantile_cont's
+    interpolation (the group_quantiles formula). Map-side per-user
+    first-timestamp partials (sentinel = absent), ONE user-bounded
+    combine — user is the dimension; the diffs vector never exceeds
+    it."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        sel = (ty == "view") | (ty == "purchase")
+        if not sel.any():
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64()),
+                             "p": pa.array([], type=pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)[sel]
+        ts = t["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[sel]
+        isv = ty[sel] == "view"
+        codes, uniq = pd.factorize(u)
+        v = np.full(len(uniq), _TTC_SENTINEL)
+        p = np.full(len(uniq), _TTC_SENTINEL)
+        np.minimum.at(v, codes[isv], ts[isv])
+        np.minimum.at(p, codes[~isv], ts[~isv])
+        return pa.table({
+            "u": pa.array(np.asarray(uniq, dtype=np.int64)),
+            "v": pa.array(v), "p": pa.array(p),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", as_index=False).agg(v=("v", "min"),
+                                                p=("p", "min"))
+        v = g["v"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        ok = (v != _TTC_SENTINEL) & (p != _TTC_SENTINEL) & (p >= v)
+        s = np.sort((p[ok] - v[ok]) / 1_000_000.0)
+        n = len(s)
+
+        def qc(q: float) -> float:
+            if n == 0:
+                return np.nan
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            fr = h - lo
+            return s[lo] * (1.0 - fr) + s[min(lo + 1, n - 1)] * fr
+
+        return pd.DataFrame({
+            "n_converted": pd.Series([n], dtype=np.int64),
+            "median_s": _round_half_up(np.array([qc(0.5)]), 4),
+            "p90_s": _round_half_up(np.array([qc(0.9)]), 4),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_pairwise_js_divergence(sf_dir: str):
+    """MIXTURE DESIGN MATRIX — Jensen-Shannon divergence between
+    every pair of sources' smoothed unigram distributions (the
+    symmetric, bounded complement of ``source_kl_divergence``; the
+    matrix mixture-weight optimizers consume). SAME (source, token)
+    count partials and (sources × vocab)-bounded exchange; the S²/2
+    pair evaluation is one dense numpy pass in the combine —
+    source count is config-bounded. Rows: (src_a, src_b, js)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        toks: list[np.ndarray] = []
+        for s, x in zip(t["source"].to_pylist(),
+                        t["text"].to_pylist()):
+            srcs.append(s)
+            toks.append(np.array(x.split(" "), dtype=object))
+        if not srcs:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        src_arr = np.repeat(np.array(srcs, dtype=object),
+                            [len(x) for x in toks])
+        g = pd.DataFrame({"source": src_arr,
+                          "w": np.concatenate(toks)}) \
+            .groupby(["source", "w"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(g["source"], type=pa.string()),
+            "w": pa.array(g["w"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["n"].sum()
+        scodes, suniq = pd.factorize(g["source"])
+        wcodes, wuniq = pd.factorize(g["w"])
+        S, V = len(suniq), len(wuniq)
+        mat = np.zeros((S, V))
+        mat[scodes, wcodes] += g["n"].to_numpy(np.int64)
+        p = (mat + _KL_SMOOTH) \
+            / (mat.sum(axis=1, keepdims=True) + _KL_SMOOTH * V)
+        order_ = np.argsort(np.asarray(suniq, dtype=object),
+                            kind="stable")
+        p = p[order_]
+        names = np.asarray(suniq, dtype=object)[order_]
+        rows = []
+        for i in range(S):
+            for j in range(i + 1, S):
+                m = 0.5 * (p[i] + p[j])
+                js = 0.5 * (p[i] * np.log(p[i] / m)).sum() \
+                    + 0.5 * (p[j] * np.log(p[j] / m)).sum()
+                rows.append((names[i], names[j],
+                             float(_round_half_up(js, 6))))
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "js"]) \
+            .astype({"js": np.float64})
+
+    return (
+        _tbl(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12263,6 +12437,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_kl_divergence": q_source_kl_divergence,
     "hard_negatives": q_hard_negatives,
     "logreg_train_score": q_logreg_train_score,
+    "session_bounce_rate": q_session_bounce_rate,
+    "funnel_time_to_convert": q_funnel_time_to_convert,
+    "pairwise_js_divergence": q_pairwise_js_divergence,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12592,6 +12769,35 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
         "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "session_bounce_rate": (
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events), "
+        "m AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL "
+        "OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM o), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "g AS (SELECT user_id, sid, count(*) AS n, min(ts) AS start "
+        "FROM s GROUP BY 1, 2) "
+        "SELECT date_trunc('day', start) AS day, "
+        "count(*)::BIGINT AS n_sessions, "
+        "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce, "
+        "round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*), 4) "
+        "AS bounce_rate FROM g GROUP BY 1"
+    ),
+    "funnel_time_to_convert": (
+        "WITH f AS (SELECT user_id, "
+        "min(CASE WHEN event_type = 'view' THEN ts END) AS v, "
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS p "
+        "FROM events GROUP BY user_id), "
+        "c AS (SELECT date_diff('microsecond', v, p) / 1000000.0 AS s "
+        "FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v) "
+        "SELECT count(*)::BIGINT AS n_converted, "
+        "round(quantile_cont(s, 0.5), 4) AS median_s, "
+        "round(quantile_cont(s, 0.9), 4) AS p90_s FROM c"
     ),
     "session_windows": (
         "WITH o AS (SELECT user_id, event_id, ts, "

@@ -100,7 +100,7 @@ GOLDEN_NAMES = [
     "dup_cluster_sizes", "compaction_plan", "recrawl_schedule",
     "bitext_mine", "dhash_neardup", "class_cohesion",
     "webdataset_shards", "dup_rate_by_source", "hard_negatives",
-    "logreg_train_score",
+    "logreg_train_score", "pairwise_js_divergence",
 ]
 
 
