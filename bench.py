@@ -483,7 +483,7 @@ def joinstress() -> None:
              "ab_test_welch", "incremental_agg_merge",
              "zonemap_prune", "copurchase_jaccard",
              "session_windows", "session_bounce_rate",
-             "funnel_time_to_convert"], d,
+             "funnel_time_to_convert", "price_trend_by_priority"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 
@@ -620,7 +620,7 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "bigram_lm_score", "padding_efficiency",
                      "vocab_coverage", "source_kl_divergence",
                      "dup_rate_by_source", "logreg_train_score",
-                     "pairwise_js_divergence"]
+                     "pairwise_js_divergence", "detector_agreement"]
 
 
 def docstress() -> None:

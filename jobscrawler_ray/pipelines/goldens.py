@@ -1733,6 +1733,17 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["minhash_lsh"] = values_sql(golden_minhash_lsh(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT", "jacc": "DOUBLE"})
+    out["detector_agreement"] = (
+        f"WITH mh AS (SELECT id_a, id_b FROM ({out['minhash_lsh']})), "
+        f"sh AS (SELECT id_a, id_b FROM ({out['simhash_neardup']})), "
+        "b AS (SELECT count(*) AS nb FROM mh "
+        "JOIN sh USING (id_a, id_b)), "
+        "c AS (SELECT (SELECT count(*) FROM mh) AS nm, "
+        "(SELECT count(*) FROM sh) AS ns, (SELECT nb FROM b) AS nb) "
+        "SELECT nm::BIGINT AS n_minhash, ns::BIGINT AS n_simhash, "
+        "nb::BIGINT AS n_both, "
+        "round(CASE WHEN nm + ns - nb > 0 "
+        "THEN nb / (nm + ns - nb) ELSE 0 END, 4) AS agreement FROM c")
     drops = golden_minhash_drops(sf_dir)
     out["minhash_dedup_keep"] = (
         "SELECT doc_id FROM documents"

@@ -12231,6 +12231,96 @@ def q_pairwise_js_divergence(sf_dir: str):
     )
 
 
+def q_price_trend_by_priority(sf_dir: str):
+    """Per-segment TREND — OLS slope/intercept of order value over
+    time per order priority (the 'is this segment growing' readout):
+    order-free per-group moment partials (n, Σx, Σy, Σxy, Σx²) with
+    x = epoch days, one group-bounded combine, closed-form OLS. The
+    moment formulation meets DuckDB's numerically-stable
+    regr_slope/regr_intercept under the round(6)/round(4) contract
+    (x, y magnitudes keep every moment sum exact in double)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        x = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) / 86_400_000_000.0
+        y = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pr)
+        return pa.table({
+            "pr": pa.array(np.asarray(uniq, dtype=object),
+                           type=pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "sx": pa.array(np.bincount(codes, x)),
+            "sy": pa.array(np.bincount(codes, y)),
+            "sxy": pa.array(np.bincount(codes, x * y)),
+            "sxx": pa.array(np.bincount(codes, x * x)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pr", as_index=False).sum() \
+            .sort_values("pr", kind="stable")
+        n = g["n"].to_numpy(np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxy, sxx = g["sxy"].to_numpy(), g["sxx"].to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame({
+            "o_orderpriority": g["pr"].to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "slope_per_day": _round_half_up(slope, 6),
+            "intercept": _round_half_up(intercept, 4),
+        })
+
+    return (
+        _tbl(sf_dir, "orders",
+             ["o_orderpriority", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_detector_agreement(sf_dir: str):
+    """DETECTOR CROSS-VALIDATION — the diagnostic a dedup policy
+    review runs before trusting one detector: pair-set agreement
+    between MinHash+LSH (token shingles) and SimHash (Hamming bands)
+    over the same corpus. Both pair sets are near-dup-rate bounded;
+    pairs pack into one int64 key, tagged partials union through one
+    coalesced combine, and the report is a single row (counts + the
+    detectors' pair-set Jaccard)."""
+    def tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "pair": pa.array((a << np.int64(32)) | b),
+                "det": pa.array(np.full(len(a), flag, dtype=np.int64)),
+            })
+        return f
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mh = set(df[df["det"] == 0]["pair"].to_numpy(np.int64)
+                 .tolist())
+        sh = set(df[df["det"] == 1]["pair"].to_numpy(np.int64)
+                 .tolist())
+        nb = len(mh & sh)
+        union = len(mh | sh)
+        return pd.DataFrame({
+            "n_minhash": pd.Series([len(mh)], dtype=np.int64),
+            "n_simhash": pd.Series([len(sh)], dtype=np.int64),
+            "n_both": pd.Series([nb], dtype=np.int64),
+            "agreement": _round_half_up(
+                np.array([nb / union if union else 0.0]), 4),
+        })
+
+    return (
+        q_minhash_lsh(sf_dir).map_batches(tag(0),
+                                          batch_format="pyarrow")
+        .union(q_simhash_neardup(sf_dir).map_batches(
+            tag(1), batch_format="pyarrow"))
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12440,6 +12530,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "session_bounce_rate": q_session_bounce_rate,
     "funnel_time_to_convert": q_funnel_time_to_convert,
     "pairwise_js_divergence": q_pairwise_js_divergence,
+    "price_trend_by_priority": q_price_trend_by_priority,
+    "detector_agreement": q_detector_agreement,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12769,6 +12861,14 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
         "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "price_trend_by_priority": (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n, "
+        "round(regr_slope(o_totalprice, "
+        "epoch_us(o_orderdate) / 86400000000.0), 6) AS slope_per_day, "
+        "round(regr_intercept(o_totalprice, "
+        "epoch_us(o_orderdate) / 86400000000.0), 4) AS intercept "
+        "FROM orders GROUP BY o_orderpriority"
     ),
     "session_bounce_rate": (
         "WITH o AS (SELECT user_id, event_id, ts, "
