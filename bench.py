@@ -483,7 +483,8 @@ def joinstress() -> None:
              "ab_test_welch", "incremental_agg_merge",
              "zonemap_prune", "copurchase_jaccard",
              "session_windows", "session_bounce_rate",
-             "funnel_time_to_convert", "price_trend_by_priority"], d,
+             "funnel_time_to_convert", "price_trend_by_priority",
+             "ks_test", "benford_deviation"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

@@ -12321,6 +12321,100 @@ def q_detector_agreement(sf_dir: str):
     )
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample KOLMOGOROV-SMIRNOV statistic between the 'click'
+    and 'purchase' value distributions — the distribution-shift test
+    that pairs with ``ab_test_welch``'s mean test: D = max |F_a −
+    F_b| evaluated exactly over the pooled support. Same
+    domain-bounded histogram-partial shape as ``group_quantiles``
+    (float64 BIT PATTERNS as exact histogram keys); the exchange is
+    the value domain, never the row count, and the final CDF walk is
+    one numpy pass."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        gs, vs, cs = [], [], []
+        for g in ("click", "purchase"):
+            u, c = np.unique(v[ty == g].view(np.int64),
+                             return_counts=True)
+            gs.append(np.full(len(u), g, dtype=object))
+            vs.append(u)
+            cs.append(c.astype(np.int64))
+        return pa.table({
+            "g": pa.array(np.concatenate(gs), type=pa.string()),
+            "vb": pa.array(np.concatenate(vs)),
+            "cnt": pa.array(np.concatenate(cs)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["g", "vb"], as_index=False)["cnt"].sum()
+        a = g[g["g"] == "click"]
+        b = g[g["g"] == "purchase"]
+        support = np.union1d(a["vb"].to_numpy(np.int64),
+                             b["vb"].to_numpy(np.int64))
+
+        def cdf(side: pd.DataFrame) -> np.ndarray:
+            cnt = np.zeros(len(support), dtype=np.int64)
+            idx = np.searchsorted(support,
+                                  side["vb"].to_numpy(np.int64))
+            cnt[idx] = side["cnt"].to_numpy(np.int64)
+            c = cnt.cumsum()
+            return c / c[-1]
+
+        d = np.abs(cdf(a) - cdf(b)).max()
+        return pd.DataFrame({
+            "n_a": pd.Series([int(a["cnt"].sum())], dtype=np.int64),
+            "n_b": pd.Series([int(b["cnt"].sum())], dtype=np.int64),
+            "ks_d": _round_half_up(np.array([d]), 6),
+        })
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_benford_deviation(sf_dir: str):
+    """BENFORD first-digit audit over order totals — the
+    data-quality / fraud screen: observed first-significant-digit
+    shares vs Benford's log10(1 + 1/d), with per-digit deviation.
+    First digit extracted arithmetically (value / 10^floor(log10 v))
+    identically in both engines; the partial is a fixed 9-bucket
+    bincount — constant-size exchange at any corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        d = (v / np.power(10.0, np.floor(np.log10(v)))).astype(
+            np.int64)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(np.bincount(d, minlength=10)[1:10]
+                          .astype(np.int64)),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digit", as_index=False)["n"].sum()
+        g = g[g["n"] > 0]  # absent digits: match the oracle's GROUP BY
+        n = g["n"].to_numpy(np.int64)
+        digits = g["digit"].to_numpy(np.int64)
+        obs = n / n.sum()
+        exp = np.log10(1.0 + 1.0 / digits)
+        return pd.DataFrame({
+            "digit": digits, "n": n,
+            "observed": _round_half_up(obs, 6),
+            "benford": _round_half_up(exp, 6),
+            "deviation": _round_half_up(obs - exp, 6),
+        })
+
+    return (
+        _tbl(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12532,6 +12626,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pairwise_js_divergence": q_pairwise_js_divergence,
     "price_trend_by_priority": q_price_trend_by_priority,
     "detector_agreement": q_detector_agreement,
+    "ks_test": q_ks_test,
+    "benford_deviation": q_benford_deviation,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12861,6 +12957,31 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
         "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "ks_test": (
+        "WITH u AS (SELECT value, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS nb FROM events WHERE event_type IN ('click', 'purchase') "
+        "GROUP BY value), "
+        "c AS (SELECT value, sum(na) OVER (ORDER BY value) AS ca, "
+        "sum(nb) OVER (ORDER BY value) AS cb FROM u), "
+        "t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM u) "
+        "SELECT t.ta::BIGINT AS n_a, t.tb::BIGINT AS n_b, "
+        "round(max(abs(c.ca / t.ta - c.cb / t.tb)), 6) AS ks_d "
+        "FROM c, t GROUP BY t.ta, t.tb"
+    ),
+    "benford_deviation": (
+        "WITH d AS (SELECT CAST(floor(o_totalprice / "
+        "pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit "
+        "FROM orders), "
+        "c AS (SELECT digit, count(*)::BIGINT AS n FROM d "
+        "GROUP BY digit), "
+        "t AS (SELECT sum(n) AS tot FROM c) "
+        "SELECT digit, n, round(n / tot, 6) AS observed, "
+        "round(log10(1 + 1.0 / digit), 6) AS benford, "
+        "round(n / tot - log10(1 + 1.0 / digit), 6) AS deviation "
+        "FROM c, t"
     ),
     "price_trend_by_priority": (
         "SELECT o_orderpriority, count(*)::BIGINT AS n, "
