@@ -621,7 +621,8 @@ DOCSTRESS_QUERIES = ["token_counts", "quality_filter", "curate_corpus",
                      "bigram_lm_score", "padding_efficiency",
                      "vocab_coverage", "source_kl_divergence",
                      "dup_rate_by_source", "logreg_train_score",
-                     "pairwise_js_divergence", "detector_agreement"]
+                     "pairwise_js_divergence", "detector_agreement",
+                     "zipf_fit", "minhash_band_curve"]
 
 
 def docstress() -> None:

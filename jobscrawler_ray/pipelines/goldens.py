@@ -1733,6 +1733,17 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["minhash_lsh"] = values_sql(golden_minhash_lsh(sf_dir), {
         "id_a": "BIGINT", "id_b": "BIGINT", "jacc": "DOUBLE"})
+    from .queries import _MH_SWEEP
+    _sweep_vals = ", ".join(f"({b}, {r})" for b, r in _MH_SWEEP)
+    out["minhash_band_curve"] = (
+        f"WITH p AS (SELECT jacc FROM ({out['minhash_lsh']})), "
+        f"cfg(b, r) AS (VALUES {_sweep_vals}) "
+        "SELECT b::BIGINT AS bands, r::BIGINT AS rows_per_band, "
+        "(SELECT count(*) FROM p)::BIGINT AS n_pairs, "
+        "round(avg(1 - pow(1 - pow(jacc, r), b)), 6) AS exp_recall, "
+        "sum(CASE WHEN 1 - pow(1 - pow(jacc, r), b) >= 0.9 "
+        "THEN 1 ELSE 0 END)::BIGINT AS n_high_conf "
+        "FROM cfg, p GROUP BY b, r")
     out["detector_agreement"] = (
         f"WITH mh AS (SELECT id_a, id_b FROM ({out['minhash_lsh']})), "
         f"sh AS (SELECT id_a, id_b FROM ({out['simhash_neardup']})), "

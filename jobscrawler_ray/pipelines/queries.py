@@ -12415,6 +12415,76 @@ def q_benford_deviation(sf_dir: str):
     )
 
 
+def q_zipf_fit(sf_dir: str):
+    """ZIPF LAW fit over the corpus vocabulary — the sanity statistic
+    that flags synthetic/degenerate text (natural corpora fit slope
+    ≈ −1): OLS of ln(count) on ln(rank) over the full (n desc, token
+    asc)-ranked vocabulary, with r². Counts ride the shared
+    ``_bucket_sum`` combine; the rank+OLS pass is ONE vocab-bounded
+    coalesced batch (the vocab-family contract) using the same
+    moment formulation as ``price_trend_by_priority``."""
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "w"], ascending=[False, True],
+                            kind="stable")
+        y = np.log(df["n"].to_numpy(np.float64))
+        x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+        n = float(len(df))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        slope = cov / vx
+        return pd.DataFrame({
+            "vocab": pd.Series([int(n)], dtype=np.int64),
+            "zipf_slope": _round_half_up(np.array([slope]), 6),
+            "intercept": _round_half_up(
+                np.array([(sy - slope * sx) / n]), 4),
+            "r2": _round_half_up(np.array([cov * cov / (vx * vy)]), 6),
+        })
+
+    return (
+        _bucket_sum(_tbl(sf_dir, "documents", ["text"])
+                    .map_batches(_tf_partial, batch_format="pyarrow"),
+                    "w", "n")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+# the sweep's (bands, rows) configurations over the 64-perm signature
+_MH_SWEEP = ((4, 16), (8, 8), (16, 4))
+
+
+def q_minhash_band_curve(sf_dir: str):
+    """LSH PARAMETER TUNING curve — the banding trade-off a dedup
+    policy review reads before fixing (b, r): for each candidate
+    config, the expected detection probability 1 − (1 − j^r)^b
+    averaged over the VERIFIED near-dup pair set, plus the count of
+    pairs detected with ≥ 90% probability. Pure closed-form math over
+    the pair-bounded ``minhash_lsh`` output — one coalesced batch, no
+    re-banding pass."""
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["jacc"].to_numpy(np.float64)
+        rows = []
+        for b, r in _MH_SWEEP:
+            p = 1.0 - np.power(1.0 - np.power(j, r), b)
+            rows.append((b, r, len(j),
+                         float(_round_half_up(p.mean(), 6))
+                         if len(j) else 0.0,
+                         int((p >= 0.9).sum())))
+        return pd.DataFrame(rows, columns=[
+            "bands", "rows_per_band", "n_pairs", "exp_recall",
+            "n_high_conf"]).astype({
+                "bands": np.int64, "rows_per_band": np.int64,
+                "n_pairs": np.int64, "exp_recall": np.float64,
+                "n_high_conf": np.int64})
+
+    return q_minhash_lsh(sf_dir).map_batches(
+        finish, batch_format="pandas", batch_size=1 << 30)
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12628,6 +12698,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "detector_agreement": q_detector_agreement,
     "ks_test": q_ks_test,
     "benford_deviation": q_benford_deviation,
+    "zipf_fit": q_zipf_fit,
+    "minhash_band_curve": q_minhash_band_curve,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -12957,6 +13029,17 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
         "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "zipf_fit": (
+        "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT w, count(*)::BIGINT AS n FROM t GROUP BY w), "
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) "
+        "AS rk FROM c) "
+        "SELECT count(*)::BIGINT AS vocab, "
+        "round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope, "
+        "round(regr_intercept(ln(n), ln(rk)), 4) AS intercept, "
+        "round(regr_r2(ln(n), ln(rk)), 6) AS r2 FROM r"
     ),
     "ks_test": (
         "WITH u AS (SELECT value, "

@@ -101,7 +101,7 @@ GOLDEN_NAMES = [
     "bitext_mine", "dhash_neardup", "class_cohesion",
     "webdataset_shards", "dup_rate_by_source", "hard_negatives",
     "logreg_train_score", "pairwise_js_divergence",
-    "detector_agreement",
+    "detector_agreement", "minhash_band_curve",
 ]
 
 
