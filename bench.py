@@ -484,7 +484,7 @@ def joinstress() -> None:
              "zonemap_prune", "copurchase_jaccard",
              "session_windows", "session_bounce_rate",
              "funnel_time_to_convert", "price_trend_by_priority",
-             "ks_test", "benford_deviation"], d,
+             "ks_test", "benford_deviation", "late_event_rate"], d,
             f"inequality-join + relational-op stress ({n} rows)", n, "rows")
 
 

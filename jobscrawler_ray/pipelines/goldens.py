@@ -1762,6 +1762,16 @@ def golden_oracle_sql(sf_dir: str) -> dict[str, str]:
     )
     out["entity_clusters"] = values_sql(golden_entity_clusters(sf_dir), {
         "p_partkey": "BIGINT", "cluster_rep": "BIGINT"})
+    out["dedup_survivorship"] = (
+        f"WITH ec AS ({out['entity_clusters']}), "
+        "j AS (SELECT ec.cluster_rep, p.p_retailprice, p.p_size "
+        "FROM ec JOIN part p USING (p_partkey)), "
+        "g AS (SELECT cluster_rep, count(*) AS n, "
+        "max(p_retailprice) AS mxp, min(p_size) AS mns FROM j "
+        "GROUP BY 1) "
+        "SELECT cluster_rep, n::BIGINT AS n_members, "
+        "round(mxp, 2) AS best_price, mns::BIGINT AS min_size "
+        "FROM g WHERE n > 1")
     out["dup_cluster_sizes"] = values_sql(
         golden_dup_cluster_sizes(sf_dir), {
             "cluster_size": "BIGINT", "n_clusters": "BIGINT"})

@@ -12485,6 +12485,114 @@ def q_minhash_band_curve(sf_dir: str):
         finish, batch_format="pandas", batch_size=1 << 30)
 
 
+def q_late_event_rate(sf_dir: str):
+    """LATE-DATA rate — the watermark-sizing statistic a streaming
+    deployment reads: per day, the share of events arriving (in
+    event_id order, the log's arrival sequence) with a timestamp
+    BEHIND their user's max-so-far. Same user-hash cogroup as the
+    window family; per partition one lexsort + per-user shifted
+    running-max, then day-bounded count partials."""
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    parts = _copart_count(_tbl_rows(sf_dir, "events"))
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _arrow_out(pd.DataFrame({
+                "day_us": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "n_late": pd.Series([], dtype=np.int64)}))
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order_ = np.lexsort((eid, u))
+        us, tss = u[order_], ts[order_]
+        # running max BEFORE each row, per user, in arrival order —
+        # pandas' grouped shift + cummax (both cython; the repo rule:
+        # no per-entity Python loops inside map_groups)
+        d2 = pd.DataFrame({"u": us, "ts": tss})
+        g = d2.groupby("u", sort=False)
+        pm = d2.assign(s=g["ts"].shift(1)) \
+            .groupby("u", sort=False)["s"].cummax().to_numpy()
+        is_late = tss < pm  # NaN prev-max (user's first row) → False
+        day = (tss // 86_400_000_000) * 86_400_000_000
+        uq, inv = np.unique(day, return_inverse=True)
+        return _arrow_out(pd.DataFrame({
+            "day_us": uq.astype(np.int64),
+            "n": np.bincount(inv).astype(np.int64),
+            "n_late": np.bincount(inv, is_late.astype(np.int64))
+            .astype(np.int64)}))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_us", as_index=False).sum()
+        n = g["n"].to_numpy(np.int64)
+        nl = g["n_late"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": pd.to_datetime(g["day_us"].to_numpy(np.int64),
+                                  unit="us"),
+            "n": n, "n_late": nl,
+            "late_rate": _round_half_up(nl / n, 4),
+        })
+
+    return (
+        ev.map_batches(_append_user_part_t, batch_format="pyarrow",
+                       fn_args=(parts,))
+        .groupby("part", num_partitions=parts)
+        .map_groups(late, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
+def q_dedup_survivorship(sf_dir: str):
+    """Entity-resolution SURVIVORSHIP — the merge step after
+    ``entity_clusters``: each multi-member cluster collapses to one
+    canonical record with best-of-cluster attributes (max retail
+    price, min size, member count). The cluster labels are the
+    existing op's output; attributes attach through the part
+    dimension and the combine is cluster-bounded."""
+    labs = q_entity_clusters(sf_dir)
+    attrs = _tbl(sf_dir, "part",
+                 ["p_partkey", "p_retailprice", "p_size"]).to_pandas()
+    order_ = np.argsort(attrs["p_partkey"].to_numpy(np.int64),
+                        kind="stable")
+    aref = ray.put((
+        attrs["p_partkey"].to_numpy(np.int64)[order_],
+        attrs["p_retailprice"].to_numpy(np.float64)[order_],
+        attrs["p_size"].to_numpy(np.int64)[order_]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ak, ap, asz = _bget_slot("survivorship_attrs", aref)
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ak, pk)
+        codes, uniq = pd.factorize(rep)
+        mxp = np.zeros(len(uniq))
+        np.maximum.at(mxp, codes, ap[idx])
+        mns = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mns, codes, asz[idx])
+        return pa.table({
+            "rep": pa.array(np.asarray(uniq, dtype=np.int64)),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "mxp": pa.array(mxp),
+            "mns": pa.array(mns),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rep", as_index=False).agg(
+            n=("n", "sum"), mxp=("mxp", "max"), mns=("mns", "min"))
+        g = g[g["n"] > 1]  # canonical rows only for real clusters
+        return pd.DataFrame({
+            "cluster_rep": g["rep"].to_numpy(np.int64),
+            "n_members": g["n"].to_numpy(np.int64),
+            "best_price": _round_half_up(g["mxp"].to_numpy(), 2),
+            "min_size": g["mns"].to_numpy(np.int64),
+        })
+
+    return (
+        labs.map_batches(partial, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pandas", batch_size=1 << 30)
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog + oracles
 # --------------------------------------------------------------------------
@@ -12700,6 +12808,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "benford_deviation": q_benford_deviation,
     "zipf_fit": q_zipf_fit,
     "minhash_band_curve": q_minhash_band_curve,
+    "late_event_rate": q_late_event_rate,
+    "dedup_survivorship": q_dedup_survivorship,
 }
 
 _STOP_SQL = "('a','the','of','and','to','in')"
@@ -13029,6 +13139,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
         "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "late_event_rate": (
+        "WITH w AS (SELECT ts, max(ts) OVER (PARTITION BY user_id "
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS pm FROM events) "
+        "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n, "
+        "sum(CASE WHEN ts < pm THEN 1 ELSE 0 END)::BIGINT AS n_late, "
+        "round(sum(CASE WHEN ts < pm THEN 1 ELSE 0 END) / count(*), "
+        "4) AS late_rate FROM w GROUP BY 1"
     ),
     "zipf_fit": (
         "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w "

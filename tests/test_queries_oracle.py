@@ -102,6 +102,7 @@ GOLDEN_NAMES = [
     "webdataset_shards", "dup_rate_by_source", "hard_negatives",
     "logreg_train_score", "pairwise_js_divergence",
     "detector_agreement", "minhash_band_curve",
+    "dedup_survivorship",
 ]
 
 
